@@ -1,0 +1,141 @@
+"""Configuration system.
+
+The reference layers Typesafe HOCON files (CLI akka conf ⊕ app conf ⊕
+classpath default — SimilaritySearchService.scala:20-22) with every engine key
+under ``cpslab.allpair.*`` (full inventory in SURVEY.md §5).  Here the same
+knobs are a flat dataclass loadable from JSON, with the same layering rule:
+later sources fall back to earlier ones.
+
+Key mapping (reference key -> field), citations into /root/reference:
+  vectorDim             -> vector_dim            (conf/app.conf:6; EntryProxyActor.scala:25)
+  similarityThreshold   -> similarity_threshold  (conf/app.conf:15)
+  indexThreshold        -> index_threshold       (WriteWorkerActor.scala:35; absent from
+                                                  shipped confs -> default 0.0 here instead
+                                                  of a missing-key crash)
+  maxShardNum           -> max_shard_num         (CommonUtils.scala:23)
+  maxEntryNum           -> max_entry_num         (CommonUtils.scala:24)
+  maxIOEntryActorNum    -> max_io_workers        (EntryProxyActor.scala:19)
+  maxIndexEntryActorNum -> max_index_workers     (EntryProxyActor.scala:21)
+  ioTriggerPeriod (ms)  -> io_trigger_period_ms  (WriteWorkerActor.scala:54)
+  outputIODuration (ms) -> output_io_duration_ms (IndexingWorkerActor.scala:26)
+  runMode               -> run_mode              (conf/app.conf:16)
+  ioRangeNum            -> io_range_num          (Client.scala:21)
+  rawDataTable          -> raw_data_table        (conf/app.conf:14)
+  benchmark.*           -> bench_*               (conf/app_client_template.conf:20-27)
+
+TPU-specific additions: dtype / tile sizes / mesh shape / shard axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Mapping
+
+__all__ = ["AllPairsConfig", "load_config"]
+
+_KEY_ALIASES = {
+    # reference HOCON camelCase -> dataclass field
+    "vectorDim": "vector_dim",
+    "similarityThreshold": "similarity_threshold",
+    "indexThreshold": "index_threshold",
+    "maxShardNum": "max_shard_num",
+    "maxEntryNum": "max_entry_num",
+    "maxIOEntryActorNum": "max_io_workers",
+    "maxIndexEntryActorNum": "max_index_workers",
+    "ioTriggerPeriod": "io_trigger_period_ms",
+    "outputIODuration": "output_io_duration_ms",
+    "runMode": "run_mode",
+    "ioRangeNum": "io_range_num",
+    "rawDataTable": "raw_data_table",
+    "expDuration": "bench_exp_duration_ms",
+    "writeBatchingDuration": "bench_write_batching_ms",
+    "totalMessageCount": "bench_total_message_count",
+    "childrenNum": "bench_children_num",
+}
+
+
+@dataclasses.dataclass
+class AllPairsConfig:
+    # --- engine semantics (reference parity) ---
+    vector_dim: int = 1 << 20          # conf/app.conf:6
+    similarity_threshold: float = 0.7  # conf/app.conf:15
+    index_threshold: float = 0.0       # streaming component filter
+    max_shard_num: int = 10            # conf/app.conf:12 (dim shards)
+    max_entry_num: int = 10            # app_server_template.conf
+    max_io_workers: int = 10           # conf/app.conf:11
+    max_index_workers: int = 10        # conf/app.conf:10
+    io_trigger_period_ms: int = 10     # conf/app.conf:9 (micro-batch flush)
+    output_io_duration_ms: int = 0     # 0 => immediate emission
+    run_mode: str = "DEBUG"            # conf/app.conf:16
+    io_range_num: int = 1              # conf/app.conf:13
+    raw_data_table: str = "SMALL_DATA"  # conf/app.conf:14
+
+    # --- benchmark harness (app_client_template.conf:20-27) ---
+    bench_exp_duration_ms: int = 30000
+    bench_write_batching_ms: int = 50
+    bench_total_message_count: int = 50
+    bench_children_num: int = 1
+
+    # --- TPU engine knobs (new) ---
+    admission: str = "ones"            # max-weight admission pruning:
+                                       #   "ones" = reference's 1.0 stub
+                                       #   (EntryProxyActor.scala:51-57),
+                                       #   "real" = running max weights,
+                                       #   "off"
+    dtype: str = "float32"             # device score dtype: float32 | bfloat16
+    matmul_precision: str = "highest"  # MXU passes: "highest" (fp32-exact,
+                                       # 1e-4 margin) | "default" (bf16, needs
+                                       # a wide rescore margin)
+    extract_cap: int = 1 << 18         # device pair-buffer capacity
+                                       # (auto-grows ×4 on overflow)
+    query_tile: int = 1024             # rows per scoring tile
+    row_bucket: int = 512              # row-capacity growth quantum
+    dim_bucket: int = 4096             # compact-dim capacity growth quantum
+    exact_rescore: bool = True         # fp64 host rescore of near-tau pairs
+    rescore_margin: float = 1e-4       # |S - tau| margin triggering rescore
+    mesh_shape: tuple = ()             # e.g. (8,) — empty => single device
+    shard_axis: str = "dims"           # "dims" (reference parity) | "rows"
+
+    def replace(self, **kw: Any) -> "AllPairsConfig":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def from_dict(d: Mapping[str, Any]) -> "AllPairsConfig":
+        return AllPairsConfig().updated(d)
+
+    def updated(self, d: Mapping[str, Any]) -> "AllPairsConfig":
+        fields = {f.name for f in dataclasses.fields(self)}
+        kw: dict[str, Any] = {}
+        for k, v in _flatten(d).items():
+            k = _KEY_ALIASES.get(k, k)
+            if k in fields:
+                if k == "mesh_shape":
+                    v = tuple(v)
+                kw[k] = v
+        return dataclasses.replace(self, **kw)
+
+
+def _flatten(d: Mapping[str, Any], prefix: str = "") -> dict[str, Any]:
+    """Flatten nested dicts; strips the reference's ``cpslab.allpair.`` and
+    ``benchmark.`` nesting so HOCON-shaped JSON files load directly."""
+    out: dict[str, Any] = {}
+    for k, v in d.items():
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, prefix=f"{prefix}{k}."))
+        else:
+            out[k] = v
+    return out
+
+
+def load_config(*paths: str, overrides: Mapping[str, Any] | None = None) -> AllPairsConfig:
+    """Layered load: each successive JSON file overrides the previous
+    (the reference's ``withFallback`` chain in reverse,
+    SimilaritySearchService.scala:20-22); ``overrides`` wins last."""
+    cfg = AllPairsConfig()
+    for p in paths:
+        with open(p, "r", encoding="utf-8") as f:
+            cfg = cfg.updated(json.load(f))
+    if overrides:
+        cfg = cfg.updated(overrides)
+    return cfg

@@ -1,0 +1,537 @@
+"""Single-slice all-pairs similarity engine.
+
+This collapses the reference's actor pipeline —
+EntryProxyActor (admission pruning, EntryProxyActor.scala:81-111)
+→ WriteWorkerActor (ingest buffering + dim partitioning,
+WriteWorkerActor.scala:164-202)
+→ IndexingWorkerActor (inverted index + scoring,
+IndexingWorkerActor.scala:61-141) —
+into one object holding:
+
+  - a device-resident dense index matrix ``X [row_cap, dim_cap]`` over compact
+    frequency-ordered columns (the CSR-posting/inverted-index replacement),
+  - a host float64 CSR shadow (exact rescoring, checkpointing),
+  - running per-dimension max weights (real max-weight admission pruning —
+    the reference stubs these to 1.0, EntryProxyActor.scala:51-57).
+
+Capabilities (SURVEY.md §7): bulk ``build``, exact thresholded ``all_pairs``,
+streaming ``insert`` micro-batches matched online against the live index
+(index-before-query, so intra-batch pairs are found — fine-print #2),
+``topk`` queries, freeze semantics for benchmarking
+(IndexingWorkerActor.scala:143-144), checkpoint/restore.
+
+Known deviation from the reference, by design (SURVEY.md fine-print #3): the
+reference's first-dimension dedup bug nondeterministically *drops* pairs; we
+compute the exact pair set, a superset on affected inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..config import AllPairsConfig
+from ..index.compact import CompactSpace
+from ..utils.jaxsetup import setup_jax
+from ..ops import rescore as rescore_ops
+from ..ops import score as score_ops
+from ..vector.batch import CSRMatrix, PaddedBatch, round_up
+from ..vector.sparse import SparseVector
+from .output import PairResult, SimilarityOutput
+
+__all__ = ["Engine", "BuildStats"]
+
+
+class BuildStats(dict):
+    pass
+
+
+def _next_cap(cap: int, count: int) -> int:
+    """Grow the extraction capacity past ``count`` in ×4 steps (bounded
+    recompiles; each new cap compiles once)."""
+    while cap < count:
+        cap *= 4
+    return cap
+
+
+def _as_csr(
+    vectors: Sequence[Tuple[str, SparseVector]] | CSRMatrix,
+    ids: Sequence[str] | None,
+    vector_dim: int,
+) -> Tuple[CSRMatrix, List[str]]:
+    if isinstance(vectors, CSRMatrix):
+        csr = vectors
+        out_ids = list(ids) if ids is not None else [str(i) for i in range(csr.n_rows)]
+    else:
+        out_ids = [vid for vid, _ in vectors]
+        csr = CSRMatrix.from_vectors([v for _, v in vectors], vector_dim)
+    if len(out_ids) != csr.n_rows:
+        raise ValueError("ids length mismatch")
+    return csr, out_ids
+
+
+class Engine:
+    def __init__(self, config: AllPairsConfig | None = None):
+        setup_jax()
+        self.cfg = config or AllPairsConfig()
+        self.compact = CompactSpace(self.cfg.vector_dim, self.cfg.dim_bucket)
+        self.x = None  # device [row_cap, dim_cap]
+        self.n_rows = 0
+        self.ids: List[str] = []
+        self.id_to_row: Dict[str, int] = {}
+        # host fp64 shadow rows (external dim space)
+        self._row_idx: List[np.ndarray] = []
+        self._row_val: List[np.ndarray] = []
+        self._shadow_cache: tuple | None = None
+        self.max_weights = np.zeros(self.cfg.vector_dim, dtype=np.float64)
+        self._frozen = False
+        self.stats: Dict[str, float] = {
+            "vectors_indexed": 0,
+            "vectors_dropped_admission": 0,
+            "candidates_scored": 0,
+            "pairs_emitted": 0,
+            "insert_batches": 0,
+        }
+
+    # ------------------------------------------------------------------ sizes
+    @property
+    def row_cap(self) -> int:
+        return 0 if self.x is None else int(self.x.shape[0])
+
+    @property
+    def dim_cap(self) -> int:
+        return 0 if self.x is None else int(self.x.shape[1])
+
+    def _tile(self) -> int:
+        return int(self.cfg.query_tile)
+
+    def _row_quantum(self) -> int:
+        # row capacity must stay a multiple of both the packing unit (8) and
+        # the query tile so tile slices never run off the end
+        return max(self.cfg.row_bucket, self._tile())
+
+    def _margin(self, tau: float) -> float:
+        m = self.cfg.rescore_margin
+        if self.cfg.dtype != "float32":
+            m = max(m, rescore_ops.default_margin(self.cfg.dtype))
+        if self.cfg.matmul_precision != "highest":
+            # bf16 MXU passes: observed abs error ~1e-3 on Enron TF-IDF dots;
+            # widen the superset margin accordingly
+            m = max(m, 1e-2)
+        return m
+
+    def _tau_eff(self, tau: float) -> np.float32:
+        return np.float32(max(tau - self._margin(tau), score_ops.MIN_TAU_EFF))
+
+    # ------------------------------------------------------------------ build
+    def build(
+        self,
+        vectors: Sequence[Tuple[str, SparseVector]] | CSRMatrix,
+        ids: Sequence[str] | None = None,
+    ) -> BuildStats:
+        """Bulk index build (the LoadData/HBase path — no admission pruning,
+        no component filter, matching WriteWorkerActor.scala:132-161)."""
+        t0 = time.time()
+        csr, new_ids = _as_csr(vectors, ids, self.cfg.vector_dim)
+        if self.n_rows:
+            raise RuntimeError("build() on a non-empty engine; use insert()")
+        self.compact = CompactSpace.from_csr(csr, self.cfg.dim_bucket)
+        compact_csr = self.compact.map_csr(csr)
+        row_cap = round_up(max(csr.n_rows, 1), self._row_quantum())
+        dim_cap = self.compact.capacity
+        self.x = score_ops.new_index_matrix(row_cap, dim_cap, self.cfg.dtype)
+        self._scatter_rows(compact_csr, row_offset=0)
+        self.n_rows = csr.n_rows
+        self.ids = list(new_ids)
+        self.id_to_row = {v: k for k, v in enumerate(self.ids)}
+        self._append_shadow(csr)
+        np.maximum.at(self.max_weights, csr.indices, csr.data)
+        self.stats["vectors_indexed"] += csr.n_rows
+        import jax
+
+        jax.block_until_ready(self.x)
+        return BuildStats(
+            n_rows=self.n_rows,
+            n_active_dims=self.compact.n_active,
+            row_cap=row_cap,
+            dim_cap=dim_cap,
+            build_seconds=time.time() - t0,
+        )
+
+    def _scatter_rows(self, compact_csr: CSRMatrix, row_offset: int) -> None:
+        """Chunked padded scatter of compact CSR rows into the device matrix."""
+        chunk = 4096
+        dim_cap = int(self.x.shape[1])
+        for s in range(0, compact_csr.n_rows, chunk):
+            e = min(s + chunk, compact_csr.n_rows)
+            indptr = (compact_csr.indptr[s : e + 1] - compact_csr.indptr[s]).astype(
+                np.int64
+            )
+            lo, hi = int(compact_csr.indptr[s]), int(compact_csr.indptr[e])
+            sub = CSRMatrix(
+                e - s,
+                compact_csr.n_cols,
+                indptr,
+                compact_csr.indices[lo:hi],
+                compact_csr.data[lo:hi],
+            )
+            batch = PaddedBatch.from_csr(sub, pad_dim=dim_cap)
+            self.x = score_ops.insert_rows(
+                self.x,
+                batch.dims,
+                batch.vals,
+                np.int32(row_offset + s),
+            )
+
+    def _append_shadow(self, csr: CSRMatrix) -> None:
+        for i in range(csr.n_rows):
+            s, e = int(csr.indptr[i]), int(csr.indptr[i + 1])
+            self._row_idx.append(csr.indices[s:e].copy())
+            self._row_val.append(csr.data[s:e].copy())
+        self._shadow_cache = None
+
+    def shadow_csr(self) -> CSRMatrix:
+        """Host fp64 CSR over the external dim space (exact oracle view)."""
+        if self._shadow_cache is None or self._shadow_cache[0] != self.n_rows:
+            indptr = np.zeros(len(self._row_idx) + 1, dtype=np.int64)
+            for i, idx in enumerate(self._row_idx):
+                indptr[i + 1] = indptr[i] + idx.size
+            indices = (
+                np.concatenate(self._row_idx)
+                if self._row_idx
+                else np.empty(0, np.int32)
+            )
+            data = (
+                np.concatenate(self._row_val)
+                if self._row_val
+                else np.empty(0, np.float64)
+            )
+            self._shadow_cache = (
+                self.n_rows,
+                CSRMatrix(
+                    len(self._row_idx), self.cfg.vector_dim, indptr, indices, data
+                ),
+            )
+        return self._shadow_cache[1]
+
+    # -------------------------------------------------------------- all_pairs
+    def all_pairs(self, tau: float | None = None) -> PairResult:
+        """Exact thresholded all-pairs cosine join over the current index.
+
+        Device pass keeps candidates at ``tau - margin`` (fused matmul +
+        threshold + bitpack per tile); host fp64 rescore decides the final
+        set — identical to the float64 brute-force oracle by construction.
+        """
+        tau = self.cfg.similarity_threshold if tau is None else float(tau)
+        if self.n_rows == 0:
+            return PairResult(
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64), [],
+            )
+        tau_eff = self._tau_eff(tau)
+        tile = self._tile()
+        cap = int(self.cfg.extract_cap)
+        while True:
+            bi, bj, count = score_ops.allpairs_extract(
+                self.x, tau_eff, tile, cap, "upper",
+                self.cfg.matmul_precision,
+            )
+            count = int(count)
+            if count <= cap:
+                break
+            cap = _next_cap(cap, count)
+        self.stats["candidates_scored"] += self.n_rows * self.n_rows
+        i = np.asarray(bi)[:count].astype(np.int64)
+        j = np.asarray(bj)[:count].astype(np.int64)
+        return self._finalize_pairs(i, j, tau)
+
+    def _finalize_pairs(self, i: np.ndarray, j: np.ndarray, tau: float) -> PairResult:
+        if i.size == 0:
+            return PairResult(i, j, np.empty(0, np.float64), list(self.ids))
+        shadow = self.shadow_csr()
+        if self.cfg.exact_rescore:
+            sims = rescore_ops.pair_dots(
+                shadow.indptr, shadow.indices, shadow.data, i, j, shadow.n_cols
+            )
+            keep = sims >= tau
+            i, j, sims = i[keep], j[keep], sims[keep]
+        else:
+            sims = rescore_ops.pair_dots(
+                shadow.indptr, shadow.indices, shadow.data, i, j, shadow.n_cols
+            )
+        self.stats["pairs_emitted"] += i.size
+        return PairResult(i, j, sims, list(self.ids))
+
+    # ----------------------------------------------------------------- insert
+    def insert(
+        self,
+        vectors: Sequence[Tuple[str, SparseVector]],
+        tau: float | None = None,
+    ) -> SimilarityOutput:
+        """Streaming micro-batch insert matched online against the live index.
+
+        Reproduces the reference streaming path semantics in order:
+          1. drop components with ``value <= index_threshold``
+             (WriteWorkerActor.scala:192, fine-print #5);
+          2. max-weight admission pruning at the entry
+             (EntryProxyActor.scala:81-93) — configurable: the reference's
+             all-1.0 stub, real running max weights, or off;
+          3. index-before-query: the batch joins the index first, then every
+             batch vector queries, so intra-batch pairs surface symmetrically
+             (IndexingWorkerActor.scala:123-132, fine-print #2);
+          4. when frozen (benchmark mode), skip indexing but keep querying
+             (IndexingWorkerActor.scala:143-144).
+        """
+        tau = self.cfg.similarity_threshold if tau is None else float(tau)
+        self.stats["insert_batches"] += 1
+        filtered: List[Tuple[str, SparseVector]] = []
+        for vid, vec in vectors:
+            if self.cfg.index_threshold > 0:
+                vec = vec.filter_values_above(self.cfg.index_threshold)
+            if not self._admit(vec, tau):
+                self.stats["vectors_dropped_admission"] += 1
+                continue
+            filtered.append((vid, vec))
+        if not filtered:
+            return SimilarityOutput({}, time.time())
+        csr, new_ids = _as_csr(filtered, None, self.cfg.vector_dim)
+
+        if self._frozen:
+            return self._match_external(csr, new_ids, tau)
+
+        n0 = self.n_rows
+        self._grow_for(csr)
+        compact_csr = self.compact.map_csr(csr, extend=False)
+        self._scatter_rows(compact_csr, row_offset=n0)
+        self.n_rows = n0 + csr.n_rows
+        for k, vid in enumerate(new_ids):
+            self.id_to_row[vid] = n0 + k
+        self.ids.extend(new_ids)
+        self._append_shadow(csr)
+        np.maximum.at(self.max_weights, csr.indices, csr.data)
+        self.stats["vectors_indexed"] += csr.n_rows
+
+        # query phase: every batch vector against the full (live) index
+        tau_eff = self._tau_eff(tau)
+        tile = self._tile()
+        cand_q: List[np.ndarray] = []
+        cand_c: List[np.ndarray] = []
+        first_tile = (n0 // tile) * tile
+        for q0 in range(first_tile, self.n_rows, tile):
+            cap = int(self.cfg.extract_cap)
+            while True:
+                bi, bj, count = score_ops.match_tile_extract(
+                    self.x, np.int32(q0), np.int32(n0), tau_eff, tile, cap,
+                    self.cfg.matmul_precision,
+                )
+                count = int(count)
+                if count <= cap:
+                    break
+                cap = _next_cap(cap, count)
+            self.stats["candidates_scored"] += self.n_rows * min(
+                tile, self.n_rows - q0
+            )
+            cand_c.append(np.asarray(bi)[:count].astype(np.int64))
+            cand_q.append(np.asarray(bj)[:count].astype(np.int64))
+        return self._emit_query_results(
+            np.concatenate(cand_q), np.concatenate(cand_c), tau
+        )
+
+    def _admit(self, vec: SparseVector, tau: float) -> bool:
+        """Upper-bound admission: dot(max_weights|support, v) >= tau
+        (EntryProxyActor.scala:81-93)."""
+        mode = getattr(self.cfg, "admission", "ones")
+        if mode == "off" or vec.nnz == 0:
+            return vec.nnz > 0
+        if mode == "real":
+            ub = float(np.dot(self.max_weights[vec.indices].clip(min=0), vec.values))
+            # an unseen dim can still match future vectors; only prune when the
+            # bound is certain (all dims seen) — lossless by construction
+            if np.all(self.max_weights[vec.indices] > 0):
+                return ub >= tau
+            return True
+        # "ones": the reference's stub map (all weights 1.0)
+        return float(np.sum(vec.values)) >= tau
+
+    def _grow_for(self, csr: CSRMatrix) -> None:
+        grew = self.compact.extend(csr.indices) > 0
+        need_rows = round_up(self.n_rows + csr.n_rows, self._row_quantum())
+        new_row_cap = self.row_cap
+        while new_row_cap < need_rows:
+            new_row_cap = max(new_row_cap * 2, self._row_quantum())
+        new_dim_cap = self.compact.capacity
+        if self.x is None:
+            self.x = score_ops.new_index_matrix(
+                new_row_cap, new_dim_cap, self.cfg.dtype
+            )
+        elif new_row_cap != self.row_cap or new_dim_cap != self.dim_cap:
+            self.x = score_ops.grow(self.x, new_row_cap, new_dim_cap)
+
+    def _match_external(
+        self, csr: CSRMatrix, qids: List[str], tau: float
+    ) -> SimilarityOutput:
+        """Frozen-index matching: queries are scored but not indexed."""
+        compact = self.compact.map_csr(
+            self._drop_unmapped(csr), extend=False
+        )
+        batch = PaddedBatch.from_csr(compact, pad_dim=self.dim_cap)
+        q_dense = score_ops.densify(
+            batch.dims, batch.vals, batch.rows, self.dim_cap, self.cfg.dtype
+        )
+        tau_eff = self._tau_eff(tau)
+        cap = int(self.cfg.extract_cap)
+        while True:
+            bi, bj, count = score_ops.dense_queries_extract(
+                self.x, q_dense, tau_eff, cap, self.cfg.matmul_precision
+            )
+            count = int(count)
+            if count <= cap:
+                break
+            cap = _next_cap(cap, count)
+        self.stats["candidates_scored"] += self.n_rows * len(qids)
+        rows = np.asarray(bi)[:count]
+        qcols = np.asarray(bj)[:count]
+        # exact rescore against a merged shadow (queries appended temporarily)
+        shadow = self.shadow_csr()
+        out: Dict[str, Dict[str, float]] = {}
+        for r, qc in zip(rows, qcols):
+            qv = SparseVector(
+                self.cfg.vector_dim,
+                csr.indices[csr.indptr[qc] : csr.indptr[qc + 1]],
+                csr.data[csr.indptr[qc] : csr.indptr[qc + 1]],
+            )
+            sim = qv.dot(shadow.row(int(r)))
+            if sim >= tau:
+                out.setdefault(qids[int(qc)], {})[self.ids[int(r)]] = sim
+        self.stats["pairs_emitted"] += sum(len(v) for v in out.values())
+        return SimilarityOutput(out, time.time())
+
+    def _drop_unmapped(self, csr: CSRMatrix) -> CSRMatrix:
+        """Remove components in dims the index has never seen (they cannot
+        contribute to any similarity against indexed vectors)."""
+        mapped = self.compact.cols_of(csr.indices) >= 0
+        if mapped.all():
+            return csr
+        row_of = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
+        counts = np.zeros(csr.n_rows, dtype=np.int64)
+        np.add.at(counts, row_of[mapped], 1)
+        indptr = np.zeros(csr.n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return CSRMatrix(
+            csr.n_rows, csr.n_cols, indptr, csr.indices[mapped], csr.data[mapped]
+        )
+
+    def _emit_query_results(
+        self, qrows: np.ndarray, crows: np.ndarray, tau: float
+    ) -> SimilarityOutput:
+        """qrows: query row index (batch member), crows: candidate row index;
+        exact-rescore and shape into the reference's query->candidates map."""
+        if qrows.size == 0:
+            return SimilarityOutput({}, time.time())
+        shadow = self.shadow_csr()
+        sims = rescore_ops.pair_dots(
+            shadow.indptr, shadow.indices, shadow.data, qrows, crows, shadow.n_cols
+        )
+        keep = sims >= tau
+        out: Dict[str, Dict[str, float]] = {}
+        for q, c, s in zip(qrows[keep], crows[keep], sims[keep]):
+            out.setdefault(self.ids[int(q)], {})[self.ids[int(c)]] = float(s)
+        self.stats["pairs_emitted"] += int(keep.sum())
+        return SimilarityOutput(out, time.time())
+
+    # ------------------------------------------------------------------- topk
+    def topk(
+        self,
+        queries: Sequence[Tuple[str, SparseVector]],
+        k: int,
+    ) -> Dict[str, List[Tuple[str, float]]]:
+        """k nearest cosine neighbors per query over the static index
+        (BASELINE.json config #4)."""
+        if self.n_rows == 0:
+            return {qid: [] for qid, _ in queries}
+        k_eff = min(k, self.n_rows)
+        csr, qids = _as_csr(list(queries), None, self.cfg.vector_dim)
+        compact = self.compact.map_csr(self._drop_unmapped(csr), extend=False)
+        batch = PaddedBatch.from_csr(compact, pad_dim=self.dim_cap)
+        q_dense = score_ops.densify(
+            batch.dims, batch.vals, batch.rows, self.dim_cap, self.cfg.dtype
+        )
+        scores, rows = score_ops.topk_scores(
+            self.x, q_dense, np.int32(self.n_rows), k_eff,
+            self.cfg.matmul_precision,
+        )
+        scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        out: Dict[str, List[Tuple[str, float]]] = {}
+        for qi, qid in enumerate(qids):
+            out[qid] = [
+                (self.ids[int(rows[qi, t])], float(scores[qi, t]))
+                for t in range(k_eff)
+            ]
+        return out
+
+    # ----------------------------------------------------------------- freeze
+    def freeze(self) -> None:
+        """Benchmark freeze: stop index updates, keep serving queries
+        (the ReceiveTimeout branch, IndexingWorkerActor.scala:143-144)."""
+        self._frozen = True
+
+    def unfreeze(self) -> None:
+        self._frozen = False
+
+    @property
+    def frozen(self) -> bool:
+        return self._frozen
+
+    # ------------------------------------------------------------- checkpoint
+    def save(self, path: str) -> None:
+        """Checkpoint = host CSR shadow + id table + compact order + stats
+        (SURVEY.md §5: the reference has no checkpointing at all; its index is
+        lost on actor relocation)."""
+        os.makedirs(path, exist_ok=True)
+        shadow = self.shadow_csr()
+        np.savez_compressed(
+            os.path.join(path, "index.npz"),
+            indptr=shadow.indptr,
+            indices=shadow.indices,
+            data=shadow.data,
+            ext_of_col=self.compact.ext_of_col,
+            max_weights=self.max_weights,
+            shape=np.array([shadow.n_rows, shadow.n_cols], np.int64),
+        )
+        with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "ids": self.ids,
+                    "n_rows": self.n_rows,
+                    "config": {
+                        "vector_dim": self.cfg.vector_dim,
+                        "similarity_threshold": self.cfg.similarity_threshold,
+                        "dtype": self.cfg.dtype,
+                    },
+                    "stats": self.stats,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str, config: AllPairsConfig | None = None) -> "Engine":
+        z = np.load(os.path.join(path, "index.npz"))
+        with open(os.path.join(path, "meta.json"), "r", encoding="utf-8") as f:
+            meta = json.load(f)
+        cfg = config or AllPairsConfig().replace(
+            vector_dim=int(meta["config"]["vector_dim"]),
+            similarity_threshold=float(meta["config"]["similarity_threshold"]),
+            dtype=str(meta["config"]["dtype"]),
+        )
+        eng = cls(cfg)
+        n_rows, n_cols = (int(v) for v in z["shape"])
+        csr = CSRMatrix(n_rows, n_cols, z["indptr"], z["indices"], z["data"])
+        if n_rows:
+            eng.build(csr, meta["ids"])
+        eng.max_weights = z["max_weights"]
+        return eng

@@ -1,0 +1,152 @@
+"""Local vector store — the TPU build's replacement for HBase bulk storage.
+
+The reference persists TF-IDF vectors to an HBase table plus a ``<table>_MAX``
+per-dimension max-weight side table (HBaseUpLoader.scala:42-135), and the
+server bulk-loads row ranges out of it (WriteWorkerActor.scala:132-162,
+``LoadData(tableName, startRow, endRow)``, Message.scala:10).
+
+Here a *table* is a directory containing:
+  - ``vectors.npz``  — CSR arrays (indptr/indices/data) + int row count/cols
+  - ``ids.txt``      — one external string id per row
+  - ``max_weights.npy`` — per-dim max weights (the ``_MAX`` table)
+
+``load_range(table, start, end)`` mirrors the LoadData row-range scan
+semantics (inclusive start, inclusive end — the reference splits integer row
+keys into inclusive sub-ranges, CommonUtils.scala:61-85).
+
+Also hosts reading/writing the reference's text serialization
+``(size,[i,...],[v,...])`` (one vector per line, what Spark's
+``saveAsTextFile`` emits — PreprocessWithTFIDF.scala:67).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Sequence
+
+import numpy as np
+
+from ..vector.batch import CSRMatrix
+from ..vector.sparse import SparseVector, format_vector, parse_vector
+
+__all__ = [
+    "VectorStore",
+    "save_text_vectors",
+    "load_text_vectors",
+    "split_load_range",
+]
+
+
+def save_text_vectors(path: str, csr: CSRMatrix) -> None:
+    """Write one reference-format vector per line (saveAsTextFile parity)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for i in range(csr.n_rows):
+            f.write(format_vector(csr.row(i)))
+            f.write("\n")
+
+
+def load_text_vectors(path: str) -> CSRMatrix:
+    vecs: List[SparseVector] = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                vecs.append(parse_vector(line))
+    if not vecs:
+        return CSRMatrix(0, 0, np.zeros(1, np.int64), np.empty(0, np.int32), np.empty(0, np.float64))
+    return CSRMatrix.from_vectors(vecs, vecs[0].size)
+
+
+class VectorStore:
+    """Directory-backed table store with row-range loads and max-weight side
+    tables."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def tables(self) -> List[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def write(self, table: str, csr: CSRMatrix, ids: Sequence[str] | None = None) -> None:
+        """Persist a table + its ``_MAX`` max-weight statistic
+        (HBaseUpLoader.scala:113-123)."""
+        if ids is None:
+            ids = [str(i) for i in range(csr.n_rows)]
+        if len(ids) != csr.n_rows:
+            raise ValueError("ids length mismatch")
+        d = self._table_dir(table)
+        os.makedirs(d, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(d, "vectors.npz"),
+            indptr=csr.indptr,
+            indices=csr.indices,
+            data=csr.data,
+            shape=np.array([csr.n_rows, csr.n_cols], dtype=np.int64),
+        )
+        with open(os.path.join(d, "ids.txt"), "w", encoding="utf-8") as f:
+            f.write("\n".join(ids))
+        np.save(os.path.join(d, "max_weights.npy"), csr.max_weights())
+        with open(os.path.join(d, "meta.json"), "w", encoding="utf-8") as f:
+            json.dump({"n_rows": csr.n_rows, "n_cols": csr.n_cols}, f)
+
+    def read(self, table: str) -> tuple[CSRMatrix, List[str]]:
+        d = self._table_dir(table)
+        z = np.load(os.path.join(d, "vectors.npz"))
+        n_rows, n_cols = (int(x) for x in z["shape"])
+        csr = CSRMatrix(n_rows, n_cols, z["indptr"], z["indices"], z["data"])
+        with open(os.path.join(d, "ids.txt"), "r", encoding="utf-8") as f:
+            text = f.read()
+            ids = text.split("\n") if text else []
+        return csr, ids
+
+    def load_range(self, table: str, start_row: int, end_row: int) -> tuple[CSRMatrix, List[str]]:
+        """Inclusive row-range scan (LoadData semantics,
+        CommonUtils.scala:61-85)."""
+        csr, ids = self.read(table)
+        start = max(0, int(start_row))
+        end = min(csr.n_rows - 1, int(end_row))
+        if end < start:
+            return (
+                CSRMatrix(0, csr.n_cols, np.zeros(1, np.int64),
+                          np.empty(0, np.int32), np.empty(0, np.float64)),
+                [],
+            )
+        s, e = int(csr.indptr[start]), int(csr.indptr[end + 1])
+        indptr = (csr.indptr[start : end + 2] - csr.indptr[start]).astype(np.int64)
+        return (
+            CSRMatrix(end - start + 1, csr.n_cols, indptr,
+                      csr.indices[s:e], csr.data[s:e]),
+            ids[start : end + 1],
+        )
+
+    def max_weights(self, table: str) -> np.ndarray:
+        """The ``<table>_MAX`` statistic the reference stores but never loads
+        back (SURVEY.md fine-print #4) — we actually use it for admission
+        pruning."""
+        return np.load(os.path.join(self._table_dir(table), "max_weights.npy"))
+
+
+def split_load_range(start_row: int, end_row: int, max_range_num: int) -> List[tuple[int, int]]:
+    """Split an inclusive row range into at most ``max_range_num`` inclusive
+    sub-ranges — ``CommonUtils.parseLoadDataRequest`` parity
+    (CommonUtils.scala:61-85).  Deviation: the reference's floor-division
+    stride loops forever when ranges < max_range_num; we clamp the stride to 1
+    (yielding fewer, single-row ranges) instead."""
+    out: List[tuple[int, int]] = []
+    max_length = (end_row - start_row + 1) // max_range_num
+    if max_length <= 0:
+        max_length = 1
+    start = start_row
+    while start <= end_row:
+        step = max_length if start + max_length <= end_row else end_row - start + 1
+        out.append((start, start + step - 1))
+        start += step
+    return out

@@ -1,0 +1,103 @@
+"""Compact dimension space.
+
+The reference scatters posting lists over the raw 2^20 hashing space keyed by
+``dim % maxShardNum`` (WriteWorkerActor.scala:172-174).  On TPU the score path
+is a dense matmul over *compact* columns, so this module maintains the
+bijection  external hashed dim  <->  compact column  with:
+
+  - document-frequency-descending initial ordering (hot dims first — keeps
+    early dim blocks dense, helps pruning and block skipping),
+  - append-only growth for streaming inserts that introduce unseen dims
+    (capacity grows in ``dim_bucket`` quanta to bound jit recompiles).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from ..vector.batch import CSRMatrix, round_up
+
+__all__ = ["CompactSpace"]
+
+
+class CompactSpace:
+    def __init__(self, vector_dim: int, dim_bucket: int = 4096):
+        self.vector_dim = int(vector_dim)
+        self.dim_bucket = int(dim_bucket)
+        self.ext_of_col = np.empty(0, dtype=np.int64)
+        # col_of_ext: int64 lookup table over the external space would be
+        # 8 MB for 2^20 dims — affordable and O(1); -1 = unmapped.
+        self._col_of_ext = np.full(self.vector_dim, -1, dtype=np.int32)
+
+    @property
+    def n_active(self) -> int:
+        return int(self.ext_of_col.size)
+
+    @property
+    def capacity(self) -> int:
+        """Padded column capacity (device matrices use this width + 1 dead
+        padding column at index ``capacity``)."""
+        return max(round_up(self.n_active, self.dim_bucket), self.dim_bucket)
+
+    @staticmethod
+    def from_csr(csr: CSRMatrix, dim_bucket: int = 4096) -> "CompactSpace":
+        """Build with dims ordered by document frequency descending
+        (ties: lower external dim first, for determinism)."""
+        cs = CompactSpace(csr.n_cols, dim_bucket)
+        df = csr.doc_freq()
+        active = np.nonzero(df)[0]
+        order = active[np.lexsort((active, -df[active]))]
+        cs.ext_of_col = order.astype(np.int64)
+        cs._col_of_ext[order] = np.arange(order.size, dtype=np.int32)
+        return cs
+
+    def map_csr(self, csr: CSRMatrix, extend: bool = False) -> CSRMatrix:
+        """Rewrite a CSR over the external space into compact columns.
+
+        With ``extend=True``, unseen dims are appended to the space
+        (streaming-insert path); otherwise they must already be mapped.
+        """
+        if extend:
+            self.extend(csr.indices)
+        cols = self._col_of_ext[csr.indices]
+        if np.any(cols < 0):
+            missing = int(csr.indices[np.nonzero(cols < 0)[0][0]])
+            raise KeyError(f"dim {missing} not in compact space")
+        # compact columns are not sorted within rows after remap; re-sort all
+        # rows at once by (row, col)
+        row_of = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
+        order = np.lexsort((cols, row_of))
+        return CSRMatrix(
+            csr.n_rows,
+            self.capacity,
+            csr.indptr,
+            cols[order].astype(np.int32),
+            csr.data[order],
+        )
+
+    def extend(self, ext_dims: np.ndarray) -> int:
+        """Append any unmapped external dims; returns number appended."""
+        ext_dims = np.asarray(ext_dims)
+        new = np.unique(ext_dims[self._col_of_ext[ext_dims] < 0])
+        if new.size:
+            start = self.n_active
+            self._col_of_ext[new] = np.arange(
+                start, start + new.size, dtype=np.int32
+            )
+            self.ext_of_col = np.concatenate([self.ext_of_col, new.astype(np.int64)])
+        return int(new.size)
+
+    def cols_of(self, ext_dims: np.ndarray) -> np.ndarray:
+        return self._col_of_ext[np.asarray(ext_dims)]
+
+    def shard_of_col(self, num_shards: int) -> np.ndarray:
+        """Contiguous-block shard assignment for compact columns — the TPU
+        analog of the reference's ``dim % maxShardNum`` partition
+        (WriteWorkerActor.scala:75).  Blocks are contiguous for locality; the
+        modulo semantics of the reference are an artifact of hash-partitioning
+        over actors and carry no meaning for correctness."""
+        cap = self.capacity
+        block = -(-cap // num_shards)
+        return (np.arange(cap) // block).astype(np.int32)

@@ -1,0 +1,143 @@
+"""Batch layouts for moving sparse vectors to/from the device.
+
+The reference ships vectors around one message at a time as boxed Scala sets
+(``SparseVectorWrapper``, SparseVectorWrapper.scala:9).  On TPU the unit of
+work is a *batch* with static shapes, so this module defines the two array
+layouts everything else builds on:
+
+  - :class:`CSRMatrix` — classic host-side CSR over the full (or compact)
+    dimension space; the form ETL, the oracle, and the CPU baseline use.
+  - :class:`PaddedBatch` — ``[rows, k]`` padded (dims, vals) arrays with a
+    per-row nnz count; the device ingestion format (static shapes, bucketed
+    ``k`` to bound recompiles).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from .sparse import SparseVector
+
+__all__ = ["CSRMatrix", "PaddedBatch", "round_up"]
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class CSRMatrix:
+    """Host-side CSR: ``indptr`` int64 [n_rows+1], ``indices`` int32 [nnz]
+    (sorted within each row), ``data`` float64 [nnz]."""
+
+    n_rows: int
+    n_cols: int
+    indptr: np.ndarray
+    indices: np.ndarray
+    data: np.ndarray
+
+    @staticmethod
+    def from_vectors(vectors: Sequence[SparseVector], n_cols: int | None = None) -> "CSRMatrix":
+        if n_cols is None:
+            n_cols = vectors[0].size if vectors else 0
+        indptr = np.zeros(len(vectors) + 1, dtype=np.int64)
+        for i, v in enumerate(vectors):
+            indptr[i + 1] = indptr[i] + v.nnz
+        nnz = int(indptr[-1])
+        indices = np.empty(nnz, dtype=np.int32)
+        data = np.empty(nnz, dtype=np.float64)
+        for i, v in enumerate(vectors):
+            indices[indptr[i] : indptr[i + 1]] = v.indices
+            data[indptr[i] : indptr[i + 1]] = v.values
+        return CSRMatrix(len(vectors), int(n_cols), indptr, indices, data)
+
+    def row(self, i: int) -> SparseVector:
+        s, e = int(self.indptr[i]), int(self.indptr[i + 1])
+        return SparseVector(self.n_cols, self.indices[s:e], self.data[s:e])
+
+    def row_nnz(self) -> np.ndarray:
+        return np.diff(self.indptr).astype(np.int32)
+
+    def row_norms(self) -> np.ndarray:
+        sq = self.data * self.data
+        cum = np.concatenate([[0.0], np.cumsum(sq)])
+        return np.sqrt(cum[self.indptr[1:]] - cum[self.indptr[:-1]])
+
+    def normalized(self) -> "CSRMatrix":
+        norms = self.row_norms()
+        norms[norms == 0.0] = 1.0
+        data = self.data / np.repeat(norms, self.row_nnz())
+        return CSRMatrix(self.n_rows, self.n_cols, self.indptr, self.indices, data)
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros((self.n_rows, self.n_cols), dtype=np.float64)
+        for i in range(self.n_rows):
+            s, e = int(self.indptr[i]), int(self.indptr[i + 1])
+            out[i, self.indices[s:e]] = self.data[s:e]
+        return out
+
+    def max_weights(self) -> np.ndarray:
+        """Per-dimension max value over all rows — the reference's
+        ``<table>_MAX`` statistic (HBaseUpLoader.scala:113-123)."""
+        out = np.zeros(self.n_cols, dtype=np.float64)
+        np.maximum.at(out, self.indices, self.data)
+        return out
+
+    def doc_freq(self) -> np.ndarray:
+        out = np.zeros(self.n_cols, dtype=np.int64)
+        np.add.at(out, self.indices, 1)
+        return out
+
+
+@dataclasses.dataclass
+class PaddedBatch:
+    """Padded device ingestion layout.
+
+    ``dims`` int32 [rows, k] (padding = ``pad_dim``), ``vals`` float32
+    [rows, k] (padding = 0), ``lengths`` int32 [rows].  ``pad_dim`` is chosen
+    by the caller (typically the compact-space capacity) so padded entries
+    scatter into a dead column.
+    """
+
+    dims: np.ndarray
+    vals: np.ndarray
+    lengths: np.ndarray
+    pad_dim: int
+
+    @property
+    def rows(self) -> int:
+        return int(self.dims.shape[0])
+
+    @property
+    def k(self) -> int:
+        return int(self.dims.shape[1])
+
+    @staticmethod
+    def from_csr(
+        csr: CSRMatrix,
+        pad_dim: int,
+        k: int | None = None,
+        k_bucket: int = 64,
+        rows: int | None = None,
+    ) -> "PaddedBatch":
+        nnz = csr.row_nnz()
+        max_nnz = int(nnz.max()) if len(nnz) else 0
+        if k is None:
+            k = max(round_up(max_nnz, k_bucket), k_bucket)
+        if max_nnz > k:
+            raise ValueError(f"row nnz {max_nnz} exceeds padded width {k}")
+        n = csr.n_rows if rows is None else rows
+        if csr.n_rows > n:
+            raise ValueError("rows smaller than csr.n_rows")
+        dims = np.full((n, k), pad_dim, dtype=np.int32)
+        vals = np.zeros((n, k), dtype=np.float32)
+        lengths = np.zeros(n, dtype=np.int32)
+        lengths[: csr.n_rows] = nnz
+        for i in range(csr.n_rows):
+            s, e = int(csr.indptr[i]), int(csr.indptr[i + 1])
+            dims[i, : e - s] = csr.indices[s:e]
+            vals[i, : e - s] = csr.data[s:e]
+        return PaddedBatch(dims, vals, lengths, pad_dim)

@@ -1,0 +1,215 @@
+"""Engine correctness: exact pair-set parity against the fp64 brute-force
+oracle (the test strategy the reference lacks — SURVEY.md §4), streaming/batch
+equivalence, top-k, freeze, checkpointing."""
+
+import numpy as np
+import pytest
+
+from apsim_tpu import AllPairsConfig, Engine
+from apsim_tpu.vector.sparse import Vectors
+
+from oracle import brute_force_pairs, brute_force_sims, random_sparse_corpus
+
+DIM = 400
+
+
+def small_cfg(**kw):
+    base = dict(
+        vector_dim=DIM, query_tile=64, row_bucket=64, dim_bucket=64
+    )
+    base.update(kw)
+    return AllPairsConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    base = random_sparse_corpus(rng, 177, DIM)
+    # append exact duplicates of rows 0..2 so high taus have pairs
+    vecs = [base.row(i) for i in range(base.n_rows)] + [
+        base.row(0), base.row(1), base.row(2)
+    ]
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    return CSRMatrix.from_vectors(vecs, DIM).normalized()
+
+
+@pytest.mark.parametrize("tau", [0.3, 0.5, 0.7, 0.9])
+def test_all_pairs_matches_oracle(corpus, tau):
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    got = eng.all_pairs(tau).pair_set()
+    want = brute_force_pairs(corpus, tau)
+    assert got == want
+
+
+def test_all_pairs_sims_exact(corpus):
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    res = eng.all_pairs(0.5)
+    sims = brute_force_sims(corpus)
+    for i, j, s in zip(res.i, res.j, res.sims):
+        assert s == pytest.approx(sims[int(i), int(j)], abs=1e-12)
+
+
+def test_streaming_equals_batch(corpus):
+    tau = 0.4
+    eng = Engine(small_cfg())
+    emitted = set()
+    for s in range(0, corpus.n_rows, 23):
+        e = min(s + 23, corpus.n_rows)
+        out = eng.insert(
+            [(str(i), corpus.row(i)) for i in range(s, e)], tau=tau
+        )
+        for q, sims in out.output.items():
+            for c in sims:
+                emitted.add((q, c) if q <= c else (c, q))
+    want = brute_force_pairs(corpus, tau)
+    assert emitted == want
+    # intra-batch symmetry: a batch with a duplicate pair reports both ways
+    eng2 = Engine(small_cfg())
+    v = Vectors.sparse(DIM, [3, 9], [0.6, 0.8])
+    out = eng2.insert([("a", v), ("b", v)], tau=0.9)
+    assert out.output["a"]["b"] == pytest.approx(1.0)
+    assert out.output["b"]["a"] == pytest.approx(1.0)
+
+
+def test_streaming_grows_capacity():
+    # force row and dim growth across inserts, including brand-new dims
+    cfg = small_cfg(row_bucket=64, dim_bucket=64)
+    eng = Engine(cfg)
+    rng = np.random.default_rng(3)
+    seen = set()
+    for step in range(4):
+        vecs = []
+        for i in range(40):
+            dims = np.sort(
+                rng.choice(np.arange(step * 90, step * 90 + 90), 5, replace=False)
+            ).astype(np.int32)
+            vals = rng.random(5) + 0.1
+            vals /= np.linalg.norm(vals)
+            vecs.append((f"{step}:{i}", Vectors.sparse(DIM, dims, vals)))
+        out = eng.insert(vecs, tau=0.95)
+        for q, sims in out.output.items():
+            for c in sims:
+                seen.add((q, c) if q <= c else (c, q))
+    assert eng.n_rows == 160
+    # exact parity on the final state
+    got = eng.all_pairs(0.95).pair_set()
+    want = brute_force_pairs(eng.shadow_csr(), 0.95, eng.ids)
+    assert got == want
+
+
+def test_index_threshold_filter():
+    # streaming path drops components <= indexThreshold (fine-print #5)
+    cfg = small_cfg(index_threshold=0.5)
+    eng = Engine(cfg)
+    v = Vectors.sparse(DIM, [1, 2], [0.4, 0.9])
+    eng.insert([("a", v)], tau=0.1)
+    row = eng.shadow_csr().row(0)
+    np.testing.assert_array_equal(row.indices, [2])
+    # bulk build path does NOT filter (HBase path parity)
+    eng2 = Engine(cfg)
+    eng2.build([("a", v)])
+    assert eng2.shadow_csr().row(0).nnz == 2
+
+
+def test_admission_pruning_ones():
+    # the reference's all-1.0 stub: sum(values) >= tau admits
+    # (EntryProxyActor.scala:51-57,81-93)
+    eng = Engine(small_cfg(admission="ones"))
+    weak = Vectors.sparse(DIM, [0], [0.3])
+    strong = Vectors.sparse(DIM, [0], [0.9])
+    eng.insert([("w", weak), ("s", strong)], tau=0.5)
+    assert eng.n_rows == 1 and eng.ids == ["s"]
+    assert eng.stats["vectors_dropped_admission"] == 1
+
+
+def test_admission_real_is_lossless(corpus):
+    tau = 0.6
+    eng = Engine(small_cfg(admission="real"))
+    for s in range(0, corpus.n_rows, 31):
+        e = min(s + 31, corpus.n_rows)
+        eng.insert([(str(i), corpus.row(i)) for i in range(s, e)], tau=tau)
+    got = eng.all_pairs(tau).pair_set()
+    # every oracle pair among *indexed* rows must be present; admission may
+    # only drop vectors that cannot reach tau against anything
+    want = brute_force_pairs(corpus, tau)
+    indexed = set(eng.ids)
+    want = {(a, b) for a, b in want if a in indexed and b in indexed}
+    assert got == want
+
+
+def test_topk(corpus):
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    queries = [(f"q{i}", corpus.row(i)) for i in range(4)]
+    res = eng.topk(queries, 5)
+    sims = brute_force_sims(corpus)
+    for qi in range(4):
+        got_ids = [int(r) for r, _ in res[f"q{qi}"]]
+        # top-1 must be the row itself (sim 1.0 duplicate of the query)
+        assert sims[qi, got_ids[0]] == pytest.approx(
+            np.max(sims[qi]), abs=1e-5
+        )
+        got_scores = np.array([s for _, s in res[f"q{qi}"]])
+        want_scores = np.sort(sims[qi])[::-1][:5]
+        np.testing.assert_allclose(got_scores, want_scores, atol=1e-5)
+
+
+def test_topk_query_with_unseen_dims(corpus):
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    # query whose dims were never indexed scores 0 everywhere
+    q = Vectors.sparse(DIM, [DIM - 1], [1.0])
+    if eng.compact.cols_of(np.array([DIM - 1]))[0] < 0:
+        res = eng.topk([("q", q)], 3)
+        assert all(s == pytest.approx(0.0) for _, s in res["q"])
+
+
+def test_freeze_semantics(corpus):
+    tau = 0.4
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    eng.freeze()
+    out = eng.insert([("new", corpus.row(0))], tau=tau)
+    # query served (row 0 is a perfect match) but nothing indexed
+    assert "0" in out.output["new"]
+    assert eng.n_rows == corpus.n_rows
+    eng.unfreeze()
+    eng.insert([("new", corpus.row(0))], tau=tau)
+    assert eng.n_rows == corpus.n_rows + 1
+
+
+def test_checkpoint_roundtrip(tmp_path, corpus):
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    want = eng.all_pairs(0.5).pair_set()
+    eng.save(str(tmp_path / "ckpt"))
+    eng2 = Engine.load(str(tmp_path / "ckpt"), config=small_cfg())
+    assert eng2.ids == eng.ids
+    assert eng2.all_pairs(0.5).pair_set() == want
+
+
+def test_empty_engine():
+    eng = Engine(small_cfg())
+    assert eng.all_pairs(0.5).n_pairs == 0
+    assert eng.topk([], 3) == {}
+
+
+def test_extract_cap_overflow_retry(corpus):
+    # a tiny device pair buffer must auto-grow, not lose pairs
+    eng = Engine(small_cfg(extract_cap=8))
+    eng.build(corpus)
+    got = eng.all_pairs(0.3).pair_set()
+    assert got == brute_force_pairs(corpus, 0.3)
+    assert len(got) > 8
+
+
+def test_bfloat16_mode_superset_margin(corpus):
+    # bf16 storage still yields the exact pair set thanks to the widened
+    # margin + fp64 rescore
+    eng = Engine(small_cfg(dtype="bfloat16"))
+    eng.build(corpus)
+    got = eng.all_pairs(0.5).pair_set()
+    assert got == brute_force_pairs(corpus, 0.5)

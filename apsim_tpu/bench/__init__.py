@@ -1,0 +1,2 @@
+from .baseline import ReferenceBaseline, measure_baseline
+from .data import load_enron_tfidf

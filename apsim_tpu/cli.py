@@ -1,0 +1,248 @@
+"""``apsim`` command-line interface.
+
+Mirrors the reference's entry points with named flags instead of positional
+HOCON paths (fixing SURVEY.md fine-print #9):
+
+  apsim etl     — corpus → TF-IDF → vector store   (PreprocessWithTFIDF.main +
+                  HBaseUpLoader.main, etl/.../PreprocessWithTFIDF.scala:54-68)
+  apsim build   — bulk-build an index from a store table and checkpoint it
+  apsim join    — all-pairs join at a threshold (batch mode)
+  apsim topk    — k-NN queries against a checkpoint
+  apsim serve   — run the TCP similarity service
+                  (SimilaritySearchService.main, SimilaritySearchService.scala:14-34)
+  apsim client  — interactive terminal (Client.main, Client.scala:101-113)
+  apsim bench   — insert→first-result latency harness
+                  (LoadGenerator.main, LoadGenerator.scala:177-183)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_cfg(args) -> "AllPairsConfig":
+    from .config import AllPairsConfig, load_config
+
+    paths = [p for p in (args.config or [])]
+    overrides = {}
+    if getattr(args, "tau", None) is not None:
+        overrides["similarity_threshold"] = args.tau
+    if getattr(args, "vector_dim", None):
+        overrides["vector_dim"] = args.vector_dim
+    return load_config(*paths, overrides=overrides)
+
+
+def cmd_etl(args) -> int:
+    from .etl.corpus import iter_documents
+    from .etl.store import VectorStore, save_text_vectors
+    from .etl.tfidf import tfidf_pipeline, top_dim_filter
+
+    ids, docs = [], []
+    for relpath, content in iter_documents(args.corpus):
+        ids.append(relpath)
+        docs.append(content)
+    print(f"{len(docs)} documents", file=sys.stderr)
+    csr = tfidf_pipeline(
+        docs, num_features=args.vector_dim, normalize=not args.no_normalize
+    )
+    if args.filter_threshold:
+        csr = top_dim_filter(csr, args.filter_threshold)
+    if args.text_out:
+        save_text_vectors(args.text_out, csr)
+    if args.store:
+        VectorStore(args.store).write(args.table, csr, ids)
+        print(f"wrote table {args.table} to {args.store}", file=sys.stderr)
+    return 0
+
+
+def cmd_build(args) -> int:
+    from .engine.engine import Engine
+    from .etl.store import VectorStore
+
+    cfg = _load_cfg(args)
+    csr, ids = VectorStore(args.store).read(args.table)
+    eng = Engine(cfg)
+    stats = eng.build(csr, ids)
+    print(json.dumps(dict(stats)), file=sys.stderr)
+    if args.checkpoint:
+        eng.save(args.checkpoint)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
+    return 0
+
+
+def _engine_from(args):
+    from .engine.engine import Engine
+    from .etl.store import VectorStore
+
+    cfg = _load_cfg(args)
+    if args.checkpoint and not args.store:
+        return Engine.load(args.checkpoint, config=cfg)
+    eng = Engine(cfg)
+    csr, ids = VectorStore(args.store).read(args.table)
+    eng.build(csr, ids)
+    return eng
+
+
+def cmd_join(args) -> int:
+    eng = _engine_from(args)
+    res = eng.all_pairs(args.tau)
+    out = sys.stdout if not args.out else open(args.out, "w")
+    for a, b, s in res.id_pairs():
+        print(f"{a}\t{b}\t{s:.6f}", file=out)
+    if args.out:
+        out.close()
+    print(f"{res.n_pairs} pairs", file=sys.stderr)
+    return 0
+
+
+def cmd_topk(args) -> int:
+    from .etl.store import VectorStore
+
+    eng = _engine_from(args)
+    qcsr, qids = VectorStore(args.query_store or args.store).read(
+        args.query_table or args.table
+    )
+    queries = [(qids[i], qcsr.row(i)) for i in range(min(qcsr.n_rows, args.limit))]
+    res = eng.topk(queries, args.k)
+    for qid, neighbors in res.items():
+        row = ", ".join(f"{c}:{s:.4f}" for c, s in neighbors)
+        print(f"{qid}\t{row}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .engine.engine import Engine
+    from .etl.store import VectorStore
+    from .parallel import MeshEngine
+    from .serve import RpcServer, SimilarityServer
+
+    cfg = _load_cfg(args)
+    store = VectorStore(args.store) if args.store else None
+    if args.mesh:
+        engine = MeshEngine(cfg)
+    else:
+        engine = Engine(cfg)
+    sim = SimilarityServer(engine, cfg, store=store)
+    rpc = RpcServer(sim, host=args.host, port=args.port).start()
+    print(f"serving on {rpc.host}:{rpc.port}", flush=True)
+    try:
+        import signal
+
+        signal.pause()
+    except (KeyboardInterrupt, AttributeError):
+        pass
+    finally:
+        rpc.close()
+    return 0
+
+
+def cmd_client(args) -> int:
+    from .serve import ClientConnection, InteractiveClient
+
+    cc = ClientConnection(args.remote)
+    InteractiveClient(cc).run()
+    cc.close()
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .bench.loadgen import LoadGenerator
+    from .etl.ccweb import load_ccweb_file
+    from .etl.store import VectorStore
+    from .serve import ClientConnection
+
+    if args.ccweb:
+        vectors = load_ccweb_file(args.ccweb)
+    else:
+        csr, ids = VectorStore(args.store).read(args.table)
+        vectors = [(ids[i], csr.row(i)) for i in range(csr.n_rows)]
+    cc = ClientConnection(args.remote)
+    gen = LoadGenerator(
+        cc,
+        vectors,
+        total_message_count=args.total_message_count,
+        children_num=args.children_num,
+        write_batching_ms=args.write_batching_ms,
+    )
+    print(json.dumps(gen.run()))
+    cc.close()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="apsim", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, store_required=True):
+        sp.add_argument("--config", action="append", help="JSON config file (layered)")
+        sp.add_argument("--store", required=False, default=None)
+        sp.add_argument("--table", default="SMALL_DATA")
+        sp.add_argument("--checkpoint", default=None)
+        sp.add_argument("--tau", type=float, default=None)
+        sp.add_argument("--vector-dim", type=int, default=None, dest="vector_dim")
+
+    sp = sub.add_parser("etl")
+    sp.add_argument("corpus")
+    sp.add_argument("--store", default=None)
+    sp.add_argument("--table", default="SMALL_DATA")
+    sp.add_argument("--vector-dim", type=int, default=1 << 20, dest="vector_dim")
+    sp.add_argument("--filter-threshold", type=int, default=0,
+                    help="keep top-N dims by max weight (HBaseUpLoader parity)")
+    sp.add_argument("--no-normalize", action="store_true")
+    sp.add_argument("--text-out", default=None,
+                    help="also write reference text format")
+    sp.set_defaults(fn=cmd_etl)
+
+    sp = sub.add_parser("build")
+    common(sp)
+    sp.set_defaults(fn=cmd_build)
+
+    sp = sub.add_parser("join")
+    common(sp)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_join)
+
+    sp = sub.add_parser("topk")
+    common(sp)
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--query-store", default=None)
+    sp.add_argument("--query-table", default=None)
+    sp.add_argument("--limit", type=int, default=10)
+    sp.set_defaults(fn=cmd_topk)
+
+    sp = sub.add_parser("serve")
+    common(sp)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=2551)
+    sp.add_argument("--mesh", action="store_true",
+                    help="shard the index over all visible devices")
+    sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("client")
+    sp.add_argument("--remote", action="append", required=True,
+                    help="host:port (repeatable)")
+    sp.set_defaults(fn=cmd_client)
+
+    sp = sub.add_parser("bench")
+    sp.add_argument("--remote", action="append", required=True)
+    sp.add_argument("--ccweb", default=None)
+    sp.add_argument("--store", default=None)
+    sp.add_argument("--table", default="SMALL_DATA")
+    sp.add_argument("--total-message-count", type=int, default=50)
+    sp.add_argument("--children-num", type=int, default=1)
+    sp.add_argument("--write-batching-ms", type=int, default=50)
+    sp.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -114,6 +114,11 @@ class Engine:
         # the query tile so tile slices never run off the end
         return max(self.cfg.row_bucket, self._tile())
 
+    def _place(self, x):
+        """Sharding hook: the mesh engine overrides this to pin the index
+        matrix's device layout; single-device engines pass through."""
+        return x
+
     def _margin(self, tau: float) -> float:
         m = self.cfg.rescore_margin
         if self.cfg.dtype != "float32":
@@ -143,7 +148,9 @@ class Engine:
         compact_csr = self.compact.map_csr(csr)
         row_cap = round_up(max(csr.n_rows, 1), self._row_quantum())
         dim_cap = self.compact.capacity
-        self.x = score_ops.new_index_matrix(row_cap, dim_cap, self.cfg.dtype)
+        self.x = self._place(
+            score_ops.new_index_matrix(row_cap, dim_cap, self.cfg.dtype)
+        )
         self._scatter_rows(compact_csr, row_offset=0)
         self.n_rows = csr.n_rows
         self.ids = list(new_ids)
@@ -271,6 +278,7 @@ class Engine:
         self,
         vectors: Sequence[Tuple[str, SparseVector]],
         tau: float | None = None,
+        bulk: bool = False,
     ) -> SimilarityOutput:
         """Streaming micro-batch insert matched online against the live index.
 
@@ -285,16 +293,22 @@ class Engine:
              (IndexingWorkerActor.scala:123-132, fine-print #2);
           4. when frozen (benchmark mode), skip indexing but keep querying
              (IndexingWorkerActor.scala:143-144).
+
+        ``bulk=True`` is the LoadData/HBase ingest path: it skips the
+        component filter and admission pruning (both live on the VectorIOMsg
+        path only — WriteWorkerActor.scala:185-202 vs :153-161) but still
+        matches online.
         """
         tau = self.cfg.similarity_threshold if tau is None else float(tau)
         self.stats["insert_batches"] += 1
         filtered: List[Tuple[str, SparseVector]] = []
         for vid, vec in vectors:
-            if self.cfg.index_threshold > 0:
-                vec = vec.filter_values_above(self.cfg.index_threshold)
-            if not self._admit(vec, tau):
-                self.stats["vectors_dropped_admission"] += 1
-                continue
+            if not bulk:
+                if self.cfg.index_threshold > 0:
+                    vec = vec.filter_values_above(self.cfg.index_threshold)
+                if not self._admit(vec, tau):
+                    self.stats["vectors_dropped_admission"] += 1
+                    continue
             filtered.append((vid, vec))
         if not filtered:
             return SimilarityOutput({}, time.time())
@@ -365,11 +379,13 @@ class Engine:
             new_row_cap = max(new_row_cap * 2, self._row_quantum())
         new_dim_cap = self.compact.capacity
         if self.x is None:
-            self.x = score_ops.new_index_matrix(
-                new_row_cap, new_dim_cap, self.cfg.dtype
+            self.x = self._place(
+                score_ops.new_index_matrix(new_row_cap, new_dim_cap, self.cfg.dtype)
             )
         elif new_row_cap != self.row_cap or new_dim_cap != self.dim_cap:
-            self.x = score_ops.grow(self.x, new_row_cap, new_dim_cap)
+            self.x = self._place(
+                score_ops.grow(self.x, new_row_cap, new_dim_cap)
+            )
 
     def _match_external(
         self, csr: CSRMatrix, qids: List[str], tau: float

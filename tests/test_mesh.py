@@ -1,0 +1,88 @@
+"""Mesh-sharded engine tests on the 8-device virtual CPU mesh
+(the multi-device test strategy from SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from apsim_tpu import AllPairsConfig
+from apsim_tpu.parallel import MeshEngine, make_mesh
+
+from oracle import brute_force_pairs, random_sparse_corpus
+
+DIM = 500
+
+
+def mesh_cfg(axis, **kw):
+    base = dict(
+        vector_dim=DIM, query_tile=64, row_bucket=64, dim_bucket=64,
+        shard_axis=axis,
+    )
+    base.update(kw)
+    return AllPairsConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(11)
+    return random_sparse_corpus(rng, 220, DIM)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("axis", ["dims", "rows"])
+def test_mesh_all_pairs_parity(corpus, mesh8, axis):
+    eng = MeshEngine(mesh_cfg(axis), mesh=mesh8)
+    eng.build(corpus)
+    assert eng.x.sharding.num_devices == 8
+    for tau in (0.4, 0.6):
+        assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+
+
+@pytest.mark.parametrize("axis", ["dims", "rows"])
+def test_mesh_streaming_parity(corpus, mesh8, axis):
+    tau = 0.5
+    eng = MeshEngine(mesh_cfg(axis), mesh=mesh8)
+    emitted = set()
+    for s in range(0, corpus.n_rows, 37):
+        e = min(s + 37, corpus.n_rows)
+        out = eng.insert(
+            [(str(i), corpus.row(i)) for i in range(s, e)], tau=tau
+        )
+        for q, sims in out.output.items():
+            for c in sims:
+                emitted.add((q, c) if q <= c else (c, q))
+    assert emitted == brute_force_pairs(corpus, tau)
+    # sharding survives growth
+    assert eng.x.sharding.num_devices == 8
+
+
+def test_mesh_topk(corpus, mesh8):
+    eng = MeshEngine(mesh_cfg("dims"), mesh=mesh8)
+    eng.build(corpus)
+    res = eng.topk([("q", corpus.row(5))], 4)
+    assert res["q"][0][0] == "5"
+    assert res["q"][0][1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_mesh_smaller_than_devices(corpus):
+    # a 2-device mesh on an 8-device host
+    eng = MeshEngine(mesh_cfg("dims"), mesh=make_mesh(2))
+    eng.build(corpus)
+    assert eng.x.sharding.num_devices == 2
+    assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)
+
+
+def test_shard_layout_introspection(corpus, mesh8):
+    eng = MeshEngine(mesh_cfg("dims"), mesh=mesh8)
+    eng.build(corpus)
+    layout = eng.shard_layout()
+    assert len(layout) == 8
+    blocks = sorted(v["dim_block"] for v in layout.values())
+    # contiguous, disjoint, covering [0, dim_cap)
+    assert blocks[0][0] == 0
+    for (a0, a1), (b0, b1) in zip(blocks, blocks[1:]):
+        assert a1 == b0
+    assert blocks[-1][1] == eng.dim_cap

@@ -1,0 +1,135 @@
+"""Service-layer tests: async ingest queue, LoadData path, TCP RPC,
+output subscription (reference: server actors + ClientConnection)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from apsim_tpu import AllPairsConfig, Engine
+from apsim_tpu.etl.store import VectorStore
+from apsim_tpu.serve import ClientConnection, RpcServer, SimilarityServer
+
+from oracle import brute_force_pairs, random_sparse_corpus
+
+DIM = 300
+
+
+@pytest.fixture
+def corpus():
+    rng = np.random.default_rng(21)
+    return random_sparse_corpus(rng, 100, DIM)
+
+
+def make_cfg(**kw):
+    base = dict(
+        vector_dim=DIM, query_tile=64, row_bucket=64, dim_bucket=64,
+        similarity_threshold=0.5, io_trigger_period_ms=5,
+    )
+    base.update(kw)
+    return AllPairsConfig(**base)
+
+
+def wait_until(pred, timeout=5.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return True
+        time.sleep(0.02)
+    return False
+
+
+def test_server_async_ingest(corpus):
+    cfg = make_cfg()
+    with SimilarityServer(Engine(cfg), cfg) as srv:
+        outputs = []
+        srv.add_output_sink(lambda o: outputs.append(o))
+        for i in range(corpus.n_rows):
+            srv.insert_new_vectors([(str(i), corpus.row(i))])
+        assert wait_until(lambda: srv.stats()["n_rows"] == corpus.n_rows)
+    emitted = set()
+    for o in outputs:
+        for q, sims in o.output.items():
+            for c in sims:
+                emitted.add((q, c) if q <= c else (c, q))
+    assert emitted == brute_force_pairs(corpus, 0.5)
+
+
+def test_server_bulk_load_skips_admission(tmp_path, corpus):
+    # bulk path must not admission-prune (HBase path parity)
+    store = VectorStore(str(tmp_path))
+    weak = corpus.normalized()
+    weak.data[:] *= 0.01  # sums far below tau -> "ones" admission would drop
+    store.write("T", weak)
+    cfg = make_cfg(admission="ones")
+    with SimilarityServer(Engine(cfg), cfg, store=store) as srv:
+        srv.load_data("T", 0, weak.n_rows - 1)
+        assert wait_until(lambda: srv.stats()["n_rows"] == weak.n_rows)
+        assert srv.stats()["vectors_dropped_admission"] == 0
+
+
+def test_rpc_roundtrip(tmp_path, corpus):
+    store = VectorStore(str(tmp_path))
+    store.write("SMALL_DATA", corpus, ids=[f"v{i}" for i in range(corpus.n_rows)])
+    cfg = make_cfg()
+    sim = SimilarityServer(Engine(cfg), cfg, store=store)
+    with RpcServer(sim, port=0) as rpc:
+        addr = f"{rpc.host}:{rpc.port}"
+        outputs = []
+        sub = ClientConnection([addr])
+        sub.subscribe_outputs(lambda o, t: outputs.append(o))
+        cc = ClientConnection([addr])
+        # Test ping (Message.scala:37 parity)
+        assert cc.test("x")["test"] == "x"
+        # bulk load half, stream the rest
+        cc.load_data("SMALL_DATA", 0, 49)
+        cc.flush()
+        assert wait_until(lambda: cc.stats()["n_rows"] == 50)
+        for i in range(50, corpus.n_rows):
+            cc.insert_new_vector([(f"v{i}", corpus.row(i))])
+        cc.flush()
+        assert wait_until(lambda: cc.stats()["n_rows"] == corpus.n_rows)
+        # full join over RPC matches the oracle
+        pairs = cc.all_pairs(0.5)
+        got = {tuple(sorted((a, b))) for a, b, _ in pairs}
+        want = brute_force_pairs(
+            corpus, 0.5, ids=[f"v{i}" for i in range(corpus.n_rows)]
+        )
+        assert got == want
+        # outputs were pushed to the subscriber
+        assert wait_until(lambda: len(outputs) > 0)
+        # topk over RPC
+        tk = cc.topk([("q", corpus.row(3))], 2)
+        assert tk["q"][0][0] == "v3"
+        # freeze over RPC
+        cc.freeze()
+        assert cc.stats()["frozen"]
+        # malformed op gets an error, connection survives
+        import json
+
+        cc._send({"op": "nope"})
+        rsp = json.loads(cc._rfile.readline())
+        assert not rsp["ok"]
+        assert cc.test("still-alive")["test"] == "still-alive"
+        cc.close()
+        sub.close()
+
+
+def test_interactive_client(tmp_path, corpus):
+    import io
+
+    from apsim_tpu.serve import InteractiveClient
+
+    store = VectorStore(str(tmp_path))
+    store.write("T", corpus)
+    cfg = make_cfg()
+    sim = SimilarityServer(Engine(cfg), cfg, store=store)
+    with RpcServer(sim, port=0) as rpc:
+        cc = ClientConnection([f"{rpc.host}:{rpc.port}"])
+        out = io.StringIO()
+        term = InteractiveClient(cc, out=out)
+        term.run(input_lines=["start", "T", "0", "9", "test", "ping", "quit"])
+        assert "test reply" in out.getvalue()
+        cc.flush()
+        assert wait_until(lambda: cc.stats()["n_rows"] == 10)
+        cc.close()

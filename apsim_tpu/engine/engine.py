@@ -88,6 +88,7 @@ class Engine:
         self._row_val: List[np.ndarray] = []
         self._shadow_cache: tuple | None = None
         self.max_weights = np.zeros(self.cfg.vector_dim, dtype=np.float64)
+        self._max_norm = 0.0  # largest row L2 norm seen (margin scaling)
         self._frozen = False
         self.stats: Dict[str, float] = {
             "vectors_indexed": 0,
@@ -120,17 +121,32 @@ class Engine:
         return x
 
     def _margin(self, tau: float) -> float:
-        m = self.cfg.rescore_margin
+        """Device-error superset margin.
+
+        The base margins are *relative* error bounds for a single dot
+        product (bf16 mantissa rounding ≲ 2e-3 of ``‖a‖·‖b‖``; fp32
+        accumulate ≲ 1e-6), scaled by the largest pairwise norm product so
+        thresholding stays lossless for unnormalized corpora too (the
+        reference's HBase path stores unnormalized TF-IDF — SURVEY.md
+        fine-print #1)."""
+        m = self.cfg.rescore_margin  # relative bound, fp32-highest default
         if self.cfg.dtype != "float32":
             m = max(m, rescore_ops.default_margin(self.cfg.dtype))
         if self.cfg.matmul_precision != "highest":
-            # bf16 MXU passes: observed abs error ~1e-3 on Enron TF-IDF dots;
-            # widen the superset margin accordingly
-            m = max(m, 1e-2)
-        return m
+            # single-pass bf16 MXU: worst-case |err| <= 2^-8 * sum|a_i b_i|
+            # <= 0.004 * ||a||*||b|| (observed ~1e-3 on normalized Enron
+            # TF-IDF); 2e-2 relative gives 5x worst-case headroom
+            m = max(m, 2e-2)
+        scale = max(self._max_norm * self._max_norm, 1.0)
+        return m * scale
 
     def _tau_eff(self, tau: float) -> np.float32:
         return np.float32(max(tau - self._margin(tau), score_ops.MIN_TAU_EFF))
+
+    def _note_norms(self, csr: CSRMatrix) -> None:
+        norms = csr.row_norms()
+        if norms.size:
+            self._max_norm = max(self._max_norm, float(norms.max()))
 
     # ------------------------------------------------------------------ build
     def build(
@@ -157,6 +173,7 @@ class Engine:
         self.id_to_row = {v: k for k, v in enumerate(self.ids)}
         self._append_shadow(csr)
         np.maximum.at(self.max_weights, csr.indices, csr.data)
+        self._note_norms(csr)
         self.stats["vectors_indexed"] += csr.n_rows
         import jax
 
@@ -242,18 +259,18 @@ class Engine:
         tau_eff = self._tau_eff(tau)
         tile = self._tile()
         cap = int(self.cfg.extract_cap)
+        grp = int(self.cfg.extract_group)
         while True:
-            bi, bj, count = score_ops.allpairs_extract(
+            buf, count, groups = score_ops.allpairs_extract(
                 self.x, tau_eff, tile, cap, "upper",
-                self.cfg.matmul_precision,
+                self.cfg.matmul_precision, grp,
             )
-            count = int(count)
-            if count <= cap:
+            count, groups = int(count), int(groups)
+            if not score_ops.overflowed(count, groups, cap, grp):
                 break
-            cap = _next_cap(cap, count)
+            cap = _next_cap(cap, max(count, groups * grp))
         self.stats["candidates_scored"] += self.n_rows * self.n_rows
-        i = np.asarray(bi)[:count].astype(np.int64)
-        j = np.asarray(bj)[:count].astype(np.int64)
+        i, j = score_ops.decode_pairs(buf, count)
         return self._finalize_pairs(i, j, tau)
 
     def _finalize_pairs(self, i: np.ndarray, j: np.ndarray, tau: float) -> PairResult:
@@ -327,6 +344,7 @@ class Engine:
         self.ids.extend(new_ids)
         self._append_shadow(csr)
         np.maximum.at(self.max_weights, csr.indices, csr.data)
+        self._note_norms(csr)
         self.stats["vectors_indexed"] += csr.n_rows
 
         # query phase: every batch vector against the full (live) index
@@ -335,22 +353,24 @@ class Engine:
         cand_q: List[np.ndarray] = []
         cand_c: List[np.ndarray] = []
         first_tile = (n0 // tile) * tile
+        grp = int(self.cfg.extract_group)
         for q0 in range(first_tile, self.n_rows, tile):
             cap = int(self.cfg.extract_cap)
             while True:
-                bi, bj, count = score_ops.match_tile_extract(
+                buf, count, groups = score_ops.match_tile_extract(
                     self.x, np.int32(q0), np.int32(n0), tau_eff, tile, cap,
-                    self.cfg.matmul_precision,
+                    self.cfg.matmul_precision, grp,
                 )
-                count = int(count)
-                if count <= cap:
+                count, groups = int(count), int(groups)
+                if not score_ops.overflowed(count, groups, cap, grp):
                     break
-                cap = _next_cap(cap, count)
+                cap = _next_cap(cap, max(count, groups * grp))
             self.stats["candidates_scored"] += self.n_rows * min(
                 tile, self.n_rows - q0
             )
-            cand_c.append(np.asarray(bi)[:count].astype(np.int64))
-            cand_q.append(np.asarray(bj)[:count].astype(np.int64))
+            rows, cols = score_ops.decode_pairs(buf, count)
+            cand_c.append(rows)
+            cand_q.append(cols)
         return self._emit_query_results(
             np.concatenate(cand_q), np.concatenate(cand_c), tau
         )
@@ -391,6 +411,12 @@ class Engine:
         self, csr: CSRMatrix, qids: List[str], tau: float
     ) -> SimilarityOutput:
         """Frozen-index matching: queries are scored but not indexed."""
+        qn = csr.row_norms()
+        if qn.size and float(qn.max()) > self._max_norm:
+            # widen the margin for out-of-distribution query norms
+            saved, self._max_norm = self._max_norm, float(qn.max())
+        else:
+            saved = None
         compact = self.compact.map_csr(
             self._drop_unmapped(csr), extend=False
         )
@@ -400,17 +426,17 @@ class Engine:
         )
         tau_eff = self._tau_eff(tau)
         cap = int(self.cfg.extract_cap)
+        grp = int(self.cfg.extract_group)
         while True:
-            bi, bj, count = score_ops.dense_queries_extract(
-                self.x, q_dense, tau_eff, cap, self.cfg.matmul_precision
+            buf, count, groups = score_ops.dense_queries_extract(
+                self.x, q_dense, tau_eff, cap, self.cfg.matmul_precision, grp
             )
-            count = int(count)
-            if count <= cap:
+            count, groups = int(count), int(groups)
+            if not score_ops.overflowed(count, groups, cap, grp):
                 break
-            cap = _next_cap(cap, count)
+            cap = _next_cap(cap, max(count, groups * grp))
         self.stats["candidates_scored"] += self.n_rows * len(qids)
-        rows = np.asarray(bi)[:count]
-        qcols = np.asarray(bj)[:count]
+        rows, qcols = score_ops.decode_pairs(buf, count)
         # exact rescore against a merged shadow (queries appended temporarily)
         shadow = self.shadow_csr()
         out: Dict[str, Dict[str, float]] = {}
@@ -424,6 +450,8 @@ class Engine:
             if sim >= tau:
                 out.setdefault(qids[int(qc)], {})[self.ids[int(r)]] = sim
         self.stats["pairs_emitted"] += sum(len(v) for v in out.values())
+        if saved is not None:
+            self._max_norm = saved
         return SimilarityOutput(out, time.time())
 
     def _drop_unmapped(self, csr: CSRMatrix) -> CSRMatrix:

@@ -49,14 +49,38 @@ def hash_term(term: str, num_features: int = DEFAULT_NUM_FEATURES) -> int:
 def hashing_tf(
     documents: Iterable[str], num_features: int = DEFAULT_NUM_FEATURES
 ) -> CSRMatrix:
-    """Term-frequency CSR over the hashed feature space (HashingTF parity)."""
+    """Term-frequency CSR over the hashed feature space (HashingTF parity).
+
+    Uses the native C++ tokenizer/hasher (native/apsim_native.cpp) when
+    available — bit-identical to the Python path below (same CRC32 + split
+    semantics, asserted in tests) — and falls back to pure Python otherwise.
+    """
+    docs_list = list(documents)
+    try:
+        from ..native import hash_corpus
+
+        native = hash_corpus(docs_list, num_features)
+    except Exception:
+        native = None
+    if native is not None:
+        indptr_n, indices_n, values_n = native
+        return CSRMatrix(
+            n_rows=len(docs_list),
+            n_cols=num_features,
+            indptr=indptr_n,
+            indices=indices_n,
+            data=values_n,
+        )
+    documents = docs_list
     indptr: List[int] = [0]
     all_idx: List[np.ndarray] = []
     all_val: List[np.ndarray] = []
     for doc in documents:
         counts: dict[int, int] = {}
-        for tok in doc.split():
-            h = zlib.crc32(tok.encode("utf-8")) % num_features
+        # bytes.split() = ASCII-whitespace tokenization, the exact contract
+        # the native path implements (bit-parity between the two)
+        for tok in doc.encode("utf-8").split():
+            h = zlib.crc32(tok) % num_features
             counts[h] = counts.get(h, 0) + 1
         idx = np.fromiter(counts.keys(), dtype=np.int32, count=len(counts))
         val = np.fromiter(counts.values(), dtype=np.float64, count=len(counts))

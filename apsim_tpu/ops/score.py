@@ -43,9 +43,16 @@ __all__ = [
     "allpairs_extract",
     "match_tile_extract",
     "dense_queries_extract",
+    "decode_pairs",
     "topk_scores",
     "MIN_TAU_EFF",
+    "overflowed",
 ]
+
+
+def overflowed(count: int, groups: int, cap: int, group: int) -> bool:
+    """True when an extraction call must be retried with a larger cap."""
+    return count > cap or groups > max(cap // group, 1024)
 
 # floor for the device threshold: keeps all-zero (padded/invalid) rows out of
 # the candidate set without any index arithmetic in the matmul epilogue
@@ -110,35 +117,69 @@ def _score_tile(x, q0, tile, precision):
     return jax.lax.optimization_barrier(s)
 
 
-def _extract(m_flat, buf_i, buf_j, cursor, row_cap, tile, q0, cap):
-    """Compact the True positions of ``m_flat`` into (buf_i, buf_j) at
-    ``cursor``; returns updated carry.  Entries past ``cap`` are dropped but
-    still counted."""
-    cnt = jnp.sum(m_flat, dtype=jnp.int32)
-    (flat,) = jnp.nonzero(m_flat, size=cap, fill_value=row_cap * tile)
-    rows = (flat // tile).astype(jnp.int32)
-    cols = (q0 + flat % tile).astype(jnp.int32)
-    pos = cursor + jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
-    # sentinel fills decode to row == row_cap; they sit past ``cursor + cnt``
-    # and are either overwritten by the next tile or ignored via the count
-    buf_i = buf_i.at[pos].set(rows, mode="drop")
-    buf_j = buf_j.at[pos].set(cols, mode="drop")
-    return buf_i, buf_j, cursor + cnt
+def _extract(m, q0, buf_i, buf_j, cursor, cap, group):
+    """Two-level compaction of a boolean score-tile mask ``m [row_cap, tile]``
+    into int32 (row, col) buffers at ``cursor``.
+
+    Level 1 finds hit *row-groups* (``group`` rows each) — shrinking the
+    nonzero/cumsum domain ~``group``× versus a flat scan (the flat scan was
+    the dominant cost of the whole join: 1.2 s vs 0.15 s of matmul on Enron).
+    Level 2 expands only the hit groups' strips.  Writes are contiguous
+    ``dynamic_update_slice`` (no scatter); entries past the true count are
+    sentinels that the next tile overwrites, exactly like the flat scheme.
+
+    Returns (buf_i, buf_j, cursor', true_hits, true_groups); the caller must
+    retry with a larger cap when ``true_hits > cap`` or
+    ``true_groups > max(cap // group, 1024)``.
+    """
+    row_cap, tile = m.shape
+    nb = row_cap // group
+    capb = max(cap // group, 1024)
+    m3 = m.reshape(nb, group, tile)
+    mb = m3.any(axis=1)  # [nb, tile]
+    total = jnp.sum(m, dtype=jnp.int32)
+    groups = jnp.sum(mb, dtype=jnp.int32)
+    (bflat,) = jnp.nonzero(mb.reshape(-1), size=capb, fill_value=nb * tile)
+    bvalid = bflat < nb * tile
+    brow = (bflat // tile).astype(jnp.int32)
+    bcol = (bflat % tile).astype(jnp.int32)
+    strips = m3[brow.clip(0, nb - 1), :, bcol.clip(0, tile - 1)]  # [capb, group]
+    strips = strips & bvalid[:, None]
+    (f2,) = jnp.nonzero(strips.reshape(-1), size=cap, fill_value=capb * group)
+    f2valid = f2 < capb * group
+    slot = (f2 // group).clip(0, capb - 1)
+    off = (f2 % group).astype(jnp.int32)
+    row = jnp.where(f2valid, brow[slot] * group + off, -1)
+    col = jnp.where(f2valid, q0 + bcol[slot], -1)
+    buf_i = jax.lax.dynamic_update_slice(buf_i, row, (cursor,))
+    buf_j = jax.lax.dynamic_update_slice(buf_j, col, (cursor,))
+    return buf_i, buf_j, cursor + total, total, groups
+
+
+def decode_pairs(bufs, count: int):
+    """Host-side decode: slice the valid prefix of the (row, col) buffers."""
+    buf_i, buf_j = bufs
+    return (
+        np.asarray(buf_i)[:count].astype(np.int64),
+        np.asarray(buf_j)[:count].astype(np.int64),
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "cap", "mode", "precision")
+    jax.jit, static_argnames=("tile", "cap", "mode", "precision", "group")
 )
 def allpairs_extract(
     x, tau_eff, tile: int, cap: int, mode: str = "upper",
-    precision: str = "highest",
+    precision: str = "highest", group: int = 8,
 ):
     """All-pairs join over the whole index in ONE device call.
 
     Loops row tiles on device (``fori_loop``), scores each against the full
-    index on the MXU, thresholds at ``tau_eff`` and compacts the surviving
-    (row, col) pairs into fixed-capacity buffers.  Returns
-    ``(buf_i, buf_j, count)``; ``count`` is exact even on overflow.
+    index on the MXU, thresholds at ``tau_eff`` and two-level-compacts the
+    surviving pairs into a fixed-capacity int64 buffer.  Returns
+    ``(buf, count, max_groups)``; ``count`` is exact even on overflow —
+    retry with a larger cap when ``count > cap`` or
+    ``max_groups > max(cap // group, 1024)``.
 
     mode="upper": strict upper triangle (canonical i<j pairs) — the dedup the
     reference approximates with per-query hash maps
@@ -149,7 +190,7 @@ def allpairs_extract(
     n_tiles = row_cap // tile
 
     def body(t, carry):
-        buf_i, buf_j, cursor = carry
+        buf_i, buf_j, cursor, max_groups = carry
         q0 = t * tile
         s = _score_tile(x, q0, tile, precision)
         m = s >= tau_eff
@@ -157,46 +198,54 @@ def allpairs_extract(
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             m &= rows < cols
-        return _extract(
-            m.reshape(-1), buf_i, buf_j, cursor, row_cap, tile, q0, cap
+        buf_i, buf_j, cursor, _, groups = _extract(
+            m, q0, buf_i, buf_j, cursor, cap, group
         )
+        return buf_i, buf_j, cursor, jnp.maximum(max_groups, groups)
 
     init = (
-        jnp.full((cap,), -1, jnp.int32),
-        jnp.full((cap,), -1, jnp.int32),
+        jnp.full((2 * cap,), -1, jnp.int32),
+        jnp.full((2 * cap,), -1, jnp.int32),
+        jnp.int32(0),
         jnp.int32(0),
     )
-    return jax.lax.fori_loop(0, n_tiles, body, init)
+    bi, bj, cursor, max_groups = jax.lax.fori_loop(0, n_tiles, body, init)
+    return (bi, bj), cursor, max_groups
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "cap", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "cap", "precision", "group")
+)
 def match_tile_extract(
-    x, q0, lo, tau_eff, tile: int, cap: int, precision: str = "highest"
+    x, q0, lo, tau_eff, tile: int, cap: int, precision: str = "highest",
+    group: int = 8,
 ):
     """Streaming-match one query tile ``x[q0:q0+tile]`` against the full
     index: keep (row, col) with ``s >= tau_eff``, ``col >= lo`` (only columns
     belonging to the new batch) and ``row != col`` (no self-pairs).  Both
     directions of an intra-batch pair surface, matching the reference's
-    index-before-query emission (SURVEY.md fine-print #2)."""
+    index-before-query emission (SURVEY.md fine-print #2).
+    Returns (buf, count, groups)."""
     row_cap, _ = x.shape
     s = _score_tile(x, q0, tile, precision)
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     m = (s >= tau_eff) & (rows != cols) & (cols >= lo)
-    buf_i = jnp.full((cap,), -1, jnp.int32)
-    buf_j = jnp.full((cap,), -1, jnp.int32)
-    return _extract(
-        m.reshape(-1), buf_i, buf_j, jnp.int32(0), row_cap, tile, q0, cap
+    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_i, buf_j, _, total, groups = _extract(
+        m, q0, buf_i, buf_j, jnp.int32(0), cap, group
     )
+    return (buf_i, buf_j), total, groups
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "precision"))
-def dense_queries_extract(x, q, tau_eff, cap: int, precision: str = "highest"):
+@functools.partial(jax.jit, static_argnames=("cap", "precision", "group"))
+def dense_queries_extract(
+    x, q, tau_eff, cap: int, precision: str = "highest", group: int = 8
+):
     """Score externally-supplied dense query rows ``q [T, dim_cap]`` (NOT part
     of the index — the frozen-index benchmark path) and compact hits.
-    Returns (buf_row, buf_qcol, count)."""
-    row_cap = x.shape[0]
-    tile = q.shape[0]
+    Returns (buf, count, groups); decode gives (index_row, query_col)."""
     s = jax.lax.dot_general(
         x, q,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -205,12 +254,12 @@ def dense_queries_extract(x, q, tau_eff, cap: int, precision: str = "highest"):
     )
     s = jax.lax.optimization_barrier(s)
     m = s >= tau_eff
-    buf_i = jnp.full((cap,), -1, jnp.int32)
-    buf_j = jnp.full((cap,), -1, jnp.int32)
-    return _extract(
-        m.reshape(-1), buf_i, buf_j, jnp.int32(0), row_cap, tile,
-        jnp.int32(0), cap,
+    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_i, buf_j, _, total, groups = _extract(
+        m, jnp.int32(0), buf_i, buf_j, jnp.int32(0), cap, group
     )
+    return (buf_i, buf_j), total, groups
 
 
 @functools.partial(jax.jit, static_argnames=("k", "precision"))

@@ -132,6 +132,16 @@ class PaddedBatch:
         n = csr.n_rows if rows is None else rows
         if csr.n_rows > n:
             raise ValueError("rows smaller than csr.n_rows")
+        if n == csr.n_rows:
+            try:  # native fast path (identical output, tested)
+                from ..native import pad_batch
+
+                native = pad_batch(csr.indptr, csr.indices, csr.data, k, pad_dim)
+            except Exception:
+                native = None
+            if native is not None:
+                dims, vals, lengths = native
+                return PaddedBatch(dims, vals, lengths, pad_dim)
         dims = np.full((n, k), pad_dim, dtype=np.int32)
         vals = np.zeros((n, k), dtype=np.float32)
         lengths = np.zeros(n, dtype=np.int32)

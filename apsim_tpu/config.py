@@ -89,6 +89,9 @@ class AllPairsConfig:
                                        # preserved by the wide rescore margin
                                        # + fp64 rescore) | "highest"
                                        # (fp32-exact passes, narrow margin)
+    use_pallas: str = "auto"           # all-pairs hot op: "auto" = Pallas
+                                       # upper-triangle kernel on single-chip
+                                       # TPU, XLA elsewhere; "on" | "off"
     extract_cap: int = 1 << 18         # device pair-buffer capacity
                                        # (auto-grows ×4 on overflow)
     extract_group: int = 8             # rows per group in the two-level

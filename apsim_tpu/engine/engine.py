@@ -260,18 +260,70 @@ class Engine:
         tile = self._tile()
         cap = int(self.cfg.extract_cap)
         grp = int(self.cfg.extract_group)
+        if self._pallas_ok():
+            i, j, count = self._all_pairs_pallas(tau_eff, cap)
+        else:
+            while True:
+                buf, count, groups = score_ops.allpairs_extract(
+                    self.x, tau_eff, tile, cap, "upper",
+                    self.cfg.matmul_precision, grp,
+                )
+                count, groups = int(count), int(groups)
+                if not score_ops.overflowed(count, groups, cap, grp):
+                    break
+                cap = _next_cap(cap, max(count, groups * grp))
+            i, j = score_ops.decode_pairs(buf, count)
+        self.stats["candidates_scored"] += self.n_rows * self.n_rows
+        return self._finalize_pairs(i, j, tau)
+
+    def _pallas_ok(self) -> bool:
+        """Use the Pallas upper-triangle kernel for all_pairs?  Auto mode:
+        single-chip TPU with tile-aligned capacities (the kernel iterates
+        only upper-triangle blocks — half the MXU work of the XLA path).
+        Note: ``matmul_precision`` does not apply inside the kernel; its MXU
+        passes are the platform default (bf16), matching the engine's default
+        margin policy."""
+        mode = self.cfg.use_pallas
+        if mode == "off":
+            return False
+        import jax
+
+        single = self.x is not None and len(self.x.devices()) == 1
+        aligned = (
+            self.row_cap % 256 == 0
+            and self.dim_cap % 2048 == 0
+            and self.cfg.matmul_precision != "highest"
+        )
+        on_tpu = jax.default_backend() == "tpu"
+        if mode == "on":
+            return single and aligned
+        return single and aligned and on_tpu
+
+    def _all_pairs_pallas(self, tau_eff, cap: int):
+        import jax.numpy as jnp
+
+        from ..ops import pallas_score
+
+        interpret = False
+        import jax
+
+        if jax.default_backend() != "tpu":
+            interpret = True
+        bi, bj = pallas_score.upper_blocks(self.row_cap // 256)
+        bi, bj = jnp.asarray(bi), jnp.asarray(bj)
         while True:
-            buf, count, groups = score_ops.allpairs_extract(
-                self.x, tau_eff, tile, cap, "upper",
-                self.cfg.matmul_precision, grp,
+            (ri, ci), count, groups = pallas_score.allpairs_extract_pallas(
+                self.x, bi, bj, tau_eff, cap, interpret=interpret
             )
             count, groups = int(count), int(groups)
-            if not score_ops.overflowed(count, groups, cap, grp):
+            if not score_ops.overflowed(
+                count, groups, cap, pallas_score.GROUP
+            ):
                 break
-            cap = _next_cap(cap, max(count, groups * grp))
-        self.stats["candidates_scored"] += self.n_rows * self.n_rows
-        i, j = score_ops.decode_pairs(buf, count)
-        return self._finalize_pairs(i, j, tau)
+            cap = _next_cap(cap, max(count, groups * pallas_score.GROUP))
+        i = np.asarray(ri)[:count].astype(np.int64)
+        j = np.asarray(ci)[:count].astype(np.int64)
+        return i, j, count
 
     def _finalize_pairs(self, i: np.ndarray, j: np.ndarray, tau: float) -> PairResult:
         if i.size == 0:

@@ -197,6 +197,18 @@ def test_empty_engine():
     assert eng.topk([], 3) == {}
 
 
+def test_pallas_all_pairs_matches_oracle(corpus):
+    # force the Pallas upper-triangle kernel (interpret mode off-TPU)
+    cfg = small_cfg(
+        use_pallas="on", row_bucket=256, query_tile=256, dim_bucket=2048
+    )
+    eng = Engine(cfg)
+    eng.build(corpus)
+    assert eng._pallas_ok()
+    got = eng.all_pairs(0.5).pair_set()
+    assert got == brute_force_pairs(corpus, 0.5)
+
+
 def test_extract_cap_overflow_retry(corpus):
     # a tiny device pair buffer must auto-grow, not lose pairs
     eng = Engine(small_cfg(extract_cap=8))

@@ -121,12 +121,17 @@ def cmd_serve(args) -> int:
     from .serve import RpcServer, SimilarityServer
 
     cfg = _load_cfg(args)
+    if args.checkpoint_dir:
+        cfg = cfg.replace(
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_interval_s=args.checkpoint_interval,
+        )
     store = VectorStore(args.store) if args.store else None
     if args.mesh:
         engine = MeshEngine(cfg)
+        sim = SimilarityServer(engine, cfg, store=store)
     else:
-        engine = Engine(cfg)
-    sim = SimilarityServer(engine, cfg, store=store)
+        sim = SimilarityServer(None, cfg, store=store)
     rpc = RpcServer(sim, host=args.host, port=args.port).start()
     print(f"serving on {rpc.host}:{rpc.port}", flush=True)
     try:
@@ -220,6 +225,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--port", type=int, default=2551)
     sp.add_argument("--mesh", action="store_true",
                     help="shard the index over all visible devices")
+    sp.add_argument("--checkpoint-dir", default="", dest="checkpoint_dir",
+                    help="auto-checkpoint/restore the index here")
+    sp.add_argument("--checkpoint-interval", type=float, default=60.0,
+                    dest="checkpoint_interval")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("client")

@@ -103,6 +103,10 @@ class AllPairsConfig:
     rescore_margin: float = 1e-4       # |S - tau| margin triggering rescore
     mesh_shape: tuple = ()             # e.g. (8,) — empty => single device
     shard_axis: str = "dims"           # "dims" (reference parity) | "rows"
+    checkpoint_dir: str = ""           # server auto-checkpoint location
+    checkpoint_interval_s: float = 0.0  # 0 = off (reference has NO
+                                       # checkpointing; its index dies with
+                                       # the actor — SURVEY.md §5)
 
     def replace(self, **kw: Any) -> "AllPairsConfig":
         return dataclasses.replace(self, **kw)

@@ -26,6 +26,7 @@ from ..config import AllPairsConfig
 from ..engine.engine import Engine
 from ..engine.output import OutputBatcher, SimilarityOutput
 from ..etl.store import VectorStore, split_load_range
+from ..utils.logging import get_logger
 from ..vector.sparse import SparseVector
 
 __all__ = ["SimilarityServer"]
@@ -39,8 +40,16 @@ class SimilarityServer:
         store: VectorStore | None = None,
     ):
         self.cfg = config or (engine.cfg if engine else AllPairsConfig())
+        if engine is None and self._has_checkpoint():
+            engine = Engine.load(self.cfg.checkpoint_dir, config=self.cfg)
+            get_logger().info(
+                "restored %d vectors from checkpoint %s",
+                engine.n_rows, self.cfg.checkpoint_dir,
+            )
         self.engine = engine or Engine(self.cfg)
         self.store = store
+        self._last_ckpt = time.time()
+        self._dirty = False
         self._sinks: List[Callable[[SimilarityOutput], None]] = []
         self._batcher = OutputBatcher(
             self._fanout, self.cfg.output_io_duration_ms
@@ -64,6 +73,33 @@ class SimilarityServer:
             self._flusher.join(timeout=5.0)
         self.flush()
         self._batcher.close()
+        self._maybe_checkpoint(force=True)
+
+    # ------------------------------------------------------------ checkpoint
+    def _has_checkpoint(self) -> bool:
+        import os
+
+        return bool(self.cfg.checkpoint_dir) and os.path.exists(
+            os.path.join(self.cfg.checkpoint_dir, "meta.json")
+        )
+
+    def _maybe_checkpoint(self, force: bool = False) -> None:
+        """Periodic index checkpoint (recovery story the reference lacks —
+        its in-memory index is lost on actor relocation, SURVEY.md §5)."""
+        if not self.cfg.checkpoint_dir or not self._dirty:
+            return
+        interval = self.cfg.checkpoint_interval_s
+        due = force or (interval > 0 and time.time() - self._last_ckpt >= interval)
+        if not due:
+            return
+        with self._lock:
+            self.engine.save(self.cfg.checkpoint_dir)
+            self._dirty = False
+        self._last_ckpt = time.time()
+        get_logger().info(
+            "checkpointed %d vectors to %s",
+            self.engine.n_rows, self.cfg.checkpoint_dir,
+        )
 
     def __enter__(self) -> "SimilarityServer":
         return self.start()
@@ -164,4 +200,6 @@ class SimilarityServer:
             flat = [v for b in batches for v in b]
             with self._lock:
                 out = self.engine.insert(flat, bulk=is_bulk)
+            self._dirty = True
             self._batcher.emit(out)
+        self._maybe_checkpoint()

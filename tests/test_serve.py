@@ -115,6 +115,47 @@ def test_rpc_roundtrip(tmp_path, corpus):
         sub.close()
 
 
+def test_server_checkpoint_restore(tmp_path, corpus):
+    # crash-recovery story: server auto-checkpoints, a new server restores
+    ckpt = str(tmp_path / "ckpt")
+    cfg = make_cfg(checkpoint_dir=ckpt, checkpoint_interval_s=0.0)
+    with SimilarityServer(None, cfg) as srv:
+        srv.insert_new_vectors(
+            [(str(i), corpus.row(i)) for i in range(40)]
+        )
+        assert wait_until(lambda: srv.stats()["n_rows"] == 40)
+    # close() force-checkpoints; a fresh server restores the index
+    with SimilarityServer(None, cfg) as srv2:
+        assert srv2.stats()["n_rows"] == 40
+        res = srv2.all_pairs(0.5)
+        want = brute_force_pairs(
+            CSRSlice(corpus, 40), 0.5, [str(i) for i in range(40)]
+        )
+        assert res.pair_set() == want
+
+
+def CSRSlice(csr, n):
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    return CSRMatrix(
+        n, csr.n_cols, csr.indptr[: n + 1],
+        csr.indices[: int(csr.indptr[n])], csr.data[: int(csr.indptr[n])],
+    )
+
+
+def test_profiling_utils(tmp_path):
+    from apsim_tpu.utils.logging import Timer, get_logger
+
+    log = get_logger("apsim.test")
+    log.info("structured %s", "record")
+    t = Timer()
+    with t.section("a"):
+        pass
+    with t.section("a"):
+        pass
+    assert t.counts["a"] == 2 and t.totals["a"] >= 0
+
+
 def test_interactive_client(tmp_path, corpus):
     import io
 

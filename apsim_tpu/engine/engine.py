@@ -187,9 +187,15 @@ class Engine:
         )
 
     def _scatter_rows(self, compact_csr: CSRMatrix, row_offset: int) -> None:
-        """Chunked padded scatter of compact CSR rows into the device matrix."""
+        """Chunked padded scatter of compact CSR rows into the device matrix.
+
+        Rows and nnz width are padded to power-of-two buckets so a stream of
+        arbitrary batch shapes compiles O(log) ``insert_rows`` variants
+        (padded rows carry ``pad_dim`` entries and scatter nothing)."""
         chunk = 4096
         dim_cap = int(self.x.shape[1])
+        from ..vector.batch import pow2_bucket
+
         for s in range(0, compact_csr.n_rows, chunk):
             e = min(s + chunk, compact_csr.n_rows)
             indptr = (compact_csr.indptr[s : e + 1] - compact_csr.indptr[s]).astype(
@@ -203,7 +209,9 @@ class Engine:
                 compact_csr.indices[lo:hi],
                 compact_csr.data[lo:hi],
             )
-            batch = PaddedBatch.from_csr(sub, pad_dim=dim_cap)
+            batch = PaddedBatch.from_csr(
+                sub, pad_dim=dim_cap, rows=pow2_bucket(e - s, 32)
+            )
             self.x = score_ops.insert_rows(
                 self.x,
                 batch.dims,
@@ -389,7 +397,8 @@ class Engine:
         n0 = self.n_rows
         self._grow_for(csr)
         compact_csr = self.compact.map_csr(csr, extend=False)
-        self._scatter_rows(compact_csr, row_offset=n0)
+        # host bookkeeping first so the error margin (tau_eff) already covers
+        # the batch's norms before any device scoring
         self.n_rows = n0 + csr.n_rows
         for k, vid in enumerate(new_ids):
             self.id_to_row[vid] = n0 + k
@@ -399,33 +408,69 @@ class Engine:
         self._note_norms(csr)
         self.stats["vectors_indexed"] += csr.n_rows
 
-        # query phase: every batch vector against the full (live) index
         tau_eff = self._tau_eff(tau)
         tile = self._tile()
-        cand_q: List[np.ndarray] = []
-        cand_c: List[np.ndarray] = []
         first_tile = (n0 // tile) * tile
         grp = int(self.cfg.extract_group)
-        for q0 in range(first_tile, self.n_rows, tile):
-            cap = int(self.cfg.extract_cap)
-            while True:
-                buf, count, groups = score_ops.match_tile_extract(
-                    self.x, np.int32(q0), np.int32(n0), tau_eff, tile, cap,
-                    self.cfg.matmul_precision, grp,
-                )
-                count, groups = int(count), int(groups)
-                if not score_ops.overflowed(count, groups, cap, grp):
-                    break
+        cap = int(self.cfg.extract_cap)
+        cand_q: List[np.ndarray] = []
+        cand_c: List[np.ndarray] = []
+
+        single_tile = (self.n_rows - 1) // tile == n0 // tile
+        if single_tile and csr.n_rows <= 4096:
+            # fused scatter+match: one device round trip per micro-batch
+            from ..vector.batch import pow2_bucket
+
+            batch = PaddedBatch.from_csr(
+                compact_csr, pad_dim=self.dim_cap,
+                rows=pow2_bucket(csr.n_rows, 32),
+            )
+            self.x, buf, count, groups = score_ops.insert_match_fused(
+                self.x, batch.dims, batch.vals, np.int32(n0),
+                np.int32(first_tile), np.int32(n0), tau_eff, tile, cap,
+                self.cfg.matmul_precision, grp,
+            )
+            count, groups = int(count), int(groups)
+            if score_ops.overflowed(count, groups, cap, grp):
+                # x is already updated (donated); retry ONLY the match
                 cap = _next_cap(cap, max(count, groups * grp))
+                buf, count, groups = self._match_tile_retry(
+                    first_tile, n0, tau_eff, tile, cap, grp
+                )
+                count = int(count)
             self.stats["candidates_scored"] += self.n_rows * min(
-                tile, self.n_rows - q0
+                tile, self.n_rows - first_tile
             )
             rows, cols = score_ops.decode_pairs(buf, count)
             cand_c.append(rows)
             cand_q.append(cols)
+        else:
+            self._scatter_rows(compact_csr, row_offset=n0)
+            for q0 in range(first_tile, self.n_rows, tile):
+                buf, count, groups = self._match_tile_retry(
+                    q0, n0, tau_eff, tile, int(self.cfg.extract_cap), grp
+                )
+                count = int(count)
+                self.stats["candidates_scored"] += self.n_rows * min(
+                    tile, self.n_rows - q0
+                )
+                rows, cols = score_ops.decode_pairs(buf, count)
+                cand_c.append(rows)
+                cand_q.append(cols)
         return self._emit_query_results(
             np.concatenate(cand_q), np.concatenate(cand_c), tau
         )
+
+    def _match_tile_retry(self, q0, lo, tau_eff, tile, cap, grp):
+        while True:
+            buf, count, groups = score_ops.match_tile_extract(
+                self.x, np.int32(q0), np.int32(lo), tau_eff, tile, cap,
+                self.cfg.matmul_precision, grp,
+            )
+            count, groups = int(count), int(groups)
+            if not score_ops.overflowed(count, groups, cap, grp):
+                return buf, count, groups
+            cap = _next_cap(cap, max(count, groups * grp))
 
     def _admit(self, vec: SparseVector, tau: float) -> bool:
         """Upper-bound admission: dot(max_weights|support, v) >= tau
@@ -472,7 +517,11 @@ class Engine:
         compact = self.compact.map_csr(
             self._drop_unmapped(csr), extend=False
         )
-        batch = PaddedBatch.from_csr(compact, pad_dim=self.dim_cap)
+        from ..vector.batch import pow2_bucket
+
+        batch = PaddedBatch.from_csr(
+            compact, pad_dim=self.dim_cap, rows=pow2_bucket(compact.n_rows, 32)
+        )
         q_dense = score_ops.densify(
             batch.dims, batch.vals, batch.rows, self.dim_cap, self.cfg.dtype
         )
@@ -552,7 +601,11 @@ class Engine:
         k_eff = min(k, self.n_rows)
         csr, qids = _as_csr(list(queries), None, self.cfg.vector_dim)
         compact = self.compact.map_csr(self._drop_unmapped(csr), extend=False)
-        batch = PaddedBatch.from_csr(compact, pad_dim=self.dim_cap)
+        from ..vector.batch import pow2_bucket
+
+        batch = PaddedBatch.from_csr(
+            compact, pad_dim=self.dim_cap, rows=pow2_bucket(compact.n_rows, 32)
+        )
         q_dense = score_ops.densify(
             batch.dims, batch.vals, batch.rows, self.dim_cap, self.cfg.dtype
         )

@@ -37,9 +37,15 @@ class CompactSpace:
 
     @property
     def capacity(self) -> int:
-        """Padded column capacity (device matrices use this width + 1 dead
-        padding column at index ``capacity``)."""
-        return max(round_up(self.n_active, self.dim_bucket), self.dim_bucket)
+        """Padded column capacity: ``dim_bucket`` doubled until it covers the
+        active dims.  Geometric growth keeps the number of distinct device
+        matrix shapes — and therefore jit recompiles, which cost minutes via
+        this environment's remote compiler — at O(log active_dims) under
+        streaming inserts that continually mint new dims."""
+        cap = self.dim_bucket
+        while cap < self.n_active:
+            cap *= 2
+        return cap
 
     @staticmethod
     def from_csr(csr: CSRMatrix, dim_bucket: int = 4096) -> "CompactSpace":

@@ -239,6 +239,42 @@ def match_tile_extract(
     return (buf_i, buf_j), total, groups
 
 
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0,),
+    static_argnames=("tile", "cap", "precision", "group"),
+)
+def insert_match_fused(
+    x, dims, vals, row_offset, q0, lo, tau_eff, tile: int, cap: int,
+    precision: str = "highest", group: int = 8,
+):
+    """Fused streaming step: scatter-append the batch AND match the covering
+    query tile in ONE device call (halves the per-micro-batch host↔device
+    round trips, which dominate small-batch insert latency on this
+    environment's ~30 ms dispatch link).
+
+    Only valid when the batch lies within one query-tile window
+    (``q0 <= row_offset`` and batch end <= ``q0 + tile``); the engine falls
+    back to separate calls otherwise.  Returns (x', bufs, total, groups).
+    On extraction overflow the caller must NOT re-run this op (x was donated
+    and already updated) — retry with ``match_tile_extract`` instead.
+    """
+    row_ids = row_offset + jax.lax.broadcasted_iota(jnp.int32, dims.shape, 0)
+    x = x.at[row_ids, dims].add(
+        vals.astype(x.dtype), mode="drop", unique_indices=True
+    )
+    s = _score_tile(x, q0, tile, precision)
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    m = (s >= tau_eff) & (rows != cols) & (cols >= lo)
+    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_i, buf_j, _, total, groups = _extract(
+        m, q0, buf_i, buf_j, jnp.int32(0), cap, group
+    )
+    return x, (buf_i, buf_j), total, groups
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "precision", "group"))
 def dense_queries_extract(
     x, q, tau_eff, cap: int, precision: str = "highest", group: int = 8

@@ -28,6 +28,16 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pow2_bucket(x: int, lo: int = 64) -> int:
+    """Smallest power of two >= max(x, lo) — geometric shape bucketing so a
+    stream of arbitrary batch shapes compiles O(log) jit variants, not O(n)
+    (each compile costs minutes through this environment's remote compiler)."""
+    n = lo
+    while n < x:
+        n <<= 1
+    return n
+
+
 @dataclasses.dataclass
 class CSRMatrix:
     """Host-side CSR: ``indptr`` int64 [n_rows+1], ``indices`` int32 [nnz]
@@ -126,7 +136,7 @@ class PaddedBatch:
         nnz = csr.row_nnz()
         max_nnz = int(nnz.max()) if len(nnz) else 0
         if k is None:
-            k = max(round_up(max_nnz, k_bucket), k_bucket)
+            k = pow2_bucket(max_nnz, k_bucket)
         if max_nnz > k:
             raise ValueError(f"row nnz {max_nnz} exceeds padded width {k}")
         n = csr.n_rows if rows is None else rows

@@ -1,0 +1,125 @@
+"""Edge cases: threshold ties, unnormalized corpora, empty vectors,
+duplicate ids, giant rows, tiny corpora."""
+
+import numpy as np
+import pytest
+
+from apsim_tpu import AllPairsConfig, Engine
+from apsim_tpu.vector.batch import CSRMatrix
+from apsim_tpu.vector.sparse import Vectors
+
+from oracle import brute_force_pairs
+
+DIM = 300
+
+
+def cfg(**kw):
+    base = dict(vector_dim=DIM, query_tile=64, row_bucket=64, dim_bucket=64)
+    base.update(kw)
+    return AllPairsConfig(**base)
+
+
+def test_exact_tie_at_tau():
+    # sim(a, b) == tau exactly: >= keeps it (reference: sim >= threshold,
+    # IndexingWorkerActor.scala:103); fp64 rescore must not drop ties
+    a = Vectors.sparse(DIM, [0, 1], [0.6, 0.8])
+    b = Vectors.sparse(DIM, [0, 1], [0.8, 0.6])
+    tau = a.dot(b)  # 0.96 exactly representable? compute actual value
+    eng = Engine(cfg())
+    eng.build([("a", a), ("b", b)])
+    assert eng.all_pairs(tau).pair_set() == {("a", "b")}
+    # and strictly above the tie drops it
+    assert eng.all_pairs(np.nextafter(tau, 2.0)).pair_set() == set()
+
+
+def test_unnormalized_corpus_margin():
+    # large-norm vectors: margin must scale or pairs near tau are lost
+    rows = []
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        dims = np.sort(rng.choice(DIM, 6, replace=False)).astype(np.int32)
+        rows.append(Vectors.sparse(DIM, dims, rng.random(6) * 40.0))
+    csr = CSRMatrix.from_vectors(rows, DIM)
+    eng = Engine(cfg())
+    eng.build(csr)
+    tau = 400.0  # raw dot threshold on unnormalized data
+    assert eng.all_pairs(tau).pair_set() == brute_force_pairs(csr, tau)
+
+
+def test_empty_and_singleton_vectors():
+    eng = Engine(cfg())
+    eng.build(
+        [
+            ("empty", Vectors.sparse(DIM, [], [])),
+            ("a", Vectors.sparse(DIM, [1], [1.0])),
+            ("b", Vectors.sparse(DIM, [1], [1.0])),
+        ]
+    )
+    assert eng.all_pairs(0.5).pair_set() == {("a", "b")}
+    # empty vector matches nothing, crashes nothing
+    out = eng.insert([("e2", Vectors.sparse(DIM, [], []))], tau=0.5)
+    assert out.output == {} or "e2" not in out.output
+
+
+def test_duplicate_ids_index_separately():
+    # reference stores duplicates as separate entries; id map keeps latest
+    v = Vectors.sparse(DIM, [2], [1.0])
+    eng = Engine(cfg())
+    eng.build([("x", v)])
+    eng.insert([("x", v)], tau=0.9)
+    assert eng.n_rows == 2
+    assert eng.id_to_row["x"] == 1
+
+
+def test_giant_row_nnz():
+    # one row with nnz >> everyone else (pads the ingest batch wide)
+    rng = np.random.default_rng(9)
+    big_dims = np.arange(DIM, dtype=np.int32)
+    big = Vectors.sparse(DIM, big_dims, rng.random(DIM)).normalized()
+    small = Vectors.sparse(DIM, [0, 1], [0.6, 0.8])
+    eng = Engine(cfg())
+    eng.build([("big", big), ("small", small)])
+    csr = CSRMatrix.from_vectors([big, small], DIM)
+    for tau in (0.1, 0.5):
+        want = brute_force_pairs(csr, tau, ["big", "small"])
+        assert eng.all_pairs(tau).pair_set() == want
+
+
+def test_single_vector_corpus():
+    eng = Engine(cfg())
+    eng.build([("only", Vectors.sparse(DIM, [0], [1.0]))])
+    assert eng.all_pairs(0.1).n_pairs == 0
+    res = eng.topk([("q", Vectors.sparse(DIM, [0], [1.0]))], 5)
+    assert len(res["q"]) == 1  # k clamped to corpus size
+
+
+def test_insert_before_build():
+    # engine must bootstrap from streaming inserts alone
+    eng = Engine(cfg())
+    out = eng.insert(
+        [("a", Vectors.sparse(DIM, [7], [1.0])),
+         ("b", Vectors.sparse(DIM, [7], [1.0]))],
+        tau=0.9,
+    )
+    assert out.output["a"]["b"] == pytest.approx(1.0)
+    assert eng.all_pairs(0.9).pair_set() == {("a", "b")}
+
+
+def test_tau_zero_rejected_pairs_only_by_dot():
+    # tau tiny: every overlapping pair emitted; disjoint pairs never
+    a = Vectors.sparse(DIM, [0], [1.0])
+    b = Vectors.sparse(DIM, [1], [1.0])
+    c = Vectors.sparse(DIM, [0], [0.1])
+    eng = Engine(cfg())
+    eng.build([("a", a), ("b", b), ("c", c)])
+    assert eng.all_pairs(1e-6).pair_set() == {("a", "c")}
+
+
+def test_pow2_bucketing():
+    from apsim_tpu.vector.batch import pow2_bucket
+
+    assert pow2_bucket(1) == 64
+    assert pow2_bucket(64) == 64
+    assert pow2_bucket(65) == 128
+    assert pow2_bucket(6141) == 8192
+    assert pow2_bucket(5, lo=32) == 32

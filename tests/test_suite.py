@@ -1,0 +1,24 @@
+"""The benchmark suite itself must run green on a small corpus (it carries
+its own parity checks — this is the BASELINE.json config coverage)."""
+
+import numpy as np
+
+from apsim_tpu.bench.suite import run_suite
+
+from oracle import random_sparse_corpus
+
+
+def test_suite_small():
+    rng = np.random.default_rng(17)
+    csr = random_sparse_corpus(rng, 96, 300)
+    ids = [str(i) for i in range(csr.n_rows)]
+    report = run_suite(
+        csr, ids, taus=(0.5, 0.7), oracle_limit=96,
+        stream_batch=17, topk_queries=8, mesh=True,
+    )
+    for tau, entry in report["threshold_sweep"].items():
+        assert entry["parity_prefix"], tau
+    assert report["streaming"]["covers_batch_join"]
+    assert report["topk"]["self_match_rate"] == 1.0
+    assert report["mesh"]["matches_single_device"]
+    assert report["mesh"]["devices"] == 8

@@ -425,52 +425,64 @@ class Engine:
                 compact_csr, pad_dim=self.dim_cap,
                 rows=pow2_bucket(csr.n_rows, 32),
             )
-            self.x, buf, count, groups = score_ops.insert_match_fused(
+            self.x, bufs, packed = score_ops.insert_match_fused(
                 self.x, batch.dims, batch.vals, np.int32(n0),
                 np.int32(first_tile), np.int32(n0), tau_eff, tile, cap,
                 self.cfg.matmul_precision, grp,
             )
-            count, groups = int(count), int(groups)
-            if score_ops.overflowed(count, groups, cap, grp):
+            pairs = self._consume_match(bufs, packed, cap, grp)
+            if pairs is None:
                 # x is already updated (donated); retry ONLY the match
-                cap = _next_cap(cap, max(count, groups * grp))
-                buf, count, groups = self._match_tile_retry(
-                    first_tile, n0, tau_eff, tile, cap, grp
+                pairs = self._match_tile_retry(
+                    first_tile, n0, tau_eff, tile,
+                    _next_cap(cap, self._last_needed), grp,
                 )
-                count = int(count)
             self.stats["candidates_scored"] += self.n_rows * min(
                 tile, self.n_rows - first_tile
             )
-            rows, cols = score_ops.decode_pairs(buf, count)
-            cand_c.append(rows)
-            cand_q.append(cols)
+            cand_c.append(pairs[0])
+            cand_q.append(pairs[1])
         else:
             self._scatter_rows(compact_csr, row_offset=n0)
             for q0 in range(first_tile, self.n_rows, tile):
-                buf, count, groups = self._match_tile_retry(
+                pairs = self._match_tile_retry(
                     q0, n0, tau_eff, tile, int(self.cfg.extract_cap), grp
                 )
-                count = int(count)
                 self.stats["candidates_scored"] += self.n_rows * min(
                     tile, self.n_rows - q0
                 )
-                rows, cols = score_ops.decode_pairs(buf, count)
-                cand_c.append(rows)
-                cand_q.append(cols)
+                cand_c.append(pairs[0])
+                cand_q.append(pairs[1])
         return self._emit_query_results(
             np.concatenate(cand_q), np.concatenate(cand_c), tau
         )
 
     def _match_tile_retry(self, q0, lo, tau_eff, tile, cap, grp):
+        """Match one tile, auto-growing cap; returns (rows, cols) arrays."""
         while True:
-            buf, count, groups = score_ops.match_tile_extract(
+            bufs, packed = score_ops.match_tile_extract(
                 self.x, np.int32(q0), np.int32(lo), tau_eff, tile, cap,
                 self.cfg.matmul_precision, grp,
             )
-            count, groups = int(count), int(groups)
-            if not score_ops.overflowed(count, groups, cap, grp):
-                return buf, count, groups
-            cap = _next_cap(cap, max(count, groups * grp))
+            pairs = self._consume_match(bufs, packed, cap, grp)
+            if pairs is not None:
+                return pairs
+            cap = _next_cap(cap, self._last_needed)
+
+    def _consume_match(self, bufs, packed, cap: int, grp: int):
+        """Parse a match result: ONE small fetch covers counts + the typical
+        result; spill to a bucketed buffer fetch only for large results.
+        Returns (rows, cols) or None on capacity overflow (sets
+        ``self._last_needed``)."""
+        rows, cols, count, groups = score_ops.unpack_head(
+            np.asarray(packed)
+        )
+        if score_ops.overflowed(count, groups, cap, grp):
+            self._last_needed = max(count, groups * grp)
+            return None
+        if count <= rows.size:
+            return rows, cols
+        return score_ops.decode_pairs(bufs, count)
 
     def _admit(self, vec: SparseVector, tau: float) -> bool:
         """Upper-bound admission: dot(max_weights|support, v) >= tau
@@ -529,15 +541,15 @@ class Engine:
         cap = int(self.cfg.extract_cap)
         grp = int(self.cfg.extract_group)
         while True:
-            buf, count, groups = score_ops.dense_queries_extract(
+            bufs, packed = score_ops.dense_queries_extract(
                 self.x, q_dense, tau_eff, cap, self.cfg.matmul_precision, grp
             )
-            count, groups = int(count), int(groups)
-            if not score_ops.overflowed(count, groups, cap, grp):
+            pairs = self._consume_match(bufs, packed, cap, grp)
+            if pairs is not None:
                 break
-            cap = _next_cap(cap, max(count, groups * grp))
+            cap = _next_cap(cap, self._last_needed)
         self.stats["candidates_scored"] += self.n_rows * len(qids)
-        rows, qcols = score_ops.decode_pairs(buf, count)
+        rows, qcols = pairs
         # exact rescore against a merged shadow (queries appended temporarily)
         shadow = self.shadow_csr()
         out: Dict[str, Dict[str, float]] = {}

@@ -157,11 +157,49 @@ def _extract(m, q0, buf_i, buf_j, cursor, cap, group):
 
 
 def decode_pairs(bufs, count: int):
-    """Host-side decode: slice the valid prefix of the (row, col) buffers."""
+    """Host-side decode: transfer only a power-of-two prefix of the (row,
+    col) buffers — the full buffer is MBs and the host link is ~35 MB/s, so
+    fetching ``O(count)`` matters.  Bucketed lengths keep the slice jit count
+    bounded."""
     buf_i, buf_j = bufs
+    n = int(buf_i.shape[0])
+    length = 1024
+    while length < count:
+        length *= 2
+    length = min(length, n)
     return (
-        np.asarray(buf_i)[:count].astype(np.int64),
-        np.asarray(buf_j)[:count].astype(np.int64),
+        np.asarray(buf_i[:length])[:count].astype(np.int64),
+        np.asarray(buf_j[:length])[:count].astype(np.int64),
+    )
+
+
+HEAD = 4096  # pairs carried inline in the packed result head
+
+
+def _pack_head(buf_i, buf_j, total, groups):
+    """One int32 array [2*HEAD+2] carrying the first HEAD pairs + counts, so
+    the host learns everything in a single small fetch (the per-fetch round
+    trip here is ~30 ms; counts+typical streaming results fit in 32 KB)."""
+    return jnp.concatenate(
+        [
+            buf_i[:HEAD],
+            buf_j[:HEAD],
+            total.reshape(1).astype(jnp.int32),
+            groups.reshape(1).astype(jnp.int32),
+        ]
+    )
+
+
+def unpack_head(packed: np.ndarray):
+    """(rows_head, cols_head, count, groups) from a fetched packed head."""
+    count = int(packed[2 * HEAD])
+    groups = int(packed[2 * HEAD + 1])
+    k = min(count, HEAD)
+    return (
+        packed[:k].astype(np.int64),
+        packed[HEAD : HEAD + k].astype(np.int64),
+        count,
+        groups,
     )
 
 
@@ -236,7 +274,7 @@ def match_tile_extract(
     buf_i, buf_j, _, total, groups = _extract(
         m, q0, buf_i, buf_j, jnp.int32(0), cap, group
     )
-    return (buf_i, buf_j), total, groups
+    return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups)
 
 
 @functools.partial(
@@ -272,7 +310,7 @@ def insert_match_fused(
     buf_i, buf_j, _, total, groups = _extract(
         m, q0, buf_i, buf_j, jnp.int32(0), cap, group
     )
-    return x, (buf_i, buf_j), total, groups
+    return x, (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "precision", "group"))
@@ -295,7 +333,7 @@ def dense_queries_extract(
     buf_i, buf_j, _, total, groups = _extract(
         m, jnp.int32(0), buf_i, buf_j, jnp.int32(0), cap, group
     )
-    return (buf_i, buf_j), total, groups
+    return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "precision"))

@@ -1,1 +1,2 @@
 from .mesh import MeshEngine, make_mesh
+from .multihost import global_mesh, init_multihost, is_coordinator

@@ -46,7 +46,6 @@ def synthetic_corpus(
         vals /= np.linalg.norm(vals)
         all_idx.append(dims)
         all_val.append(vals.astype(np.float64))
-        indptr.append(indptr[-1] + dims.size)
     # inject exact duplicates by overwriting dup_rate of rows post hoc
     n_dup = int(n_rows * dup_rate)
     dup_dst = rng.choice(np.arange(1, n_rows), size=n_dup, replace=False)

@@ -67,8 +67,9 @@ class _Handler(socketserver.StreamRequestHandler):
                 with send_lock:
                     self.wfile.write((msg + "\n").encode())
                     self.wfile.flush()
-            except OSError:
-                pass  # subscriber gone; at-most-once semantics
+            except OSError as e:
+                # subscriber gone: let the server unregister this sink
+                raise BrokenPipeError(str(e)) from e
 
         def reply(obj) -> None:
             with send_lock:

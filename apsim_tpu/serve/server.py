@@ -141,14 +141,27 @@ class SimilarityServer:
         equivalent (IndexingWorkerActor.scala:44-46)."""
         self._sinks.append(sink)
 
+    def remove_output_sink(
+        self, sink: Callable[[SimilarityOutput], None]
+    ) -> None:
+        try:
+            self._sinks.remove(sink)
+        except ValueError:
+            pass
+
     def _fanout(self, out: SimilarityOutput) -> None:
+        dead = []
         for sink in self._sinks:
             try:
                 sink(out)
+            except BrokenPipeError:
+                dead.append(sink)  # disconnected subscriber: unregister
             except Exception:  # sink failures never kill the server
                 import traceback
 
                 traceback.print_exc()
+        for sink in dead:
+            self.remove_output_sink(sink)
 
     # ----------------------------------------------------------------- query
     def all_pairs(self, tau: float | None = None):

@@ -66,8 +66,6 @@ def main() -> None:
 
     # sanity: exact pair parity on a prefix vs fp64 brute force
     m = min(n, 1500)
-    sub_ids = ids[:m]
-    prefix = res
     from apsim_tpu.vector.batch import CSRMatrix
     sub = CSRMatrix(
         m, csr.n_cols, csr.indptr[: m + 1],
@@ -85,7 +83,7 @@ def main() -> None:
     want = set(zip(oi.tolist(), oj.tolist()))
     got = {
         (int(a), int(b))
-        for a, b in zip(prefix.i, prefix.j)
+        for a, b in zip(res.i, res.j)
         if a < m and b < m
     }
     parity = got == want

@@ -99,8 +99,9 @@ class AllPairsConfig:
     query_tile: int = 1024             # rows per scoring tile
     row_bucket: int = 512              # row-capacity growth quantum
     dim_bucket: int = 4096             # compact-dim capacity growth quantum
-    exact_rescore: bool = True         # fp64 host rescore of near-tau pairs
-    rescore_margin: float = 1e-4       # |S - tau| margin triggering rescore
+    rescore_margin: float = 1e-4      # relative device-error bound (fp64
+                                       # host rescore is always on: it is what
+                                       # makes the emitted pair set exact)
     mesh_shape: tuple = ()             # e.g. (8,) — empty => single device
     shard_axis: str = "dims"           # "dims" (reference parity) | "rows"
     checkpoint_dir: str = ""           # server auto-checkpoint location

@@ -302,10 +302,13 @@ class Engine:
             and self.dim_cap % 2048 == 0
             and self.cfg.matmul_precision != "highest"
         )
+        # the kernel materializes the upper-triangle hit mask
+        # (~row_cap²/2 bytes of HBM); cap auto mode where that stays small
+        fits = self.row_cap * self.row_cap // 2 <= (1 << 31)  # ≤ 2 GB
         on_tpu = jax.default_backend() == "tpu"
         if mode == "on":
             return single and aligned
-        return single and aligned and on_tpu
+        return single and aligned and on_tpu and fits
 
     def _all_pairs_pallas(self, tau_eff, cap: int):
         import jax.numpy as jnp
@@ -329,24 +332,18 @@ class Engine:
             ):
                 break
             cap = _next_cap(cap, max(count, groups * pallas_score.GROUP))
-        i = np.asarray(ri)[:count].astype(np.int64)
-        j = np.asarray(ci)[:count].astype(np.int64)
+        i, j = score_ops.decode_pairs((ri, ci), count)
         return i, j, count
 
     def _finalize_pairs(self, i: np.ndarray, j: np.ndarray, tau: float) -> PairResult:
         if i.size == 0:
             return PairResult(i, j, np.empty(0, np.float64), list(self.ids))
         shadow = self.shadow_csr()
-        if self.cfg.exact_rescore:
-            sims = rescore_ops.pair_dots(
-                shadow.indptr, shadow.indices, shadow.data, i, j, shadow.n_cols
-            )
-            keep = sims >= tau
-            i, j, sims = i[keep], j[keep], sims[keep]
-        else:
-            sims = rescore_ops.pair_dots(
-                shadow.indptr, shadow.indices, shadow.data, i, j, shadow.n_cols
-            )
+        sims = rescore_ops.pair_dots(
+            shadow.indptr, shadow.indices, shadow.data, i, j, shadow.n_cols
+        )
+        keep = sims >= tau
+        i, j, sims = i[keep], j[keep], sims[keep]
         self.stats["pairs_emitted"] += i.size
         return PairResult(i, j, sims, list(self.ids))
 
@@ -484,19 +481,41 @@ class Engine:
             return rows, cols
         return score_ops.decode_pairs(bufs, count)
 
+    def set_max_weight_map(self, weights: np.ndarray) -> None:
+        """Install precomputed corpus-wide per-dim max weights (the
+        ``<table>_MAX`` statistic, ``VectorStore.max_weights``) for exact
+        ``admission="real"`` pruning — the thing the reference computes
+        (HBaseUpLoader.scala:113-123) but never loads back."""
+        if weights.shape != (self.cfg.vector_dim,):
+            raise ValueError("max weight map must cover vector_dim")
+        self._static_max_weights = np.asarray(weights, dtype=np.float64)
+
     def _admit(self, vec: SparseVector, tau: float) -> bool:
         """Upper-bound admission: dot(max_weights|support, v) >= tau
-        (EntryProxyActor.scala:81-93)."""
+        (EntryProxyActor.scala:81-93).
+
+        "real" with a static corpus map (``set_max_weight_map``) is exactly
+        lossless: the bound covers every corpus vector.  Without one, the
+        running-maxima bound is made self-inclusive (``max(m_d, v_d)``) so it
+        still dominates the similarity against everything seen so far — but a
+        *later* vector with larger weights can in principle form a pair with
+        an already-dropped one; use the static map when strict losslessness
+        against future inserts matters (documented in PARITY.md).
+        """
         mode = getattr(self.cfg, "admission", "ones")
         if mode == "off" or vec.nnz == 0:
             return vec.nnz > 0
         if mode == "real":
-            ub = float(np.dot(self.max_weights[vec.indices].clip(min=0), vec.values))
-            # an unseen dim can still match future vectors; only prune when the
-            # bound is certain (all dims seen) — lossless by construction
-            if np.all(self.max_weights[vec.indices] > 0):
-                return ub >= tau
-            return True
+            static = getattr(self, "_static_max_weights", None)
+            if static is not None:
+                return float(np.dot(static[vec.indices], vec.values)) >= tau
+            bound = np.maximum(self.max_weights[vec.indices], vec.values)
+            admit = float(np.dot(bound, vec.values)) >= tau
+            if not admit:
+                # record the dropped vector's weights so future bounds
+                # account for it
+                np.maximum.at(self.max_weights, vec.indices, vec.values)
+            return admit
         # "ones": the reference's stub map (all weights 1.0)
         return float(np.sum(vec.values)) >= tau
 
@@ -680,19 +699,36 @@ class Engine:
             )
 
     @classmethod
-    def load(cls, path: str, config: AllPairsConfig | None = None) -> "Engine":
+    @staticmethod
+    def read_checkpoint(path: str):
+        """Host-only checkpoint read: (csr, ids, max_weights, config_dict) —
+        no device state is touched, so any engine flavor can rebuild from it."""
         z = np.load(os.path.join(path, "index.npz"))
         with open(os.path.join(path, "meta.json"), "r", encoding="utf-8") as f:
             meta = json.load(f)
-        cfg = config or AllPairsConfig().replace(
-            vector_dim=int(meta["config"]["vector_dim"]),
-            similarity_threshold=float(meta["config"]["similarity_threshold"]),
-            dtype=str(meta["config"]["dtype"]),
-        )
-        eng = cls(cfg)
         n_rows, n_cols = (int(v) for v in z["shape"])
         csr = CSRMatrix(n_rows, n_cols, z["indptr"], z["indices"], z["data"])
-        if n_rows:
-            eng.build(csr, meta["ids"])
-        eng.max_weights = z["max_weights"]
+        return csr, meta["ids"], z["max_weights"], meta["config"]
+
+    def restore(self, path: str) -> None:
+        """Rebuild this (empty) engine from a checkpoint."""
+        if self.n_rows:
+            raise RuntimeError("restore() on a non-empty engine")
+        csr, ids, max_weights, _ = Engine.read_checkpoint(path)
+        if csr.n_rows:
+            self.build(csr, ids)
+        self.max_weights = max_weights
+
+    @classmethod
+    def load(cls, path: str, config: AllPairsConfig | None = None) -> "Engine":
+        csr, ids, max_weights, ckpt_cfg = cls.read_checkpoint(path)
+        cfg = config or AllPairsConfig().replace(
+            vector_dim=int(ckpt_cfg["vector_dim"]),
+            similarity_threshold=float(ckpt_cfg["similarity_threshold"]),
+            dtype=str(ckpt_cfg["dtype"]),
+        )
+        eng = cls(cfg)
+        if csr.n_rows:
+            eng.build(csr, ids)
+        eng.max_weights = max_weights
         return eng

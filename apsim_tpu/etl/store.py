@@ -135,11 +135,13 @@ class VectorStore:
 
 
 def split_load_range(start_row: int, end_row: int, max_range_num: int) -> List[tuple[int, int]]:
-    """Split an inclusive row range into at most ``max_range_num`` inclusive
-    sub-ranges — ``CommonUtils.parseLoadDataRequest`` parity
-    (CommonUtils.scala:61-85).  Deviation: the reference's floor-division
-    stride loops forever when ranges < max_range_num; we clamp the stride to 1
-    (yielding fewer, single-row ranges) instead."""
+    """Split an inclusive row range into sub-ranges of stride
+    ``len // max_range_num`` — ``CommonUtils.parseLoadDataRequest`` parity
+    (CommonUtils.scala:61-85), including its quirk of emitting ONE extra
+    straggler range when the length is not divisible (floor-division stride).
+    Deviation: the reference's stride loops forever when
+    ranges < max_range_num; we clamp the stride to 1 (yielding fewer,
+    single-row ranges) instead."""
     out: List[tuple[int, int]] = []
     max_length = (end_row - start_row + 1) // max_range_num
     if max_length <= 0:

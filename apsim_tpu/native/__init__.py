@@ -1,4 +1,4 @@
-"""ctypes loader for the native C++ helpers (``native/apsim_native.cpp``).
+"""ctypes loader for the native C++ helpers (``apsim_native.cpp`` beside this file).
 
 Builds the shared library on first use with g++ (the image has no pybind11;
 the C ABI + ctypes keeps the binding dependency-free) and caches the .so
@@ -19,8 +19,7 @@ import numpy as np
 
 __all__ = ["get_lib", "native_available", "hash_corpus", "pad_batch", "crc32"]
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "apsim_native.cpp")
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "apsim_native.cpp")
 _lock = threading.Lock()
 _lib = None
 _tried = False

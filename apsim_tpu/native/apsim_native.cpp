@@ -49,7 +49,9 @@ inline bool is_space(uint8_t c) {
          c == '\f';
 }
 
-// open-addressing uint32 -> count map, reused across documents
+// open-addressing uint32 -> count map, reused across documents; rehashes at
+// 50% load so a document with more distinct tokens than the initial size
+// estimate can never fill the table (a full table would probe forever)
 struct CountMap {
   std::vector<uint32_t> keys;
   std::vector<uint32_t> vals;
@@ -69,7 +71,28 @@ struct CountMap {
     used_slots.clear();
   }
 
+  void insert_raw(uint32_t key, uint32_t count) {
+    uint32_t slot = (key * 2654435761u) & mask;
+    while (keys[slot] != 0xFFFFFFFFu) slot = (slot + 1) & mask;
+    keys[slot] = key;
+    vals[slot] = count;
+    used_slots.push_back(slot);
+  }
+
+  void grow() {
+    std::vector<std::pair<uint32_t, uint32_t>> items;
+    items.reserve(used_slots.size());
+    for (uint32_t s : used_slots) items.emplace_back(keys[s], vals[s]);
+    size_t cap = (static_cast<size_t>(mask) + 1) * 2;
+    keys.assign(cap, 0xFFFFFFFFu);
+    vals.assign(cap, 0);
+    used_slots.clear();
+    mask = static_cast<uint32_t>(cap - 1);
+    for (const auto& kv : items) insert_raw(kv.first, kv.second);
+  }
+
   void add(uint32_t key) {
+    if ((used_slots.size() + 1) * 2 > static_cast<size_t>(mask) + 1) grow();
     uint32_t slot = (key * 2654435761u) & mask;
     while (true) {
       if (keys[slot] == 0xFFFFFFFFu) {

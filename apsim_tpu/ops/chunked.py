@@ -74,12 +74,11 @@ def allpairs_chunked_extract(
     int32 [n_chunks + 1].  Returns ((buf_i, buf_j), count, max_groups) —
     the same contract as ``score.allpairs_extract``.
     """
+    from .score import _precision
+
     n_chunks = chunk_offs.shape[0] - 1
     n_tiles = row_cap // tile
-    prec = {
-        "default": jax.lax.Precision.DEFAULT,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[precision]
+    prec = _precision(precision)
 
     def densify_chunk(c):
         start = chunk_offs[c]

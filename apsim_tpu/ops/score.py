@@ -173,17 +173,20 @@ def decode_pairs(bufs, count: int):
     )
 
 
-HEAD = 4096  # pairs carried inline in the packed result head
+HEAD = 4096  # max pairs carried inline in the packed result head
 
 
 def _pack_head(buf_i, buf_j, total, groups):
-    """One int32 array [2*HEAD+2] carrying the first HEAD pairs + counts, so
-    the host learns everything in a single small fetch (the per-fetch round
-    trip here is ~30 ms; counts+typical streaming results fit in 32 KB)."""
+    """One int32 array [2*h+2] carrying the first ``h = min(HEAD, len(buf))``
+    pairs + counts, so the host learns everything in a single small fetch
+    (the per-fetch round trip here is ~30 ms; counts + typical streaming
+    results fit in 32 KB).  The head size is recoverable from the packed
+    length, so small extraction caps stay valid."""
+    h = min(HEAD, buf_i.shape[0])
     return jnp.concatenate(
         [
-            buf_i[:HEAD],
-            buf_j[:HEAD],
+            buf_i[:h],
+            buf_j[:h],
             total.reshape(1).astype(jnp.int32),
             groups.reshape(1).astype(jnp.int32),
         ]
@@ -192,12 +195,13 @@ def _pack_head(buf_i, buf_j, total, groups):
 
 def unpack_head(packed: np.ndarray):
     """(rows_head, cols_head, count, groups) from a fetched packed head."""
-    count = int(packed[2 * HEAD])
-    groups = int(packed[2 * HEAD + 1])
-    k = min(count, HEAD)
+    h = (packed.shape[0] - 2) // 2
+    count = int(packed[2 * h])
+    groups = int(packed[2 * h + 1])
+    k = min(count, h)
     return (
         packed[:k].astype(np.int64),
-        packed[HEAD : HEAD + k].astype(np.int64),
+        packed[h : h + k].astype(np.int64),
         count,
         groups,
     )

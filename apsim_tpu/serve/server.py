@@ -40,12 +40,17 @@ class SimilarityServer:
         store: VectorStore | None = None,
     ):
         self.cfg = config or (engine.cfg if engine else AllPairsConfig())
-        if engine is None and self._has_checkpoint():
-            engine = Engine.load(self.cfg.checkpoint_dir, config=self.cfg)
-            get_logger().info(
-                "restored %d vectors from checkpoint %s",
-                engine.n_rows, self.cfg.checkpoint_dir,
-            )
+        if self._has_checkpoint():
+            if engine is None:
+                engine = Engine.load(self.cfg.checkpoint_dir, config=self.cfg)
+            elif engine.n_rows == 0:
+                # restore INTO a caller-provided (e.g. mesh-sharded) engine
+                engine.restore(self.cfg.checkpoint_dir)
+            if engine is not None and engine.n_rows:
+                get_logger().info(
+                    "restored %d vectors from checkpoint %s",
+                    engine.n_rows, self.cfg.checkpoint_dir,
+                )
         self.engine = engine or Engine(self.cfg)
         self.store = store
         self._last_ckpt = time.time()

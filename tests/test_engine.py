@@ -125,19 +125,53 @@ def test_admission_pruning_ones():
     assert eng.stats["vectors_dropped_admission"] == 1
 
 
-def test_admission_real_is_lossless(corpus):
+def test_admission_real_running(corpus):
+    # normalized corpus: the self-inclusive running bound admits everything
+    # (ub >= ||v||^2 = 1 >= tau), so nothing is lost
     tau = 0.6
     eng = Engine(small_cfg(admission="real"))
     for s in range(0, corpus.n_rows, 31):
         e = min(s + 31, corpus.n_rows)
         eng.insert([(str(i), corpus.row(i)) for i in range(s, e)], tau=tau)
-    got = eng.all_pairs(tau).pair_set()
-    # every oracle pair among *indexed* rows must be present; admission may
-    # only drop vectors that cannot reach tau against anything
-    want = brute_force_pairs(corpus, tau)
-    indexed = set(eng.ids)
-    want = {(a, b) for a, b in want if a in indexed and b in indexed}
-    assert got == want
+    assert eng.n_rows == corpus.n_rows
+    assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+
+
+def test_admission_real_static_map(corpus):
+    # precomputed corpus maxima: pruning is exactly lossless AND actually
+    # prunes sub-threshold vectors
+    tau = 0.6
+    eng = Engine(small_cfg(admission="real"))
+    eng.set_max_weight_map(corpus.max_weights())
+    weak = Vectors.sparse(DIM, [0, 1], [1e-4, 1e-4])  # cannot reach tau
+    for s in range(0, corpus.n_rows, 31):
+        e = min(s + 31, corpus.n_rows)
+        eng.insert([(str(i), corpus.row(i)) for i in range(s, e)], tau=tau)
+    eng.insert([("weak", weak)], tau=tau)
+    assert "weak" not in eng.ids  # pruned by the corpus bound
+    assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+
+
+def test_small_extract_cap_streaming(corpus):
+    # regression: extract_cap smaller than the packed head must not crash
+    # the streaming/fused path
+    eng = Engine(small_cfg(extract_cap=8))
+    out = eng.insert(
+        [(str(i), corpus.row(i)) for i in range(40)], tau=0.3
+    )
+    assert eng.n_rows == 40
+    emitted = set()
+    for q, sims in out.output.items():
+        for c in sims:
+            emitted.add((q, c) if q <= c else (c, q))
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    sub = CSRMatrix(
+        40, corpus.n_cols, corpus.indptr[:41],
+        corpus.indices[: int(corpus.indptr[40])],
+        corpus.data[: int(corpus.indptr[40])],
+    )
+    assert emitted == brute_force_pairs(sub, 0.3)
 
 
 def test_topk(corpus):

@@ -134,6 +134,21 @@ def test_server_checkpoint_restore(tmp_path, corpus):
         assert res.pair_set() == want
 
 
+def test_mesh_server_checkpoint_restore(tmp_path, corpus):
+    # regression: a caller-provided (mesh) engine must also restore
+    from apsim_tpu.parallel import MeshEngine, make_mesh
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = make_cfg(checkpoint_dir=ckpt)
+    with SimilarityServer(None, cfg) as srv:
+        srv.insert_new_vectors([(str(i), corpus.row(i)) for i in range(30)])
+        assert wait_until(lambda: srv.stats()["n_rows"] == 30)
+    mesh_engine = MeshEngine(cfg, mesh=make_mesh(8))
+    with SimilarityServer(mesh_engine, cfg) as srv2:
+        assert srv2.stats()["n_rows"] == 30
+        assert srv2.engine.x.sharding.num_devices == 8
+
+
 def CSRSlice(csr, n):
     from apsim_tpu.vector.batch import CSRMatrix
 

@@ -31,10 +31,13 @@ __all__ = ["ChunkedAllPairs"]
 
 class ChunkedAllPairs:
     def __init__(self, config: AllPairsConfig | None = None,
-                 chunk_dim: int = 2048):
+                 chunk_dim: int = 2048, super_tile: int = 4096):
         setup_jax()
         self.cfg = config or AllPairsConfig()
         self.chunk_dim = int(chunk_dim)
+        # query-stripe width: wide stripes amortize the per-chunk slab
+        # scatter; clamped to the row capacity at build time
+        self.super_tile = int(super_tile)
         self._device = None
         self._shadow: CSRMatrix | None = None
         self.ids: List[str] = []
@@ -50,8 +53,11 @@ class ChunkedAllPairs:
         self.n_rows = csr.n_rows
         compact = CompactSpace.from_csr(csr, self.cfg.dim_bucket)
         ccsr = compact.map_csr(csr)
-        tile = int(self.cfg.query_tile)
-        self.row_cap = round_up(max(csr.n_rows, 1), max(self.cfg.row_bucket, tile))
+        self.super_tile = min(
+            self.super_tile,
+            round_up(max(csr.n_rows, 1), 256),
+        )
+        self.row_cap = round_up(max(csr.n_rows, 1), self.super_tile)
         n_chunks = max(1, -(-compact.n_active // self.chunk_dim))
         rows_of = np.repeat(
             np.arange(csr.n_rows, dtype=np.int64), np.diff(ccsr.indptr)
@@ -103,20 +109,34 @@ class ChunkedAllPairs:
                 np.empty(0, np.float64), [],
             )
         ent_row, ent_col, ent_val, offs = self._device
-        tile = int(self.cfg.query_tile)
-        cap = int(self.cfg.extract_cap)
         grp = int(self.cfg.extract_group)
-        while True:
-            bufs, count, groups = chunked_ops.allpairs_chunked_extract(
-                ent_row, ent_col, ent_val, offs, self._tau_eff(tau),
-                self.row_cap, self.chunk_dim, self._max_ent, tile, cap, grp,
-                self.cfg.matmul_precision,
-            )
-            count, groups = int(count), int(groups)
-            if not score_ops.overflowed(count, groups, cap, grp):
-                break
-            cap = _next_cap(cap, max(count, groups * grp))
-        i, j = score_ops.decode_pairs(bufs, count)
+        tau_eff = self._tau_eff(tau)
+        all_i: list = []
+        all_j: list = []
+        # host loop over query stripes; a stripe wide enough to amortize the
+        # per-chunk slab scatter (the dominant cost of this mode)
+        for q0 in range(0, self.n_rows, self.super_tile):
+            cap = int(self.cfg.extract_cap)
+            while True:
+                bufs, packed = chunked_ops.chunked_stripe_extract(
+                    ent_row, ent_col, ent_val, offs, np.int32(q0), tau_eff,
+                    self.row_cap, self.chunk_dim, self._max_ent,
+                    self.super_tile, cap, grp, self.cfg.matmul_precision,
+                )
+                rows_h, cols_h, count, groups = score_ops.unpack_head(
+                    np.asarray(packed)
+                )
+                if not score_ops.overflowed(count, groups, cap, grp):
+                    break
+                cap = _next_cap(cap, max(count, groups * grp))
+            if count <= rows_h.size:
+                i, j = rows_h, cols_h
+            else:
+                i, j = score_ops.decode_pairs(bufs, count)
+            all_i.append(i)
+            all_j.append(j)
+        i = np.concatenate(all_i)
+        j = np.concatenate(all_j)
         sims = rescore_ops.pair_dots(
             self._shadow.indptr, self._shadow.indices, self._shadow.data,
             i, j, self._shadow.n_cols,

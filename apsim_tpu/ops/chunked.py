@@ -2,13 +2,20 @@
 
 The dense engine materializes ``X [rows, dim_cap]`` (HBM ceiling ≈ 130k rows
 at Enron-like vocabularies).  This mode keeps the index as flat COO entry
-arrays sorted by dim-chunk and densifies ONE ``[row_cap, C]`` slab at a time
-inside the join loop:
+arrays sorted by dim-chunk and densifies ONE ``[row_cap, C]`` slab at a time:
 
-    S_tile = Σ_c  slab_c @ slab_c[q0:q0+tile]ᵀ
+    S_super = Σ_c  slab_c @ slab_c[q0:q0+super]ᵀ
 
-Memory: ``O(nnz + rows·C + rows·tile)`` — about 5 GB at 1M rows — instead of
+Memory: ``O(nnz + rows·C + rows·super)`` — a few GB at 1M rows — instead of
 ``O(rows · dims)``.
+
+Structure notes (learned on hardware):
+  - the tile loop lives on the HOST; each device call handles one
+    ``super``-wide query stripe with an internal ``fori`` over chunks.  A
+    single fused program with both loops (tiles × chunks) nested crashed the
+    TPU worker at ≥100k rows; per-stripe programs are small and stable.
+  - ``super`` ≫ tile amortizes the per-chunk slab scatter (the dominant cost)
+    over more query columns.
 
 Chunk assignment interleaves frequency-ranked compact dims
 (``chunk = col % n_chunks``, ``local = col // n_chunks``) so chunk loads are
@@ -26,9 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .score import _extract
+from .score import _extract, _pack_head, _precision
 
-__all__ = ["sort_entries_by_chunk", "allpairs_chunked_extract"]
+__all__ = ["sort_entries_by_chunk", "chunked_stripe_extract"]
 
 
 def sort_entries_by_chunk(
@@ -58,75 +65,55 @@ def sort_entries_by_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "row_cap", "chunk_dim", "max_ent", "tile", "cap", "group",
+        "row_cap", "chunk_dim", "max_ent", "super_tile", "cap", "group",
         "precision",
     ),
 )
-def allpairs_chunked_extract(
-    ent_row, ent_col, ent_val, chunk_offs, tau_eff,
-    row_cap: int, chunk_dim: int, max_ent: int, tile: int, cap: int,
+def chunked_stripe_extract(
+    ent_row, ent_col, ent_val, chunk_offs, q0, tau_eff,
+    row_cap: int, chunk_dim: int, max_ent: int, super_tile: int, cap: int,
     group: int = 8, precision: str = "default",
 ):
-    """Upper-triangle all-pairs over chunked COO entries, ONE device call.
+    """Score one ``super_tile``-wide query stripe of the upper-triangle join
+    over chunked COO entries; returns (bufs, packed_head) like
+    ``score.match_tile_extract``.
 
     ``ent_*``: flat entry arrays sorted by chunk (padded to a static length
-    with rows == row_cap so the pad scatters nothing).  ``chunk_offs``
-    int32 [n_chunks + 1].  Returns ((buf_i, buf_j), count, max_groups) —
-    the same contract as ``score.allpairs_extract``.
+    with rows == row_cap so the pad scatters nothing).
     """
-    from .score import _precision
-
     n_chunks = chunk_offs.shape[0] - 1
-    n_tiles = row_cap // tile
     prec = _precision(precision)
 
-    def densify_chunk(c):
+    def chunk_body(c, acc):
         start = chunk_offs[c]
         cnt = chunk_offs[c + 1] - start
-        # static-size gather window with masking (max_ent is a pow2 bucket)
-        idx = start + jax.lax.broadcasted_iota(jnp.int32, (max_ent, 1), 0).squeeze(-1)
-        idx = jnp.minimum(idx, ent_row.shape[0] - 1)
-        valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (max_ent, 1), 0).squeeze(-1)
-            < cnt
-        )
+        pos = jax.lax.broadcasted_iota(jnp.int32, (max_ent, 1), 0).squeeze(-1)
+        idx = jnp.minimum(start + pos, ent_row.shape[0] - 1)
+        valid = pos < cnt
         r = jnp.where(valid, ent_row[idx], row_cap)  # OOB row -> dropped
         lc = jnp.where(valid, ent_col[idx], 0)
         v = jnp.where(valid, ent_val[idx], 0.0)
         slab = jnp.zeros((row_cap, chunk_dim), jnp.float32)
-        return slab.at[r, lc].add(v, mode="drop", unique_indices=True)
-
-    def tile_body(t, carry):
-        buf_i, buf_j, cursor, max_groups = carry
-        q0 = t * tile
-
-        def chunk_body(c, acc):
-            slab = densify_chunk(c)
-            q = jax.lax.dynamic_slice(slab, (q0, 0), (tile, chunk_dim))
-            return acc + jax.lax.dot_general(
-                slab, q,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
-
-        s = jax.lax.fori_loop(
-            0, n_chunks, chunk_body, jnp.zeros((row_cap, tile), jnp.float32)
+        slab = slab.at[r, lc].add(v, mode="drop", unique_indices=True)
+        q = jax.lax.dynamic_slice(slab, (q0, 0), (super_tile, chunk_dim))
+        return acc + jax.lax.dot_general(
+            slab, q,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
         )
-        s = jax.lax.optimization_barrier(s)
-        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        m = (s >= tau_eff) & (rows < cols)
-        buf_i, buf_j, cursor, _, groups = _extract(
-            m, q0, buf_i, buf_j, cursor, cap, group
-        )
-        return buf_i, buf_j, cursor, jnp.maximum(max_groups, groups)
 
-    init = (
-        jnp.full((2 * cap,), -1, jnp.int32),
-        jnp.full((2 * cap,), -1, jnp.int32),
-        jnp.int32(0),
-        jnp.int32(0),
+    s = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        jnp.zeros((row_cap, super_tile), jnp.float32),
     )
-    bi, bj, count, groups = jax.lax.fori_loop(0, n_tiles, tile_body, init)
-    return (bi, bj), count, groups
+    s = jax.lax.optimization_barrier(s)
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    m = (s >= tau_eff) & (rows < cols)
+    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_i, buf_j, _, total, groups = _extract(
+        m, q0, buf_i, buf_j, jnp.int32(0), cap, group
+    )
+    return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups)

@@ -128,6 +128,18 @@ class SimilarityServer:
         admission pruning / component filter)."""
         if self.store is None:
             raise RuntimeError("no VectorStore attached")
+        if self.cfg.admission == "real":
+            # close the loop the reference left open: it computes the
+            # <table>_MAX statistic but never loads it
+            # (EntryProxyActor.readMaxWeight stub); we install it so
+            # admission pruning uses the true corpus bound
+            try:
+                with self._lock:
+                    self.engine.set_max_weight_map(
+                        self.store.max_weights(table)
+                    )
+            except (FileNotFoundError, ValueError):
+                pass
         for s, e in split_load_range(start_row, end_row, self.cfg.io_range_num):
             csr, ids = self.store.load_range(table, s, e)
             batch = [(ids[i], csr.row(i)) for i in range(csr.n_rows)]

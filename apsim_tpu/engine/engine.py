@@ -520,7 +520,7 @@ class Engine:
         return float(np.sum(vec.values)) >= tau
 
     def _grow_for(self, csr: CSRMatrix) -> None:
-        grew = self.compact.extend(csr.indices) > 0
+        self.compact.extend(csr.indices)
         need_rows = round_up(self.n_rows + csr.n_rows, self._row_quantum())
         new_row_cap = self.row_cap
         while new_row_cap < need_rows:

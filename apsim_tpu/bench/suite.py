@@ -74,28 +74,8 @@ def run_suite(
             "parity_prefix": got == want,
         }
     report["threshold_sweep"] = sweep
-
-    # ---- 3: streaming ------------------------------------------------------
     tau = 0.8
-    eng_s = Engine(AllPairsConfig())
-    emitted = 0
-    t_total = 0.0
-    for s in range(0, n, stream_batch):
-        e = min(s + stream_batch, n)
-        batch = [(ids[i], csr.row(i)) for i in range(s, e)]
-        t0 = time.time()
-        out = eng_s.insert(batch, tau=tau)
-        t_total += time.time() - t0
-        emitted += sum(len(v) for v in out.output.values())
     batch_pairs = eng.all_pairs(tau)
-    stream_ok = emitted >= batch_pairs.n_pairs  # symmetric intra-batch dupes
-    report["streaming"] = {
-        "batch_size": stream_batch,
-        "vectors_per_sec": n / t_total,
-        "seconds_total": t_total,
-        "results_emitted": emitted,
-        "covers_batch_join": stream_ok,
-    }
 
     # ---- 4: top-k ----------------------------------------------------------
     k = 10
@@ -113,6 +93,30 @@ def run_suite(
         "queries_per_sec": nq / dt,
         "self_match_rate": self_ok / nq,
     }
+    # free this engine's device matrix before the streaming phase (two
+    # full-size engines do not fit HBM together on one chip)
+    eng.x = None
+
+    # ---- 3: streaming ------------------------------------------------------
+    eng_s = Engine(AllPairsConfig())
+    emitted = 0
+    t_total = 0.0
+    for s in range(0, n, stream_batch):
+        e = min(s + stream_batch, n)
+        batch = [(ids[i], csr.row(i)) for i in range(s, e)]
+        t0 = time.time()
+        out = eng_s.insert(batch, tau=tau)
+        t_total += time.time() - t0
+        emitted += sum(len(v) for v in out.output.values())
+    stream_ok = emitted >= batch_pairs.n_pairs  # symmetric intra-batch dupes
+    report["streaming"] = {
+        "batch_size": stream_batch,
+        "vectors_per_sec": n / t_total,
+        "seconds_total": t_total,
+        "results_emitted": emitted,
+        "covers_batch_join": stream_ok,
+    }
+    eng_s.x = None
 
     # ---- 5: mesh-sharded ---------------------------------------------------
     if mesh:

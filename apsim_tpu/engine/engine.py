@@ -626,10 +626,17 @@ class Engine:
         k: int,
     ) -> Dict[str, List[Tuple[str, float]]]:
         """k nearest cosine neighbors per query over the static index
-        (BASELINE.json config #4)."""
+        (BASELINE.json config #4).
+
+        The device ranks in bf16/fp32; to keep reported scores and ordering
+        exact we over-fetch candidates (2k + slack, covering the device error
+        band), recompute their similarities in float64 on the host, and
+        re-rank — same margin philosophy as the thresholded join.
+        """
         if self.n_rows == 0:
             return {qid: [] for qid, _ in queries}
         k_eff = min(k, self.n_rows)
+        k_fetch = min(self.n_rows, max(2 * k_eff, k_eff + 16))
         csr, qids = _as_csr(list(queries), None, self.cfg.vector_dim)
         compact = self.compact.map_csr(self._drop_unmapped(csr), extend=False)
         from ..vector.batch import pow2_bucket
@@ -640,17 +647,34 @@ class Engine:
         q_dense = score_ops.densify(
             batch.dims, batch.vals, batch.rows, self.dim_cap, self.cfg.dtype
         )
-        scores, rows = score_ops.topk_scores(
-            self.x, q_dense, np.int32(self.n_rows), k_eff,
+        _, rows = score_ops.topk_scores(
+            self.x, q_dense, np.int32(self.n_rows), k_fetch,
             self.cfg.matmul_precision,
         )
-        scores = np.asarray(scores)
-        rows = np.asarray(rows)
+        rows = np.asarray(rows)[: len(qids)]
+        # exact fp64 rescore of the fetched candidates: stack queries under
+        # the shadow so pair_dots sees one matrix
+        shadow = self.shadow_csr()
+        nq = len(qids)
+        stacked = CSRMatrix(
+            shadow.n_rows + csr.n_rows,
+            shadow.n_cols,
+            np.concatenate([shadow.indptr, shadow.indptr[-1] + csr.indptr[1:]]),
+            np.concatenate([shadow.indices, csr.indices]),
+            np.concatenate([shadow.data, csr.data]),
+        )
+        qi_idx = np.repeat(np.arange(nq), k_fetch) + shadow.n_rows
+        cand_idx = rows.reshape(-1).astype(np.int64)
+        sims = rescore_ops.pair_dots(
+            stacked.indptr, stacked.indices, stacked.data,
+            qi_idx, cand_idx, stacked.n_cols,
+        ).reshape(nq, k_fetch)
         out: Dict[str, List[Tuple[str, float]]] = {}
         for qi, qid in enumerate(qids):
+            order = np.argsort(-sims[qi], kind="stable")[:k_eff]
             out[qid] = [
-                (self.ids[int(rows[qi, t])], float(scores[qi, t]))
-                for t in range(k_eff)
+                (self.ids[int(rows[qi, t])], float(sims[qi, t]))
+                for t in order
             ]
         return out
 

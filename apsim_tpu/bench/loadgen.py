@@ -81,6 +81,11 @@ class LoadGenerator:
             self.conn.flush()
         if self.freeze_before_test:
             self.conn.freeze()
+            # warm the frozen-match path so first-compile cost (minutes on a
+            # cold cache) lands before the measured phase, not inside it
+            vid, vec = self.vectors[0]
+            self.conn.insert_new_vector([(f"warm:{vid}", vec)])
+            self.conn.flush()
         threads = [
             threading.Thread(target=self._runner, args=(i,))
             for i in range(self.children)

@@ -27,7 +27,12 @@ __all__ = ["ClientConnection", "InteractiveClient"]
 
 
 class ClientConnection:
-    def __init__(self, remote_addresses: List[str], timeout: float = 30.0):
+    def __init__(
+        self, remote_addresses: List[str], timeout: float | None = None
+    ):
+        """``timeout`` applies to request/response calls; None blocks — the
+        server may legitimately take minutes on first-compile of a new index
+        shape, so finite timeouts are opt-in."""
         if not remote_addresses:
             raise ValueError("need at least one host:port")
         # random remote selection — ClientConnection.scala:24-25

@@ -1,0 +1,67 @@
+"""Property tests: random corpora × random engine configs must always match
+the fp64 oracle exactly — batch, streaming, and chunked."""
+
+import numpy as np
+import pytest
+
+from apsim_tpu import AllPairsConfig, Engine
+from apsim_tpu.engine import ChunkedAllPairs
+
+from oracle import brute_force_pairs, random_sparse_corpus
+
+DIM = 350
+
+
+def random_cfg(rng) -> AllPairsConfig:
+    return AllPairsConfig(
+        vector_dim=DIM,
+        query_tile=int(rng.choice([32, 64, 128])),
+        row_bucket=int(rng.choice([32, 64, 128])),
+        dim_bucket=int(rng.choice([64, 128])),
+        extract_cap=int(rng.choice([64, 4096, 1 << 18])),
+        extract_group=int(rng.choice([8, 16])),
+        matmul_precision=str(rng.choice(["default", "highest"])),
+        dtype=str(rng.choice(["float32", "bfloat16"])),
+    )
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_fuzz_batch_and_streaming(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(30, 200))
+    csr = random_sparse_corpus(rng, n, DIM, nnz_lo=2, nnz_hi=25)
+    tau = float(rng.choice([0.25, 0.4, 0.6, 0.8]))
+    cfg = random_cfg(rng)
+    want = brute_force_pairs(csr, tau)
+
+    eng = Engine(cfg)
+    eng.build(csr)
+    assert eng.all_pairs(tau).pair_set() == want, (seed, cfg)
+
+    eng2 = Engine(cfg)
+    emitted = set()
+    step = int(rng.integers(1, 40))
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        out = eng2.insert([(str(i), csr.row(i)) for i in range(s, e)], tau=tau)
+        for q, sims in out.output.items():
+            for c in sims:
+                emitted.add((q, c) if q <= c else (c, q))
+    assert emitted == want, (seed, cfg, step)
+
+
+@pytest.mark.parametrize("seed", [111, 222])
+def test_fuzz_chunked(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 220))
+    csr = random_sparse_corpus(rng, n, DIM, nnz_lo=2, nnz_hi=25)
+    tau = float(rng.choice([0.3, 0.5]))
+    cfg = random_cfg(rng)
+    eng = ChunkedAllPairs(
+        cfg, chunk_dim=int(rng.choice([64, 128, 256])),
+        super_tile=int(rng.choice([256, 512])),
+    )
+    eng.build(csr)
+    assert eng.all_pairs(tau).pair_set() == brute_force_pairs(csr, tau), (
+        seed, cfg,
+    )

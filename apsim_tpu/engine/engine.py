@@ -269,18 +269,18 @@ class Engine:
         cap = int(self.cfg.extract_cap)
         grp = int(self.cfg.extract_group)
         if self._pallas_ok():
-            i, j, count = self._all_pairs_pallas(tau_eff, cap)
+            i, j = self._all_pairs_pallas(tau_eff, cap)
         else:
             while True:
-                buf, count, groups = score_ops.allpairs_extract(
+                bufs, packed = score_ops.allpairs_extract(
                     self.x, tau_eff, tile, cap, "upper",
                     self.cfg.matmul_precision, grp,
                 )
-                count, groups = int(count), int(groups)
-                if not score_ops.overflowed(count, groups, cap, grp):
+                pairs = self._consume_match(bufs, packed, cap, grp)
+                if pairs is not None:
                     break
-                cap = _next_cap(cap, max(count, groups * grp))
-            i, j = score_ops.decode_pairs(buf, count)
+                cap = _next_cap(cap, self._last_needed)
+            i, j = pairs
         self.stats["candidates_scored"] += self.n_rows * self.n_rows
         return self._finalize_pairs(i, j, tau)
 
@@ -323,17 +323,13 @@ class Engine:
         bi, bj = pallas_score.upper_blocks(self.row_cap // 256)
         bi, bj = jnp.asarray(bi), jnp.asarray(bj)
         while True:
-            (ri, ci), count, groups = pallas_score.allpairs_extract_pallas(
+            bufs, packed = pallas_score.allpairs_extract_pallas(
                 self.x, bi, bj, tau_eff, cap, interpret=interpret
             )
-            count, groups = int(count), int(groups)
-            if not score_ops.overflowed(
-                count, groups, cap, pallas_score.GROUP
-            ):
-                break
-            cap = _next_cap(cap, max(count, groups * pallas_score.GROUP))
-        i, j = score_ops.decode_pairs((ri, ci), count)
-        return i, j, count
+            pairs = self._consume_match(bufs, packed, cap, pallas_score.GROUP)
+            if pairs is not None:
+                return pairs
+            cap = _next_cap(cap, self._last_needed)
 
     def _finalize_pairs(self, i: np.ndarray, j: np.ndarray, tau: float) -> PairResult:
         if i.size == 0:

@@ -176,6 +176,8 @@ def allpairs_extract_pallas(
     off = (f2 % GROUP).astype(jnp.int32)
     row = bi[p_idx[slot]] * tm + g_idx[slot] * GROUP + off
     col = bj[p_idx[slot]] * tn + c_idx[slot]
-    row = jnp.where(f2valid, row, -1)
-    col = jnp.where(f2valid, col, -1)
-    return (row.astype(jnp.int32), col.astype(jnp.int32)), total, groups
+    row = jnp.where(f2valid, row, -1).astype(jnp.int32)
+    col = jnp.where(f2valid, col, -1).astype(jnp.int32)
+    from .score import HEAD_JOIN, _pack_head
+
+    return (row, col), _pack_head(row, col, total, groups, HEAD_JOIN)

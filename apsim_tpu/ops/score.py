@@ -173,16 +173,17 @@ def decode_pairs(bufs, count: int):
     )
 
 
-HEAD = 4096  # max pairs carried inline in the packed result head
+HEAD = 4096  # max pairs carried inline in the packed result head (streaming)
+HEAD_JOIN = 32768  # larger head for batch joins (128 KB ≈ one fetch anyway)
 
 
-def _pack_head(buf_i, buf_j, total, groups):
-    """One int32 array [2*h+2] carrying the first ``h = min(HEAD, len(buf))``
+def _pack_head(buf_i, buf_j, total, groups, head: int = HEAD):
+    """One int32 array [2*h+2] carrying the first ``h = min(head, len(buf))``
     pairs + counts, so the host learns everything in a single small fetch
     (the per-fetch round trip here is ~30 ms; counts + typical streaming
     results fit in 32 KB).  The head size is recoverable from the packed
     length, so small extraction caps stay valid."""
-    h = min(HEAD, buf_i.shape[0])
+    h = min(head, buf_i.shape[0])
     return jnp.concatenate(
         [
             buf_i[:h],
@@ -252,7 +253,7 @@ def allpairs_extract(
         jnp.int32(0),
     )
     bi, bj, cursor, max_groups = jax.lax.fori_loop(0, n_tiles, body, init)
-    return (bi, bj), cursor, max_groups
+    return (bi, bj), _pack_head(bi, bj, cursor, max_groups, HEAD_JOIN)
 
 
 @functools.partial(

@@ -320,11 +320,13 @@ class Engine:
 
         if jax.default_backend() != "tpu":
             interpret = True
-        bi, bj = pallas_score.upper_blocks(self.row_cap // 256)
+        tile_m = 512 if self.row_cap % 512 == 0 else 256
+        bi, bj = pallas_score.upper_blocks(self.row_cap // tile_m)
         bi, bj = jnp.asarray(bi), jnp.asarray(bj)
         while True:
             bufs, packed = pallas_score.allpairs_extract_pallas(
-                self.x, bi, bj, tau_eff, cap, interpret=interpret
+                self.x, bi, bj, tau_eff, cap, tm=tile_m, tn=tile_m,
+                interpret=interpret,
             )
             pairs = self._consume_match(bufs, packed, cap, pallas_score.GROUP)
             if pairs is not None:

@@ -171,6 +171,43 @@ def test_profiling_utils(tmp_path):
     assert t.counts["a"] == 2 and t.totals["a"] >= 0
 
 
+def test_concurrent_clients(corpus):
+    # 4 clients insert disjoint slices simultaneously; no pair may be lost
+    # and the final index must hold every vector exactly once
+    import threading
+
+    cfg = make_cfg(output_io_duration_ms=20)  # exercise coalesced emission
+    sim = SimilarityServer(Engine(cfg), cfg)
+    with RpcServer(sim, port=0) as rpc:
+        addr = f"{rpc.host}:{rpc.port}"
+        outputs = []
+        sub = ClientConnection([addr])
+        sub.subscribe_outputs(lambda o, t: outputs.append(o))
+
+        def worker(lo, hi):
+            cc = ClientConnection([addr])
+            for i in range(lo, hi):
+                cc.insert_new_vector([(str(i), corpus.row(i))])
+            cc.flush()
+            cc.close()
+
+        n = corpus.n_rows
+        bounds = [(k * n // 4, (k + 1) * n // 4) for k in range(4)]
+        threads = [threading.Thread(target=worker, args=b) for b in bounds]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert wait_until(lambda: sim.stats()["n_rows"] == n, timeout=20)
+        # exact join over the concurrently-built index
+        res = sim.all_pairs(0.5)
+        assert res.pair_set() == brute_force_pairs(
+            corpus, 0.5, ids=[str(i) for i in range(n)]
+        )
+        assert sorted(sim.engine.ids, key=int) == [str(i) for i in range(n)]
+        sub.close()
+
+
 def test_interactive_client(tmp_path, corpus):
     import io
 

@@ -88,6 +88,7 @@ class ChunkedAllPairs:
         )
         self._max_ent = pow2_bucket(max_cnt, 1024)
         self._n_chunks = n_chunks
+        self._compact = compact
         # margin bookkeeping (same policy as the dense engine)
         norms = csr.row_norms()
         self._max_norm = float(norms.max()) if norms.size else 0.0
@@ -148,3 +149,62 @@ class ChunkedAllPairs:
         )
         keep = sims >= tau
         return PairResult(i[keep], j[keep], sims[keep], list(self.ids))
+
+    def topk(self, queries, k: int):
+        """k-NN over the chunked index: queries are chunk-sorted COO too, so
+        neither side densifies its full width.  Same exact fp64 re-rank as
+        the dense engine (over-fetch 2k + slack, rescore, sort)."""
+        import jax.numpy as jnp
+
+        if self.n_rows == 0:
+            return {qid: [] for qid, _ in queries}
+        qcsr, qids = _as_csr(list(queries), None, self.cfg.vector_dim)
+        # drop dims the index never saw, map to compact columns
+        mapped = self._compact.cols_of(qcsr.indices) >= 0
+        row_of = np.repeat(np.arange(qcsr.n_rows), np.diff(qcsr.indptr))
+        rows_m = row_of[mapped].astype(np.int64)
+        cols_m = self._compact.cols_of(qcsr.indices[mapped]).astype(np.int64)
+        vals_m = qcsr.data[mapped]
+        q_row, q_col, q_val, q_offs, q_max = (
+            chunked_ops.sort_entries_by_chunk(
+                rows_m, cols_m, vals_m, self._n_chunks
+            )
+        )
+        q_rows_cap = pow2_bucket(qcsr.n_rows, 32)
+        cap_e = pow2_bucket(max(len(q_row), 1), 256)
+        pad = cap_e - len(q_row)
+        q_row = np.concatenate([q_row, np.full(pad, q_rows_cap, np.int32)])
+        q_col = np.concatenate([q_col, np.zeros(pad, np.int32)])
+        q_val = np.concatenate([q_val, np.zeros(pad, np.float32)])
+        k_eff = min(k, self.n_rows)
+        k_fetch = min(self.n_rows, max(2 * k_eff, k_eff + 16))
+        ent_row, ent_col, ent_val, offs = self._device
+        _, rows = chunked_ops.chunked_topk(
+            ent_row, ent_col, ent_val, offs,
+            jnp.asarray(q_row), jnp.asarray(q_col), jnp.asarray(q_val),
+            jnp.asarray(q_offs), np.int32(self.n_rows),
+            self.row_cap, self.chunk_dim, self._max_ent, q_rows_cap,
+            pow2_bucket(q_max, 256), k_fetch, self.cfg.matmul_precision,
+        )
+        rows = np.asarray(rows)[: len(qids)]
+        shadow = self._shadow
+        stacked_indptr = np.concatenate(
+            [shadow.indptr, shadow.indptr[-1] + qcsr.indptr[1:]]
+        )
+        stacked_indices = np.concatenate([shadow.indices, qcsr.indices])
+        stacked_data = np.concatenate([shadow.data, qcsr.data])
+        nq = len(qids)
+        qi_idx = np.repeat(np.arange(nq), k_fetch) + shadow.n_rows
+        cand_idx = rows.reshape(-1).astype(np.int64)
+        sims = rescore_ops.pair_dots(
+            stacked_indptr, stacked_indices, stacked_data,
+            qi_idx, cand_idx, shadow.n_cols,
+        ).reshape(nq, k_fetch)
+        out = {}
+        for qi, qid in enumerate(qids):
+            order = np.argsort(-sims[qi], kind="stable")[:k_eff]
+            out[qid] = [
+                (self.ids[int(rows[qi, t])], float(sims[qi, t]))
+                for t in order
+            ]
+        return out

@@ -35,7 +35,11 @@ import numpy as np
 
 from .score import _extract, _pack_head, _precision
 
-__all__ = ["sort_entries_by_chunk", "chunked_stripe_extract"]
+__all__ = [
+    "sort_entries_by_chunk",
+    "chunked_stripe_extract",
+    "chunked_topk",
+]
 
 
 def sort_entries_by_chunk(
@@ -117,3 +121,59 @@ def chunked_stripe_extract(
         m, q0, buf_i, buf_j, jnp.int32(0), cap, group
     )
     return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "row_cap", "chunk_dim", "max_ent", "q_rows_cap", "q_max_ent", "k",
+        "precision",
+    ),
+)
+def chunked_topk(
+    ent_row, ent_col, ent_val, chunk_offs,
+    q_row, q_col, q_val, q_offs, n_rows,
+    row_cap: int, chunk_dim: int, max_ent: int, q_rows_cap: int,
+    q_max_ent: int, k: int, precision: str = "default",
+):
+    """Top-k over chunked entries: both the index AND the queries arrive as
+    chunk-sorted COO (queries go through the same ``sort_entries_by_chunk``),
+    so neither side ever materializes its full dense width.  Returns
+    (scores [q_rows_cap, k], index row ids [q_rows_cap, k])."""
+    from .score import _precision
+
+    n_chunks = chunk_offs.shape[0] - 1
+    prec = _precision(precision)
+
+    def densify(rows_a, cols_a, vals_a, offs_a, cap_rows, ment, c):
+        start = offs_a[c]
+        cnt = offs_a[c + 1] - start
+        pos = jax.lax.broadcasted_iota(jnp.int32, (ment, 1), 0).squeeze(-1)
+        idx = jnp.minimum(start + pos, rows_a.shape[0] - 1)
+        valid = pos < cnt
+        r = jnp.where(valid, rows_a[idx], cap_rows)
+        lc = jnp.where(valid, cols_a[idx], 0)
+        v = jnp.where(valid, vals_a[idx], 0.0)
+        slab = jnp.zeros((cap_rows, chunk_dim), jnp.float32)
+        return slab.at[r, lc].add(v, mode="drop", unique_indices=True)
+
+    def chunk_body(c, acc):
+        slab = densify(ent_row, ent_col, ent_val, chunk_offs, row_cap,
+                       max_ent, c)
+        qslab = densify(q_row, q_col, q_val, q_offs, q_rows_cap,
+                        q_max_ent, c)
+        return acc + jax.lax.dot_general(
+            qslab, slab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    s = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        jnp.zeros((q_rows_cap, row_cap), jnp.float32),
+    )
+    s = jax.lax.optimization_barrier(s)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col_ids < n_rows, s, -jnp.inf)
+    return jax.lax.top_k(s, k)

@@ -56,6 +56,25 @@ def test_chunked_single_chunk(corpus):
     assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)
 
 
+def test_chunked_topk(corpus):
+    from oracle import brute_force_sims
+
+    eng = ChunkedAllPairs(
+        AllPairsConfig(
+            vector_dim=DIM, query_tile=64, row_bucket=64, dim_bucket=64
+        ),
+        chunk_dim=128,
+    )
+    eng.build(corpus)
+    queries = [(f"q{i}", corpus.row(i)) for i in range(5)]
+    res = eng.topk(queries, 4)
+    sims = brute_force_sims(corpus)
+    for qi in range(5):
+        got = np.array([s for _, s in res[f"q{qi}"]])
+        want = np.sort(sims[qi])[::-1][:4]
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+
 def test_chunked_overflow_retry(corpus):
     eng = ChunkedAllPairs(
         AllPairsConfig(

@@ -703,6 +703,9 @@ class Engine:
             data=shadow.data,
             ext_of_col=self.compact.ext_of_col,
             max_weights=self.max_weights,
+            static_max_weights=getattr(
+                self, "_static_max_weights", np.empty(0)
+            ),
             shape=np.array([shadow.n_rows, shadow.n_cols], np.int64),
         )
         with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
@@ -740,6 +743,13 @@ class Engine:
         if csr.n_rows:
             self.build(csr, ids)
         self.max_weights = max_weights
+        Engine._restore_static_map(self, path)
+
+    @staticmethod
+    def _restore_static_map(eng: "Engine", path: str) -> None:
+        z = np.load(os.path.join(path, "index.npz"))
+        if "static_max_weights" in z and z["static_max_weights"].size:
+            eng._static_max_weights = z["static_max_weights"]
 
     @classmethod
     def load(cls, path: str, config: AllPairsConfig | None = None) -> "Engine":
@@ -753,4 +763,5 @@ class Engine:
         if csr.n_rows:
             eng.build(csr, ids)
         eng.max_weights = max_weights
+        cls._restore_static_map(eng, path)
         return eng

@@ -15,7 +15,7 @@ Outputs per block p (bi[p], bj[p]):
                                     level-1 structure for compact extraction
 
 ``allpairs_extract_pallas`` wraps the kernel with the same two-level XLA
-compaction and (bufs, count, groups) contract as
+compaction and (bufs, packed_head) contract as
 ``score.allpairs_extract``, so the engine can switch per config flag.
 
 Runs in interpreter mode off-TPU (CPU tests).

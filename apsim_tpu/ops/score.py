@@ -219,10 +219,9 @@ def allpairs_extract(
 
     Loops row tiles on device (``fori_loop``), scores each against the full
     index on the MXU, thresholds at ``tau_eff`` and two-level-compacts the
-    surviving pairs into a fixed-capacity int64 buffer.  Returns
-    ``(buf, count, max_groups)``; ``count`` is exact even on overflow —
-    retry with a larger cap when ``count > cap`` or
-    ``max_groups > max(cap // group, 1024)``.
+    surviving pairs into fixed-capacity int32 buffers.  Returns
+    ``(bufs, packed_head)``; the packed head carries exact counts even on
+    overflow — retry with a larger cap when ``overflowed(...)``.
 
     mode="upper": strict upper triangle (canonical i<j pairs) — the dedup the
     reference approximates with per-query hash maps
@@ -268,7 +267,7 @@ def match_tile_extract(
     belonging to the new batch) and ``row != col`` (no self-pairs).  Both
     directions of an intra-batch pair surface, matching the reference's
     index-before-query emission (SURVEY.md fine-print #2).
-    Returns (buf, count, groups)."""
+    Returns (bufs, packed_head) — see ``_pack_head``/``unpack_head``."""
     row_cap, _ = x.shape
     s = _score_tile(x, q0, tile, precision)
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -324,7 +323,7 @@ def dense_queries_extract(
 ):
     """Score externally-supplied dense query rows ``q [T, dim_cap]`` (NOT part
     of the index — the frozen-index benchmark path) and compact hits.
-    Returns (buf, count, groups); decode gives (index_row, query_col)."""
+    Returns (bufs, packed_head); decoded pairs are (index_row, query_col)."""
     s = jax.lax.dot_general(
         x, q,
         dimension_numbers=(((1,), (1,)), ((), ())),

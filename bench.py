@@ -27,7 +27,8 @@ import numpy as np
 
 TAU = 0.8
 BASELINE_ROWS = 1200  # prefix for the CPU reference port (~1 min)
-REPEATS = 3
+REPEATS = 9  # the device tunnel here is noisy (3x run-to-run spread);
+             # median of 9 keeps the metric stable
 
 
 def log(msg: str) -> None:

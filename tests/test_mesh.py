@@ -75,6 +75,23 @@ def test_mesh_smaller_than_devices(corpus):
     assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)
 
 
+def test_mesh_2d_rows_by_dims(corpus):
+    # 2-D mesh: rows x dims jointly sharded (P('rows','dims'))
+    eng = MeshEngine(mesh_cfg("dims"), mesh=make_mesh((2, 4)))
+    eng.build(corpus)
+    assert eng.cfg.shard_axis == "both"
+    assert eng.x.sharding.num_devices == 8
+    for tau in (0.4, 0.6):
+        assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+    # streaming on the 2-D mesh
+    out = eng.insert([("probe", corpus.row(0))], tau=0.5)
+    assert "0" in out.output.get("probe", {})
+    layout = eng.shard_layout()
+    assert len(layout) == 8
+    first = next(iter(layout.values()))
+    assert "row_block" in first and "dim_block" in first
+
+
 def test_shard_layout_introspection(corpus, mesh8):
     eng = MeshEngine(mesh_cfg("dims"), mesh=mesh8)
     eng.build(corpus)

@@ -79,6 +79,17 @@ def _engine_from(args):
     from .etl.store import VectorStore
 
     cfg = _load_cfg(args)
+    if getattr(args, "chunked", False):
+        # out-of-core batch engine (beyond-HBM corpora)
+        from .engine.chunked import ChunkedAllPairs
+
+        if args.checkpoint and not args.store:
+            csr, ids, _, _ = Engine.read_checkpoint(args.checkpoint)
+        else:
+            csr, ids = VectorStore(args.store).read(args.table)
+        eng = ChunkedAllPairs(cfg)
+        eng.build(csr, ids)
+        return eng
     if args.checkpoint and not args.store:
         return Engine.load(args.checkpoint, config=cfg)
     eng = Engine(cfg)
@@ -189,6 +200,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--checkpoint", default=None)
         sp.add_argument("--tau", type=float, default=None)
         sp.add_argument("--vector-dim", type=int, default=None, dest="vector_dim")
+        sp.add_argument("--chunked", action="store_true",
+                        help="out-of-core batch engine (beyond-HBM corpora)")
 
     sp = sub.add_parser("etl")
     sp.add_argument("corpus")

@@ -58,6 +58,13 @@ def test_cli_etl_build_join_topk(tmp_path, corpus_dir, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "inbox/1." in out
+    # out-of-core engine through the CLI gives the same join
+    assert cli_main(
+        ["join", "--config", cfgfile, "--checkpoint", ckpt, "--tau", "0.9",
+         "--chunked"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "inbox/1." in out and "inbox/2." in out
 
 
 def test_loadgen_protocol(tmp_path):

@@ -58,6 +58,53 @@ def _next_cap(cap: int, count: int) -> int:
     return cap
 
 
+class _CompletedInsert:
+    """Already-finished insert result (the non-fused paths)."""
+
+    def __init__(self, out: SimilarityOutput):
+        self._out = out
+
+    def result(self) -> SimilarityOutput:
+        return self._out
+
+
+class PendingInsert:
+    """Deferred completion of a fused streaming insert.
+
+    The index update happened on device inside the fused call; only the
+    result fetch + fp64 rescore remain.  Calling :meth:`result` later lets
+    the caller overlap that host work with the NEXT batch's device work
+    (the server's ingest pipelining).  Safe across subsequent inserts: the
+    packed candidates were computed against the index state at insert time,
+    and the overflow-retry path filters any rows appended afterwards.
+    """
+
+    def __init__(self, eng: "Engine", bufs, packed, cap, grp, n0, n_after,
+                 first_tile, tau_eff, tile, tau):
+        self._e = (eng, bufs, packed, cap, grp, n0, n_after, first_tile,
+                   tau_eff, tile, tau)
+        self._out: SimilarityOutput | None = None
+
+    def result(self) -> SimilarityOutput:
+        if self._out is not None:
+            return self._out
+        (eng, bufs, packed, cap, grp, n0, n_after, first_tile, tau_eff,
+         tile, tau) = self._e
+        pairs = eng._consume_match(bufs, packed, cap, grp)
+        if pairs is None:
+            # x is already updated (donated); retry ONLY the match — and
+            # drop candidate rows appended after this insert (they re-find
+            # these pairs from their own query side)
+            rows, cols = eng._match_tile_retry(
+                first_tile, n0, tau_eff, tile,
+                _next_cap(cap, eng._last_needed), grp,
+            )
+            keep = rows < n_after
+            pairs = (rows[keep], cols[keep])
+        self._out = eng._emit_query_results(pairs[1], pairs[0], tau)
+        return self._out
+
+
 def _as_csr(
     vectors: Sequence[Tuple[str, SparseVector]] | CSRMatrix,
     ids: Sequence[str] | None,
@@ -351,7 +398,8 @@ class Engine:
         vectors: Sequence[Tuple[str, SparseVector]],
         tau: float | None = None,
         bulk: bool = False,
-    ) -> SimilarityOutput:
+        defer: bool = False,
+    ) -> "SimilarityOutput | PendingInsert":
         """Streaming micro-batch insert matched online against the live index.
 
         Reproduces the reference streaming path semantics in order:
@@ -383,11 +431,13 @@ class Engine:
                     continue
             filtered.append((vid, vec))
         if not filtered:
-            return SimilarityOutput({}, time.time())
+            empty = SimilarityOutput({}, time.time())
+            return _CompletedInsert(empty) if defer else empty
         csr, new_ids = _as_csr(filtered, None, self.cfg.vector_dim)
 
         if self._frozen:
-            return self._match_external(csr, new_ids, tau)
+            out = self._match_external(csr, new_ids, tau)
+            return _CompletedInsert(out) if defer else out
 
         n0 = self.n_rows
         self._grow_for(csr)
@@ -425,32 +475,28 @@ class Engine:
                 np.int32(first_tile), np.int32(n0), tau_eff, tile, cap,
                 self.cfg.matmul_precision, grp,
             )
-            pairs = self._consume_match(bufs, packed, cap, grp)
-            if pairs is None:
-                # x is already updated (donated); retry ONLY the match
-                pairs = self._match_tile_retry(
-                    first_tile, n0, tau_eff, tile,
-                    _next_cap(cap, self._last_needed), grp,
-                )
             self.stats["candidates_scored"] += self.n_rows * min(
                 tile, self.n_rows - first_tile
             )
+            pending = PendingInsert(
+                self, bufs, packed, cap, grp, n0, self.n_rows,
+                first_tile, tau_eff, tile, tau,
+            )
+            return pending if defer else pending.result()
+        self._scatter_rows(compact_csr, row_offset=n0)
+        for q0 in range(first_tile, self.n_rows, tile):
+            pairs = self._match_tile_retry(
+                q0, n0, tau_eff, tile, int(self.cfg.extract_cap), grp
+            )
+            self.stats["candidates_scored"] += self.n_rows * min(
+                tile, self.n_rows - q0
+            )
             cand_c.append(pairs[0])
             cand_q.append(pairs[1])
-        else:
-            self._scatter_rows(compact_csr, row_offset=n0)
-            for q0 in range(first_tile, self.n_rows, tile):
-                pairs = self._match_tile_retry(
-                    q0, n0, tau_eff, tile, int(self.cfg.extract_cap), grp
-                )
-                self.stats["candidates_scored"] += self.n_rows * min(
-                    tile, self.n_rows - q0
-                )
-                cand_c.append(pairs[0])
-                cand_q.append(pairs[1])
-        return self._emit_query_results(
+        out = self._emit_query_results(
             np.concatenate(cand_q), np.concatenate(cand_c), tau
         )
+        return _CompletedInsert(out) if defer else out
 
     def _match_tile_retry(self, q0, lo, tau_eff, tile, cap, grp):
         """Match one tile, auto-growing cap; returns (rows, cols) arrays."""

@@ -50,6 +50,10 @@ def vectors_to_wire(vectors) -> list:
 
 
 class _Handler(socketserver.StreamRequestHandler):
+    # bound per-request line size (64 MB ≈ a ~500k-nnz insert batch); an
+    # unbounded readline would let one connection exhaust host memory
+    MAX_LINE = 64 * 1024 * 1024
+
     def handle(self) -> None:
         srv: SimilarityServer = self.server.sim_server  # type: ignore[attr-defined]
         subscribed = False
@@ -77,7 +81,13 @@ class _Handler(socketserver.StreamRequestHandler):
                 self.wfile.flush()
 
         try:
-            for raw in self.rfile:
+            while True:
+                raw = self.rfile.readline(self.MAX_LINE + 1)
+                if not raw:
+                    break
+                if len(raw) > self.MAX_LINE:
+                    reply({"ok": False, "error": "request line too large"})
+                    break
                 raw = raw.strip()
                 if not raw:
                     continue

@@ -60,6 +60,7 @@ class SimilarityServer:
             self._fanout, self.cfg.output_io_duration_ms
         )
         self._queue: "queue.Queue[tuple[bool, list]]" = queue.Queue()
+        self._pending: list = []  # one-tick-deep ingest pipeline
         self._lock = threading.Lock()  # engine mutations are serialized
         self._stop = threading.Event()
         self._flusher = threading.Thread(target=self._flush_loop, daemon=True)
@@ -79,6 +80,7 @@ class SimilarityServer:
         self.flush()
         self._batcher.close()
         self._maybe_checkpoint(force=True)
+        self._complete_pending()
 
     # ------------------------------------------------------------ checkpoint
     def _has_checkpoint(self) -> bool:
@@ -147,8 +149,10 @@ class SimilarityServer:
                 self._queue.put((True, batch))
 
     def flush(self) -> None:
-        """Drain the ingest queue synchronously (one IOTrigger turn)."""
+        """Drain the ingest queue synchronously (one IOTrigger turn),
+        completing any pipelined insert as well."""
         self._drain()
+        self._complete_pending()
 
     # ---------------------------------------------------------------- output
     def add_output_sink(
@@ -215,7 +219,14 @@ class SimilarityServer:
         """Coalesce everything queued into at most two engine micro-batches
         (bulk + streaming), preserving the reference's semantics that a flush
         tick indexes the accumulated buffer at once
-        (WriteWorkerActor.handleIOTrigger)."""
+        (WriteWorkerActor.handleIOTrigger).
+
+        Ingest is pipelined one tick deep: each insert is submitted with
+        deferred completion and finished at the NEXT drain, so the previous
+        batch's host-side result fetch/rescore overlaps this batch's device
+        work.  Results are therefore emitted at most one flush period later
+        than fully-synchronous operation.
+        """
         bulk: list = []
         stream: list = []
         while True:
@@ -224,12 +235,20 @@ class SimilarityServer:
             except queue.Empty:
                 break
             (bulk if is_bulk else stream).append(batch)
+        self._complete_pending()
         for is_bulk, batches in ((True, bulk), (False, stream)):
             if not batches:
                 continue
             flat = [v for b in batches for v in b]
             with self._lock:
-                out = self.engine.insert(flat, bulk=is_bulk)
+                pending = self.engine.insert(flat, bulk=is_bulk, defer=True)
+            self._pending.append(pending)
             self._dirty = True
-            self._batcher.emit(out)
         self._maybe_checkpoint()
+
+    def _complete_pending(self) -> None:
+        while self._pending:
+            pending = self._pending.pop(0)
+            with self._lock:
+                out = pending.result()
+            self._batcher.emit(out)

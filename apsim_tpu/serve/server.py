@@ -247,8 +247,11 @@ class SimilarityServer:
         self._maybe_checkpoint()
 
     def _complete_pending(self) -> None:
-        while self._pending:
-            pending = self._pending.pop(0)
+        while True:
+            try:
+                pending = self._pending.pop(0)
+            except IndexError:  # another thread drained it concurrently
+                return
             with self._lock:
                 out = pending.result()
             self._batcher.emit(out)

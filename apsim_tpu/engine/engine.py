@@ -367,12 +367,19 @@ class Engine:
 
         if jax.default_backend() != "tpu":
             interpret = True
-        tile_m = 512 if self.row_cap % 512 == 0 else 256
-        bi, bj = pallas_score.upper_blocks(self.row_cap // tile_m)
+        # asymmetric tiles cut blocked operand re-reads; pick the largest
+        # geometry the row capacity tiles evenly
+        if self.row_cap % 1024 == 0:
+            tm, tn, tk = 1024, 512, 1024
+        elif self.row_cap % 512 == 0:
+            tm, tn, tk = 512, 512, 2048
+        else:
+            tm, tn, tk = 256, 256, 2048
+        bi, bj = pallas_score.upper_blocks_rect(self.row_cap, tm, tn)
         bi, bj = jnp.asarray(bi), jnp.asarray(bj)
         while True:
             bufs, packed = pallas_score.allpairs_extract_pallas(
-                self.x, bi, bj, tau_eff, cap, tm=tile_m, tn=tile_m,
+                self.x, bi, bj, tau_eff, cap, tm=tm, tn=tn, tk=tk,
                 interpret=interpret,
             )
             pairs = self._consume_match(bufs, packed, cap, pallas_score.GROUP)

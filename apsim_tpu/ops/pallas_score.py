@@ -46,6 +46,18 @@ def upper_blocks(n_tiles: int) -> tuple[np.ndarray, np.ndarray]:
     return bi.astype(np.int32), bj.astype(np.int32)
 
 
+def upper_blocks_rect(
+    row_cap: int, tm: int, tn: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block schedule for rectangular tiles: include (bi, bj) iff the block
+    contains some strict-upper pair (min_row < max_col).  Asymmetric tiles
+    (tm > tn) cut blocked operand re-reads — traffic ∝ (tm+tn)/(tm·tn)."""
+    n_ti, n_tj = row_cap // tm, row_cap // tn
+    bi, bj = np.meshgrid(np.arange(n_ti), np.arange(n_tj), indexing="ij")
+    keep = (bi * tm) < ((bj + 1) * tn - 1)
+    return bi[keep].astype(np.int32), bj[keep].astype(np.int32)
+
+
 def _kernel(bi_ref, bj_ref, tau_ref, x_ref, q_ref, mask_ref, rga_ref,
             acc_ref):
     k = pl.program_id(1)
@@ -66,17 +78,15 @@ def _kernel(bi_ref, bj_ref, tau_ref, x_ref, q_ref, mask_ref, rga_ref,
         p = pl.program_id(0)
         tm, tn = acc_ref.shape
         m = acc_ref[:] >= tau_ref[0]
-        # strict upper triangle on diagonal blocks (bi == bj ⇒ same tile of
-        # rows and cols; off-diagonal upper blocks satisfy row < col already)
-        @pl.when(bi_ref[p] == bj_ref[p])
-        def _():
-            rows = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
-            mask_ref[0] = (m & (rows < cols)).astype(jnp.uint8)
-
-        @pl.when(bi_ref[p] != bj_ref[p])
-        def _():
-            mask_ref[0] = m.astype(jnp.uint8)
+        # strict upper triangle in GLOBAL coordinates (supports asymmetric
+        # tiles where diagonal-block identity is not bi == bj)
+        rows = bi_ref[p] * tm + jax.lax.broadcasted_iota(
+            jnp.int32, (tm, tn), 0
+        )
+        cols = bj_ref[p] * tn + jax.lax.broadcasted_iota(
+            jnp.int32, (tm, tn), 1
+        )
+        mask_ref[0] = (m & (rows < cols)).astype(jnp.uint8)
 
         mm = mask_ref[0]
         # arithmetic any(): min(sum, 1) — a `> 0` compare here produces an i1

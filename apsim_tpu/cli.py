@@ -137,8 +137,12 @@ def cmd_serve(args) -> int:
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_interval_s=args.checkpoint_interval,
         )
+    if args.mesh_shape:
+        cfg = cfg.replace(
+            mesh_shape=tuple(int(s) for s in args.mesh_shape.split(","))
+        )
     store = VectorStore(args.store) if args.store else None
-    if args.mesh:
+    if args.mesh or args.mesh_shape:
         engine = MeshEngine(cfg)
         sim = SimilarityServer(engine, cfg, store=store)
     else:
@@ -238,6 +242,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--port", type=int, default=2551)
     sp.add_argument("--mesh", action="store_true",
                     help="shard the index over all visible devices")
+    sp.add_argument("--mesh-shape", default=None, dest="mesh_shape",
+                    help="e.g. '8' (1-D) or '2,4' (2-D rows x dims)")
     sp.add_argument("--checkpoint-dir", default="", dest="checkpoint_dir",
                     help="auto-checkpoint/restore the index here")
     sp.add_argument("--checkpoint-interval", type=float, default=60.0,

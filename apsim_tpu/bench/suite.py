@@ -58,11 +58,14 @@ def run_suite(
     eng.build(csr, ids)
     report["build_seconds"] = time.time() - t0
     sweep = {}
+    batch_pairs = None
     for tau in taus:
         res = eng.all_pairs(tau)  # warm (compile amortized by cache)
         t0 = time.time()
         res = eng.all_pairs(tau)
         dt = time.time() - t0
+        if abs(tau - 0.8) < 1e-9:
+            batch_pairs = res
         want, m = _oracle_pairs(csr, tau, oracle_limit)
         got = {
             (int(a), int(b)) for a, b in zip(res.i, res.j) if a < m and b < m
@@ -75,7 +78,8 @@ def run_suite(
         }
     report["threshold_sweep"] = sweep
     tau = 0.8
-    batch_pairs = eng.all_pairs(tau)
+    if batch_pairs is None:
+        batch_pairs = eng.all_pairs(tau)
 
     # ---- 4: top-k ----------------------------------------------------------
     k = 10

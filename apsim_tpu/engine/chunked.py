@@ -37,7 +37,7 @@ class ChunkedAllPairs:
         self.chunk_dim = int(chunk_dim)
         # query-stripe width: wide stripes amortize the per-chunk slab
         # scatter (100k rows: 4096 -> 55 s, 8192 -> 38 s); auto-sized at
-        # build time to a ~2 GB accumulator budget unless overridden
+        # build time to a ~3 GB fp32 accumulator budget unless overridden
         self.super_tile = None if super_tile is None else int(super_tile)
         self._device = None
         self._shadow: CSRMatrix | None = None
@@ -55,9 +55,12 @@ class ChunkedAllPairs:
         compact = CompactSpace.from_csr(csr, self.cfg.dim_bucket)
         ccsr = compact.map_csr(csr)
         if self.super_tile is None:
-            # widest stripe whose fp32 accumulator stays under ~3 GB
-            # (100k rows: 8192-wide measured 38 s vs 55 s at 4096)
-            budget = (3 << 30) // (4 * max(csr.n_rows, 1))
+            # widest stripe whose fp32 accumulator (row_cap × super_tile)
+            # stays under ~3 GB (100k rows: 8192 measured 38 s vs 55 s @4096);
+            # divide by the PADDED row count so the real allocation respects
+            # the budget
+            padded = round_up(max(csr.n_rows, 1), 8192)
+            budget = (3 << 30) // (4 * padded)
             self.super_tile = max(1024, min(8192, (budget // 256) * 256))
         self.super_tile = min(
             self.super_tile,
@@ -130,18 +133,14 @@ class ChunkedAllPairs:
                     self.row_cap, self.chunk_dim, self._max_ent,
                     self.super_tile, cap, grp, self.cfg.matmul_precision,
                 )
-                rows_h, cols_h, count, groups = score_ops.unpack_head(
-                    np.asarray(packed)
+                pairs, needed = score_ops.consume_packed(
+                    bufs, np.asarray(packed), cap, grp
                 )
-                if not score_ops.overflowed(count, groups, cap, grp):
+                if pairs is not None:
                     break
-                cap = _next_cap(cap, max(count, groups * grp))
-            if count <= rows_h.size:
-                i, j = rows_h, cols_h
-            else:
-                i, j = score_ops.decode_pairs(bufs, count)
-            all_i.append(i)
-            all_j.append(j)
+                cap = _next_cap(cap, needed)
+            all_i.append(pairs[0])
+            all_j.append(pairs[1])
         i = np.concatenate(all_i)
         j = np.concatenate(all_j)
         sims = rescore_ops.pair_dots(
@@ -153,8 +152,8 @@ class ChunkedAllPairs:
 
     def topk(self, queries, k: int):
         """k-NN over the chunked index: queries are chunk-sorted COO too, so
-        neither side densifies its full width.  Same exact fp64 re-rank as
-        the dense engine (over-fetch 2k + slack, rescore, sort)."""
+        neither side densifies its full width.  Same fp64 re-rank policy as
+        the dense engine (heuristic 4k+slack over-fetch; see Engine.topk)."""
         import jax.numpy as jnp
 
         if self.n_rows == 0:
@@ -178,7 +177,7 @@ class ChunkedAllPairs:
         q_col = np.concatenate([q_col, np.zeros(pad, np.int32)])
         q_val = np.concatenate([q_val, np.zeros(pad, np.float32)])
         k_eff = min(k, self.n_rows)
-        k_fetch = min(self.n_rows, max(2 * k_eff, k_eff + 16))
+        k_fetch = min(self.n_rows, max(4 * k_eff, k_eff + 64))
         ent_row, ent_col, ent_val, offs = self._device
         _, rows = chunked_ops.chunked_topk(
             ent_row, ent_col, ent_val, offs,
@@ -189,17 +188,12 @@ class ChunkedAllPairs:
         )
         rows = np.asarray(rows)[: len(qids)]
         shadow = self._shadow
-        stacked_indptr = np.concatenate(
-            [shadow.indptr, shadow.indptr[-1] + qcsr.indptr[1:]]
-        )
-        stacked_indices = np.concatenate([shadow.indices, qcsr.indices])
-        stacked_data = np.concatenate([shadow.data, qcsr.data])
         nq = len(qids)
-        qi_idx = np.repeat(np.arange(nq), k_fetch) + shadow.n_rows
+        qi_idx = np.repeat(np.arange(nq), k_fetch)
         cand_idx = rows.reshape(-1).astype(np.int64)
-        sims = rescore_ops.pair_dots(
-            stacked_indptr, stacked_indices, stacked_data,
-            qi_idx, cand_idx, shadow.n_cols,
+        sims = rescore_ops.cross_pair_dots(
+            shadow.indptr, shadow.indices, shadow.data, shadow.n_cols,
+            qcsr.indptr, qcsr.indices, qcsr.data, qi_idx, cand_idx,
         ).reshape(nq, k_fetch)
         out = {}
         for qi, qid in enumerate(qids):

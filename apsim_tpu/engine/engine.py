@@ -93,13 +93,14 @@ class PendingInsert:
         pairs = eng._consume_match(bufs, packed, cap, grp)
         if pairs is None:
             # x is already updated (donated); retry ONLY the match — and
-            # drop candidate rows appended after this insert (they re-find
-            # these pairs from their own query side)
+            # restrict BOTH sides to this insert's snapshot: candidate rows
+            # appended later re-find those pairs from their own query side,
+            # and later query columns belong to the later batch's output
             rows, cols = eng._match_tile_retry(
                 first_tile, n0, tau_eff, tile,
                 _next_cap(cap, eng._last_needed), grp,
             )
-            keep = rows < n_after
+            keep = (rows < n_after) & (cols < n_after)
             pairs = (rows[keep], cols[keep])
         self._out = eng._emit_query_results(pairs[1], pairs[0], tau)
         return self._out
@@ -518,19 +519,14 @@ class Engine:
             cap = _next_cap(cap, self._last_needed)
 
     def _consume_match(self, bufs, packed, cap: int, grp: int):
-        """Parse a match result: ONE small fetch covers counts + the typical
-        result; spill to a bucketed buffer fetch only for large results.
-        Returns (rows, cols) or None on capacity overflow (sets
-        ``self._last_needed``)."""
-        rows, cols, count, groups = score_ops.unpack_head(
-            np.asarray(packed)
+        """Parse a match result; returns (rows, cols) or None on capacity
+        overflow (setting ``self._last_needed``)."""
+        pairs, needed = score_ops.consume_packed(
+            bufs, np.asarray(packed), cap, grp
         )
-        if score_ops.overflowed(count, groups, cap, grp):
-            self._last_needed = max(count, groups * grp)
-            return None
-        if count <= rows.size:
-            return rows, cols
-        return score_ops.decode_pairs(bufs, count)
+        if pairs is None:
+            self._last_needed = needed
+        return pairs
 
     def set_max_weight_map(self, weights: np.ndarray) -> None:
         """Install precomputed corpus-wide per-dim max weights (the
@@ -679,15 +675,19 @@ class Engine:
         """k nearest cosine neighbors per query over the static index
         (BASELINE.json config #4).
 
-        The device ranks in bf16/fp32; to keep reported scores and ordering
-        exact we over-fetch candidates (2k + slack, covering the device error
-        band), recompute their similarities in float64 on the host, and
-        re-rank — same margin philosophy as the thresholded join.
+        Reported scores are exact float64: the device ranks in bf16/fp32, we
+        over-fetch candidates (4k + slack) to cover its ~4e-3 ranking jitter,
+        recompute the fetched candidates' similarities in float64 and
+        re-rank.  Unlike the thresholded join (whose margin is a proven
+        bound), top-k over-fetch is heuristic: an adversarial corpus with
+        more than the fetched depth of near-ties at the k-th score could
+        still demote a true member — use ``matmul_precision="highest"`` when
+        that matters.
         """
         if self.n_rows == 0:
             return {qid: [] for qid, _ in queries}
         k_eff = min(k, self.n_rows)
-        k_fetch = min(self.n_rows, max(2 * k_eff, k_eff + 16))
+        k_fetch = min(self.n_rows, max(4 * k_eff, k_eff + 64))
         csr, qids = _as_csr(list(queries), None, self.cfg.vector_dim)
         compact = self.compact.map_csr(self._drop_unmapped(csr), extend=False)
         from ..vector.batch import pow2_bucket
@@ -703,22 +703,15 @@ class Engine:
             self.cfg.matmul_precision,
         )
         rows = np.asarray(rows)[: len(qids)]
-        # exact fp64 rescore of the fetched candidates: stack queries under
-        # the shadow so pair_dots sees one matrix
+        # exact fp64 rescore of the fetched candidates (queries vs shadow;
+        # no stacked copy of the corpus)
         shadow = self.shadow_csr()
         nq = len(qids)
-        stacked = CSRMatrix(
-            shadow.n_rows + csr.n_rows,
-            shadow.n_cols,
-            np.concatenate([shadow.indptr, shadow.indptr[-1] + csr.indptr[1:]]),
-            np.concatenate([shadow.indices, csr.indices]),
-            np.concatenate([shadow.data, csr.data]),
-        )
-        qi_idx = np.repeat(np.arange(nq), k_fetch) + shadow.n_rows
+        qi_idx = np.repeat(np.arange(nq), k_fetch)
         cand_idx = rows.reshape(-1).astype(np.int64)
-        sims = rescore_ops.pair_dots(
-            stacked.indptr, stacked.indices, stacked.data,
-            qi_idx, cand_idx, stacked.n_cols,
+        sims = rescore_ops.cross_pair_dots(
+            shadow.indptr, shadow.indices, shadow.data, shadow.n_cols,
+            csr.indptr, csr.indices, csr.data, qi_idx, cand_idx,
         ).reshape(nq, k_fetch)
         out: Dict[str, List[Tuple[str, float]]] = {}
         for qi, qid in enumerate(qids):

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .score import _extract, _pack_head, _precision
+from .score import HEAD_JOIN, _extract, _pack_head, _precision
 
 __all__ = [
     "sort_entries_by_chunk",
@@ -120,7 +120,7 @@ def chunked_stripe_extract(
     buf_i, buf_j, _, total, groups = _extract(
         m, q0, buf_i, buf_j, jnp.int32(0), cap, group
     )
-    return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups)
+    return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups, HEAD_JOIN)
 
 
 @functools.partial(

@@ -19,13 +19,48 @@ try:  # scipy ships in the image; keep a pure-numpy fallback anyway
 except Exception:  # pragma: no cover
     _sp = None
 
-__all__ = ["pair_dots", "default_margin"]
+__all__ = ["pair_dots", "cross_pair_dots", "default_margin"]
 
 
 def default_margin(dtype: str) -> float:
     """Device-error bound by score dtype: fp32 accumulate on fp32 inputs is
     ~1e-6 relative for these workloads; bfloat16 inputs need a far wider net."""
     return 1e-4 if dtype == "float32" else 5e-2
+
+
+def cross_pair_dots(
+    s_indptr, s_indices, s_data, n_cols,
+    q_indptr, q_indices, q_data,
+    qrows: np.ndarray, crows: np.ndarray,
+) -> np.ndarray:
+    """Exact fp64 dots between QUERY-matrix rows (qrows) and SHADOW rows
+    (crows) — used by top-k re-ranking.  Avoids materializing a stacked copy
+    of the shadow per call (that copy is O(corpus nnz))."""
+    qrows = np.asarray(qrows, dtype=np.int64)
+    crows = np.asarray(crows, dtype=np.int64)
+    if _sp is not None:
+        a = _sp.csr_matrix(
+            (s_data, s_indices, s_indptr),
+            shape=(len(s_indptr) - 1, n_cols),
+        )
+        b = _sp.csr_matrix(
+            (q_data, q_indices, q_indptr),
+            shape=(len(q_indptr) - 1, n_cols),
+        )
+        out = np.empty(qrows.size, dtype=np.float64)
+        chunk = 262144
+        for s in range(0, qrows.size, chunk):
+            e = min(s + chunk, qrows.size)
+            out[s:e] = np.asarray(
+                b[qrows[s:e]].multiply(a[crows[s:e]]).sum(axis=1)
+            ).ravel()
+        return out
+    # numpy fallback: stack the two matrices and reuse pair_dots
+    n_s = len(s_indptr) - 1
+    indptr = np.concatenate([s_indptr, s_indptr[-1] + q_indptr[1:]])
+    indices = np.concatenate([s_indices, q_indices])
+    data = np.concatenate([s_data, q_data])
+    return pair_dots(indptr, indices, data, qrows + n_s, crows, n_cols)
 
 
 def pair_dots(

@@ -47,6 +47,8 @@ __all__ = [
     "topk_scores",
     "MIN_TAU_EFF",
     "overflowed",
+    "consume_packed",
+    "unpack_head",
 ]
 
 
@@ -192,6 +194,19 @@ def _pack_head(buf_i, buf_j, total, groups, head: int = HEAD):
             groups.reshape(1).astype(jnp.int32),
         ]
     )
+
+
+def consume_packed(bufs, packed: np.ndarray, cap: int, group: int):
+    """Shared packed-head consumption: returns ``((rows, cols), 0)`` on
+    success or ``(None, needed_cap)`` on overflow.  One small fetch covers
+    counts + the typical result; large results spill to a bounded-prefix
+    buffer fetch."""
+    rows, cols, count, groups = unpack_head(packed)
+    if overflowed(count, groups, cap, group):
+        return None, max(count, groups * group)
+    if count <= rows.size:
+        return (rows, cols), 0
+    return decode_pairs(bufs, count), 0
 
 
 def unpack_head(packed: np.ndarray):

@@ -61,6 +61,7 @@ class SimilarityServer:
         )
         self._queue: "queue.Queue[tuple[bool, list]]" = queue.Queue()
         self._pending: list = []  # one-tick-deep ingest pipeline
+        self._pending_lock = threading.Lock()  # single completer, in order
         self._lock = threading.Lock()  # engine mutations are serialized
         self._stop = threading.Event()
         self._flusher = threading.Thread(target=self._flush_loop, daemon=True)
@@ -78,9 +79,9 @@ class SimilarityServer:
         if self._started:
             self._flusher.join(timeout=5.0)
         self.flush()
+        self._complete_pending()
         self._batcher.close()
         self._maybe_checkpoint(force=True)
-        self._complete_pending()
 
     # ------------------------------------------------------------ checkpoint
     def _has_checkpoint(self) -> bool:
@@ -247,11 +248,12 @@ class SimilarityServer:
         self._maybe_checkpoint()
 
     def _complete_pending(self) -> None:
-        while True:
-            try:
+        # the completion lock makes one thread drain the whole backlog in
+        # order, and makes flush() WAIT for an in-flight completion instead
+        # of returning while results are still unemitted
+        with self._pending_lock:
+            while self._pending:
                 pending = self._pending.pop(0)
-            except IndexError:  # another thread drained it concurrently
-                return
-            with self._lock:
-                out = pending.result()
-            self._batcher.emit(out)
+                with self._lock:
+                    out = pending.result()
+                self._batcher.emit(out)

@@ -131,10 +131,14 @@ class Engine:
         self.n_rows = 0
         self.ids: List[str] = []
         self.id_to_row: Dict[str, int] = {}
-        # host fp64 shadow rows (external dim space)
-        self._row_idx: List[np.ndarray] = []
-        self._row_val: List[np.ndarray] = []
-        self._shadow_cache: tuple | None = None
+        # host fp64 shadow (external dim space): growable CSR arrays with
+        # capacity doubling — appends are O(batch), not O(corpus)
+        self._sh_indptr = np.zeros(1, dtype=np.int64)
+        self._sh_rows = 0
+        self._sh_indices = np.empty(0, dtype=np.int32)
+        self._sh_data = np.empty(0, dtype=np.float64)
+        self._sh_nnz = 0
+        self._scipy_cache: tuple | None = None
         self.max_weights = np.zeros(self.cfg.vector_dim, dtype=np.float64)
         self._max_norm = 0.0  # largest row L2 norm seen (margin scaling)
         self._frozen = False
@@ -268,35 +272,54 @@ class Engine:
             )
 
     def _append_shadow(self, csr: CSRMatrix) -> None:
-        for i in range(csr.n_rows):
-            s, e = int(csr.indptr[i]), int(csr.indptr[i + 1])
-            self._row_idx.append(csr.indices[s:e].copy())
-            self._row_val.append(csr.data[s:e].copy())
-        self._shadow_cache = None
+        nnz = int(csr.indptr[-1])
+        need_rows = self._sh_rows + csr.n_rows + 1
+        if need_rows > self._sh_indptr.size:
+            cap = max(self._sh_indptr.size * 2, need_rows, 1024)
+            grown = np.zeros(cap, dtype=np.int64)
+            grown[: self._sh_rows + 1] = self._sh_indptr[: self._sh_rows + 1]
+            self._sh_indptr = grown
+        need_nnz = self._sh_nnz + nnz
+        if need_nnz > self._sh_indices.size:
+            cap = max(self._sh_indices.size * 2, need_nnz, 4096)
+            gi = np.empty(cap, dtype=np.int32)
+            gi[: self._sh_nnz] = self._sh_indices[: self._sh_nnz]
+            gd = np.empty(cap, dtype=np.float64)
+            gd[: self._sh_nnz] = self._sh_data[: self._sh_nnz]
+            self._sh_indices, self._sh_data = gi, gd
+        base = self._sh_indptr[self._sh_rows]
+        self._sh_indptr[
+            self._sh_rows + 1 : self._sh_rows + csr.n_rows + 1
+        ] = base + csr.indptr[1:]
+        self._sh_indices[self._sh_nnz : self._sh_nnz + nnz] = csr.indices[:nnz]
+        self._sh_data[self._sh_nnz : self._sh_nnz + nnz] = csr.data[:nnz]
+        self._sh_rows += csr.n_rows
+        self._sh_nnz += nnz
 
     def shadow_csr(self) -> CSRMatrix:
-        """Host fp64 CSR over the external dim space (exact oracle view)."""
-        if self._shadow_cache is None or self._shadow_cache[0] != self.n_rows:
-            indptr = np.zeros(len(self._row_idx) + 1, dtype=np.int64)
-            for i, idx in enumerate(self._row_idx):
-                indptr[i + 1] = indptr[i] + idx.size
-            indices = (
-                np.concatenate(self._row_idx)
-                if self._row_idx
-                else np.empty(0, np.int32)
-            )
-            data = (
-                np.concatenate(self._row_val)
-                if self._row_val
-                else np.empty(0, np.float64)
-            )
-            self._shadow_cache = (
-                self.n_rows,
-                CSRMatrix(
-                    len(self._row_idx), self.cfg.vector_dim, indptr, indices, data
+        """Host fp64 CSR over the external dim space (exact oracle view).
+        Returns views into the growable arrays — treat as read-only."""
+        return CSRMatrix(
+            self._sh_rows,
+            self.cfg.vector_dim,
+            self._sh_indptr[: self._sh_rows + 1],
+            self._sh_indices[: self._sh_nnz],
+            self._sh_data[: self._sh_nnz],
+        )
+
+    def _shadow_scipy(self):
+        """Cached prebuilt scipy matrix for bulk rescores (keyed by corpus
+        state; construction costs O(corpus nnz))."""
+        key = (self._sh_rows, self._sh_nnz)
+        if self._scipy_cache is None or self._scipy_cache[0] != key:
+            sh = self.shadow_csr()
+            self._scipy_cache = (
+                key,
+                rescore_ops.as_scipy(
+                    sh.indptr, sh.indices, sh.data, sh.n_cols
                 ),
             )
-        return self._shadow_cache[1]
+        return self._scipy_cache[1]
 
     # -------------------------------------------------------------- all_pairs
     def all_pairs(self, tau: float | None = None) -> PairResult:
@@ -393,7 +416,8 @@ class Engine:
             return PairResult(i, j, np.empty(0, np.float64), list(self.ids))
         shadow = self.shadow_csr()
         sims = rescore_ops.pair_dots(
-            shadow.indptr, shadow.indices, shadow.data, i, j, shadow.n_cols
+            shadow.indptr, shadow.indices, shadow.data, i, j, shadow.n_cols,
+            mat=self._shadow_scipy(),
         )
         keep = sims >= tau
         i, j, sims = i[keep], j[keep], sims[keep]
@@ -657,7 +681,8 @@ class Engine:
             return SimilarityOutput({}, time.time())
         shadow = self.shadow_csr()
         sims = rescore_ops.pair_dots(
-            shadow.indptr, shadow.indices, shadow.data, qrows, crows, shadow.n_cols
+            shadow.indptr, shadow.indices, shadow.data, qrows, crows,
+            shadow.n_cols, mat=self._shadow_scipy(),
         )
         keep = sims >= tau
         out: Dict[str, Dict[str, float]] = {}

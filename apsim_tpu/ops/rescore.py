@@ -63,6 +63,17 @@ def cross_pair_dots(
     return pair_dots(indptr, indices, data, qrows + n_s, crows, n_cols)
 
 
+def as_scipy(indptr, indices, data, n_cols):
+    """Build (or pass through) the scipy CSR used for rescoring; callers that
+    rescore repeatedly should build this once and reuse it — construction
+    touches all of the corpus nnz (~tens of ms at Enron scale)."""
+    if _sp is None:
+        return None
+    return _sp.csr_matrix(
+        (data, indices, indptr), shape=(len(indptr) - 1, n_cols)
+    )
+
+
 def pair_dots(
     indptr: np.ndarray,
     indices: np.ndarray,
@@ -71,17 +82,20 @@ def pair_dots(
     j: np.ndarray,
     n_cols: int,
     chunk: int = 262144,
+    mat=None,
 ) -> np.ndarray:
-    """Exact fp64 dot products of row pairs (i[k], j[k]) of a host CSR."""
+    """Exact fp64 dot products of row pairs (i[k], j[k]) of a host CSR.
+    Pass a prebuilt ``mat`` (``as_scipy``) to skip per-call construction."""
     i = np.asarray(i, dtype=np.int64)
     j = np.asarray(j, dtype=np.int64)
     out = np.empty(i.size, dtype=np.float64)
     if i.size == 0:
         return out
-    if _sp is not None:
-        mat = _sp.csr_matrix(
-            (data, indices, indptr), shape=(len(indptr) - 1, n_cols)
-        )
+    if _sp is not None and (mat is not None or i.size >= 1024):
+        # for few pairs the O(corpus nnz) scipy build dwarfs the dots;
+        # the sort-merge path below is O(pairs · row nnz)
+        if mat is None:
+            mat = as_scipy(indptr, indices, data, n_cols)
         for s in range(0, i.size, chunk):
             e = min(s + chunk, i.size)
             a = mat[i[s:e]]

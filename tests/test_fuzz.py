@@ -50,6 +50,40 @@ def test_fuzz_batch_and_streaming(seed):
     assert emitted == want, (seed, cfg, step)
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("APSIM_EXTENDED_FUZZ"),
+    reason="extended sweep: set APSIM_EXTENDED_FUZZ=1 (takes minutes)",
+)
+@pytest.mark.parametrize("seed", list(range(1000, 1020)))
+def test_fuzz_extended(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 250))
+    csr = random_sparse_corpus(rng, n, DIM, nnz_lo=1, nnz_hi=30)
+    tau = float(rng.uniform(0.2, 0.95))
+    cfg = AllPairsConfig(
+        vector_dim=DIM,
+        query_tile=int(rng.choice([32, 64, 128, 256])),
+        row_bucket=int(rng.choice([32, 64, 256])),
+        dim_bucket=int(rng.choice([64, 128, 2048])),
+        extract_cap=int(rng.choice([16, 2048, 1 << 18])),
+        extract_group=int(rng.choice([8, 16])),
+        matmul_precision=str(rng.choice(["default", "highest"])),
+        use_pallas=str(rng.choice(["auto", "off"])),
+    )
+    want = brute_force_pairs(csr, tau)
+    eng = Engine(cfg)
+    emitted = set()
+    step = int(rng.integers(1, 60))
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        out = eng.insert([(str(i), csr.row(i)) for i in range(s, e)], tau=tau)
+        for q, sims in out.output.items():
+            for c in sims:
+                emitted.add((q, c) if q <= c else (c, q))
+    assert emitted == want
+    assert eng.all_pairs(tau).pair_set() == want
+
+
 @pytest.mark.parametrize("seed", [111, 222])
 def test_fuzz_chunked(seed):
     rng = np.random.default_rng(seed)

@@ -7,9 +7,32 @@ Safe to call multiple times.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 _DONE = False
+
+
+def _host_fingerprint() -> str:
+    """Short id of this host's CPU features.
+
+    XLA:CPU persistently caches AOT results keyed without host ISA features;
+    loading a cache written on a machine with different features warns
+    "could lead to execution errors such as SIGILL".  Scoping the cache dir
+    per CPU-feature-set keeps the cache valid across processes on one machine
+    without ever sharing AOT code across incompatible hosts.
+    """
+    feat = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feat += line
+                    break
+    except OSError:
+        feat += platform.processor()
+    return hashlib.sha256(feat.encode()).hexdigest()[:10]
 
 
 def setup_jax(cache_dir: str | None = None) -> None:
@@ -19,7 +42,8 @@ def setup_jax(cache_dir: str | None = None) -> None:
     import jax
 
     path = cache_dir or os.environ.get(
-        "APSIM_JAX_CACHE", os.path.expanduser("~/.cache/apsim_jax")
+        "APSIM_JAX_CACHE",
+        os.path.expanduser(f"~/.cache/apsim_jax/{_host_fingerprint()}"),
     )
     try:
         os.makedirs(path, exist_ok=True)

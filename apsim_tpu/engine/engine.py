@@ -164,8 +164,10 @@ class Engine:
 
     def _row_quantum(self) -> int:
         # row capacity must stay a multiple of both the packing unit (8) and
-        # the query tile so tile slices never run off the end
-        return max(self.cfg.row_bucket, self._tile())
+        # the query tile so tile slices never run off the end; a row_bucket
+        # that isn't tile-aligned would let _score_tile's dynamic_slice clamp
+        # the last tile to a wrong offset, so round up to the tile
+        return round_up(max(self.cfg.row_bucket, self._tile()), self._tile())
 
     def _place(self, x):
         """Sharding hook: the mesh engine overrides this to pin the index
@@ -767,41 +769,55 @@ class Engine:
         lost on actor relocation)."""
         os.makedirs(path, exist_ok=True)
         shadow = self.shadow_csr()
-        np.savez_compressed(
-            os.path.join(path, "index.npz"),
-            indptr=shadow.indptr,
-            indices=shadow.indices,
-            data=shadow.data,
-            ext_of_col=self.compact.ext_of_col,
-            max_weights=self.max_weights,
-            static_max_weights=getattr(
-                self, "_static_max_weights", np.empty(0)
-            ),
-            shape=np.array([shadow.n_rows, shadow.n_cols], np.int64),
-        )
-        with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
-            json.dump(
-                {
-                    "ids": self.ids,
-                    "n_rows": self.n_rows,
-                    "config": {
-                        "vector_dim": self.cfg.vector_dim,
-                        "similarity_threshold": self.cfg.similarity_threshold,
-                        "dtype": self.cfg.dtype,
-                    },
-                    "stats": self.stats,
-                },
+        meta = {
+            "ids": self.ids,
+            "n_rows": self.n_rows,
+            "config": {
+                "vector_dim": self.cfg.vector_dim,
+                "similarity_threshold": self.cfg.similarity_threshold,
+                "dtype": self.cfg.dtype,
+            },
+            "stats": self.stats,
+        }
+        # crash-safe: all restore state lives in ONE npz (meta embedded as a
+        # JSON string) swapped into place with os.replace; meta.json is a
+        # human-readable mirror written second, so a crash at any point
+        # leaves either the old or the new snapshot, never a torn mix
+        npz_tmp = os.path.join(path, ".index.npz.tmp")
+        with open(npz_tmp, "wb") as f:
+            np.savez_compressed(
                 f,
+                indptr=shadow.indptr,
+                indices=shadow.indices,
+                data=shadow.data,
+                ext_of_col=self.compact.ext_of_col,
+                max_weights=self.max_weights,
+                static_max_weights=getattr(
+                    self, "_static_max_weights", np.empty(0)
+                ),
+                shape=np.array([shadow.n_rows, shadow.n_cols], np.int64),
+                meta_json=np.array(json.dumps(meta)),
             )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(npz_tmp, os.path.join(path, "index.npz"))
+        meta_tmp = os.path.join(path, ".meta.json.tmp")
+        with open(meta_tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        os.replace(meta_tmp, os.path.join(path, "meta.json"))
 
-    @classmethod
     @staticmethod
     def read_checkpoint(path: str):
         """Host-only checkpoint read: (csr, ids, max_weights, config_dict) —
         no device state is touched, so any engine flavor can rebuild from it."""
         z = np.load(os.path.join(path, "index.npz"))
-        with open(os.path.join(path, "meta.json"), "r", encoding="utf-8") as f:
-            meta = json.load(f)
+        if "meta_json" in z:  # self-contained snapshot (atomic save path)
+            meta = json.loads(str(z["meta_json"]))
+        else:  # pre-round-2 checkpoints kept meta only in meta.json
+            with open(
+                os.path.join(path, "meta.json"), "r", encoding="utf-8"
+            ) as f:
+                meta = json.load(f)
         n_rows, n_cols = (int(v) for v in z["shape"])
         csr = CSRMatrix(n_rows, n_cols, z["indptr"], z["indices"], z["data"])
         return csr, meta["ids"], z["max_weights"], meta["config"]

@@ -65,6 +65,10 @@ class VectorStore:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # one-table read cache: bulk loads split into io_range_num sub-ranges
+        # hit load_range() once per sub-range — without this, each call
+        # re-reads and decompresses the whole npz (O(ranges × table_nnz) I/O)
+        self._cache: tuple[str, float, CSRMatrix, List[str]] | None = None
 
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -107,10 +111,21 @@ class VectorStore:
             ids = text.split("\n") if text else []
         return csr, ids
 
+    def _read_cached(self, table: str) -> tuple[CSRMatrix, List[str]]:
+        path = os.path.join(self._table_dir(table), "vectors.npz")
+        mtime = os.path.getmtime(path)
+        if self._cache is not None:
+            c_table, c_mtime, c_csr, c_ids = self._cache
+            if c_table == table and c_mtime == mtime:
+                return c_csr, c_ids
+        csr, ids = self.read(table)
+        self._cache = (table, mtime, csr, ids)
+        return csr, ids
+
     def load_range(self, table: str, start_row: int, end_row: int) -> tuple[CSRMatrix, List[str]]:
         """Inclusive row-range scan (LoadData semantics,
         CommonUtils.scala:61-85)."""
-        csr, ids = self.read(table)
+        csr, ids = self._read_cached(table)
         start = max(0, int(start_row))
         end = min(csr.n_rows - 1, int(end_row))
         if end < start:

@@ -91,15 +91,28 @@ class _Handler(socketserver.StreamRequestHandler):
                 raw = raw.strip()
                 if not raw:
                     continue
+                op = None
                 try:
                     msg = json.loads(raw)
                     op = msg.get("op")
-                    if op == "insert":
-                        srv.insert_new_vectors(wire_to_vectors(msg["vectors"]))
-                    elif op == "load":
-                        srv.load_data(
-                            msg["table"], int(msg["start"]), int(msg["end"])
-                        )
+                    if op in ("insert", "load"):
+                        # fire-and-forget ops (the reference's at-most-once
+                        # `!` sends) get NO reply — not even on error, which
+                        # would desync a client's request/response stream;
+                        # failures are logged and counted in stats["errors"]
+                        try:
+                            if op == "insert":
+                                srv.insert_new_vectors(
+                                    wire_to_vectors(msg["vectors"])
+                                )
+                            else:
+                                srv.load_data(
+                                    msg["table"],
+                                    int(msg["start"]),
+                                    int(msg["end"]),
+                                )
+                        except Exception as e:
+                            srv.reject(f"{op}: {e}")
                     elif op == "subscribe":
                         if not subscribed:
                             subscribed = True
@@ -136,6 +149,9 @@ class _Handler(socketserver.StreamRequestHandler):
                     else:
                         reply({"ok": False, "error": f"unknown op: {op}"})
                 except Exception as e:  # malformed request never kills the server
+                    if op in ("insert", "load"):
+                        srv.reject(f"{op}: {e}")  # no reply: see above
+                        continue
                     try:
                         reply({"ok": False, "error": str(e)})
                     except OSError:

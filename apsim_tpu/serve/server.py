@@ -63,6 +63,8 @@ class SimilarityServer:
         self._pending: list = []  # one-tick-deep ingest pipeline
         self._pending_lock = threading.Lock()  # single completer, in order
         self._lock = threading.Lock()  # engine mutations are serialized
+        self._drain_lock = threading.Lock()  # one drainer at a time, in order
+        self._errors = 0  # poisoned batches dropped by the flusher
         self._stop = threading.Event()
         self._flusher = threading.Thread(target=self._flush_loop, daemon=True)
         self._started = False
@@ -121,8 +123,21 @@ class SimilarityServer:
     ) -> None:
         """Fire-and-forget streaming insert — the ``VectorIOMsg`` path
         (ClientConnection.scala:31-33).  Queued; matched at the next
-        micro-batch flush."""
-        self._queue.put((False, list(vectors)))
+        micro-batch flush.
+
+        Dimensionality is validated HERE, at the ingest boundary, so a
+        misconfigured client raises in its own call instead of poisoning the
+        shared flush batch (the reference crashes the IndexingWorker instead
+        and relies on Akka supervision to restart it)."""
+        vectors = list(vectors)
+        want = self.cfg.vector_dim
+        for vid, v in vectors:
+            if v.size != want:
+                raise ValueError(
+                    f"vector {vid!r} has size {v.size}, engine vector_dim is "
+                    f"{want}"
+                )
+        self._queue.put((False, vectors))
 
     def load_data(self, table: str, start_row: int, end_row: int) -> None:
         """Bulk load a row range from the vector store — the ``LoadData``
@@ -154,6 +169,11 @@ class SimilarityServer:
         completing any pipelined insert as well."""
         self._drain()
         self._complete_pending()
+
+    def reject(self, reason: str) -> None:
+        """Record a rejected fire-and-forget request (visible in stats)."""
+        self._errors += 1
+        get_logger().warning("rejected ingest: %s", reason)
 
     # ---------------------------------------------------------------- output
     def add_output_sink(
@@ -208,13 +228,22 @@ class SimilarityServer:
                 "n_active_dims": self.engine.compact.n_active,
                 "queue_depth": self._queue.qsize(),
                 "frozen": self.engine.frozen,
+                "errors": self._errors,
             }
 
     # --------------------------------------------------------------- flusher
     def _flush_loop(self) -> None:
+        # keep-alive: the flusher must survive ANY batch failure, mirroring
+        # the reference's deliberate worker-level try/catch
+        # (IndexingWorkerActor.scala:124-137) — a dead flusher would leave
+        # the queue growing with nobody draining it
         period = max(self.cfg.io_trigger_period_ms, 1) / 1000.0
         while not self._stop.wait(period):
-            self._drain()
+            try:
+                self._drain()
+            except Exception:
+                self._errors += 1
+                get_logger().exception("flush tick failed; flusher continues")
 
     def _drain(self) -> None:
         """Coalesce everything queued into at most two engine micro-batches
@@ -227,24 +256,39 @@ class SimilarityServer:
         batch's host-side result fetch/rescore overlaps this batch's device
         work.  Results are therefore emitted at most one flush period later
         than fully-synchronous operation.
+
+        A poisoned micro-batch (an engine exception) is logged, counted in
+        ``stats()["errors"]`` and dropped; later batches keep flowing.
         """
-        bulk: list = []
-        stream: list = []
-        while True:
-            try:
-                is_bulk, batch = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            (bulk if is_bulk else stream).append(batch)
-        self._complete_pending()
-        for is_bulk, batches in ((True, bulk), (False, stream)):
-            if not batches:
-                continue
-            flat = [v for b in batches for v in b]
-            with self._lock:
-                pending = self.engine.insert(flat, bulk=is_bulk, defer=True)
-            self._pending.append(pending)
-            self._dirty = True
+        with self._drain_lock:  # queue pop → insert → pending-append, atomic
+            bulk: list = []
+            stream: list = []
+            while True:
+                try:
+                    is_bulk, batch = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                (bulk if is_bulk else stream).append(batch)
+            self._complete_pending()
+            for is_bulk, batches in ((True, bulk), (False, stream)):
+                if not batches:
+                    continue
+                flat = [v for b in batches for v in b]
+                try:
+                    with self._lock:
+                        pending = self.engine.insert(
+                            flat, bulk=is_bulk, defer=True
+                        )
+                except Exception:
+                    self._errors += 1
+                    get_logger().exception(
+                        "dropped poisoned %s batch of %d vectors",
+                        "bulk" if is_bulk else "stream", len(flat),
+                    )
+                    continue
+                with self._pending_lock:
+                    self._pending.append(pending)
+                self._dirty = True
         self._maybe_checkpoint()
 
     def _complete_pending(self) -> None:
@@ -254,6 +298,13 @@ class SimilarityServer:
         with self._pending_lock:
             while self._pending:
                 pending = self._pending.pop(0)
-                with self._lock:
-                    out = pending.result()
+                try:
+                    with self._lock:
+                        out = pending.result()
+                except Exception:
+                    self._errors += 1
+                    get_logger().exception(
+                        "dropped result of poisoned pending batch"
+                    )
+                    continue
                 self._batcher.emit(out)

@@ -259,3 +259,31 @@ def test_bfloat16_mode_superset_margin(corpus):
     eng.build(corpus)
     got = eng.all_pairs(0.5).pair_set()
     assert got == brute_force_pairs(corpus, 0.5)
+
+
+def test_checkpoint_self_contained_npz(tmp_path, corpus):
+    # the atomic save embeds meta in index.npz; restore must not need
+    # meta.json (torn-write recovery: npz swapped, meta.json stale/absent)
+    import os
+
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    path = str(tmp_path / "ckpt")
+    eng.save(path)
+    os.remove(os.path.join(path, "meta.json"))
+    csr, ids, mw, cfg = Engine.read_checkpoint(path)
+    assert csr.n_rows == corpus.n_rows
+    assert len(ids) == corpus.n_rows
+    assert cfg["vector_dim"] == DIM
+    # and read_checkpoint is a plain staticmethod (callable off the class
+    # AND an instance on every Python >= 3.10)
+    assert Engine(small_cfg()).read_checkpoint(path)[0].n_rows == corpus.n_rows
+
+
+def test_unaligned_row_bucket(corpus):
+    # row_bucket not a multiple of query_tile: the capacity quantum must
+    # round up so the last tile is never scored at a clamped/wrong offset
+    eng = Engine(small_cfg(row_bucket=96, query_tile=64))
+    eng.build(corpus)
+    assert eng.row_cap % 64 == 0
+    assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)

@@ -226,3 +226,59 @@ def test_interactive_client(tmp_path, corpus):
         cc.flush()
         assert wait_until(lambda: cc.stats()["n_rows"] == 10)
         cc.close()
+
+
+def test_flusher_survives_poisoned_batch(corpus):
+    # a batch that raises inside the engine must be dropped (logged +
+    # counted), NOT kill the flusher thread — IndexingWorkerActor.scala's
+    # deliberate keep-alive try/catch (:124-137)
+    cfg = make_cfg()
+    with SimilarityServer(Engine(cfg), cfg) as srv:
+        outputs = []
+        srv.add_output_sink(lambda o: outputs.append(o))
+        srv.insert_new_vectors([("a", corpus.row(0))])
+        assert wait_until(lambda: srv.stats()["n_rows"] == 1)
+        # poison: bypass the ingest-boundary validation and enqueue a
+        # wrong-dimensionality vector directly (simulates any engine fault)
+        from apsim_tpu.vector.sparse import SparseVector
+
+        bad = SparseVector(DIM * 4, np.array([DIM * 2], np.int32), [1.0])
+        srv._queue.put((False, [("bad", bad)]))
+        assert wait_until(lambda: srv.stats()["errors"] >= 1)
+        # later inserts still flow through the same flusher thread
+        srv.insert_new_vectors([("b", corpus.row(1))])
+        assert wait_until(lambda: srv.stats()["n_rows"] == 2)
+        assert srv._flusher.is_alive()
+
+
+def test_insert_validates_dimensionality(corpus):
+    cfg = make_cfg()
+    from apsim_tpu.vector.sparse import SparseVector
+
+    with SimilarityServer(Engine(cfg), cfg) as srv:
+        bad = SparseVector(DIM * 4, np.array([DIM * 2], np.int32), [1.0])
+        with pytest.raises(ValueError, match="vector_dim"):
+            srv.insert_new_vectors([("bad", bad)])
+        assert srv.stats()["n_rows"] == 0
+
+
+def test_rpc_bad_insert_never_desyncs(corpus):
+    # an invalid fire-and-forget insert must produce NO reply line: the next
+    # request/response call must still read ITS OWN reply
+    cfg = make_cfg()
+    with RpcServer(SimilarityServer(Engine(cfg), cfg)) as rpc:
+        conn = ClientConnection([f"127.0.0.1:{rpc.port}"], timeout=10.0)
+        # oversized vector (size != vector_dim) -> rejected server-side
+        conn._send(
+            {"op": "insert", "vectors": [["bad", DIM * 4, [DIM * 2], [1.0]]]}
+        )
+        # malformed payload shape -> rejected server-side
+        conn._send({"op": "insert", "vectors": [["oops"]]})
+        rsp = conn.test("ping")
+        assert rsp == {"ok": True, "test": "ping"}
+        conn.insert_new_vector([("ok", corpus.row(0))])
+        conn.flush()
+        stats = conn.stats()
+        assert stats["n_rows"] == 1
+        assert stats["errors"] >= 2
+        conn.close()

@@ -152,8 +152,9 @@ class ChunkedAllPairs:
 
     def topk(self, queries, k: int):
         """k-NN over the chunked index: queries are chunk-sorted COO too, so
-        neither side densifies its full width.  Same fp64 re-rank policy as
-        the dense engine (heuristic 4k+slack over-fetch; see Engine.topk)."""
+        neither side densifies its full width.  Same provably-exact fetch +
+        fp64 re-rank contract as the dense engine (see Engine.topk for the
+        margin bound)."""
         import jax.numpy as jnp
 
         if self.n_rows == 0:
@@ -177,18 +178,28 @@ class ChunkedAllPairs:
         q_col = np.concatenate([q_col, np.zeros(pad, np.int32)])
         q_val = np.concatenate([q_val, np.zeros(pad, np.float32)])
         k_eff = min(k, self.n_rows)
-        k_fetch = min(self.n_rows, max(4 * k_eff, k_eff + 64))
         ent_row, ent_col, ent_val, offs = self._device
-        _, rows = chunked_ops.chunked_topk(
-            ent_row, ent_col, ent_val, offs,
-            jnp.asarray(q_row), jnp.asarray(q_col), jnp.asarray(q_val),
-            jnp.asarray(q_offs), np.int32(self.n_rows),
-            self.row_cap, self.chunk_dim, self._max_ent, q_rows_cap,
-            pow2_bucket(q_max, 256), k_fetch, self.cfg.matmul_precision,
-        )
-        rows = np.asarray(rows)[: len(qids)]
-        shadow = self._shadow
         nq = len(qids)
+
+        def fetch(kf: int):
+            s, r = chunked_ops.chunked_topk(
+                ent_row, ent_col, ent_val, offs,
+                jnp.asarray(q_row), jnp.asarray(q_col), jnp.asarray(q_val),
+                jnp.asarray(q_offs), np.int32(self.n_rows),
+                self.row_cap, self.chunk_dim, self._max_ent, q_rows_cap,
+                pow2_bucket(q_max, 256), kf, "highest",
+            )
+            return np.asarray(s)[:nq], np.asarray(r)[:nq]
+
+        from .engine import fetch_exact_topk
+
+        q_norms = qcsr.row_norms()
+        qmax = float(q_norms.max()) if q_norms.size else 0.0
+        # entries are stored fp32 and scored at "highest" precision, so the
+        # default relative bound (rescore_margin) covers the device error
+        m = self.cfg.rescore_margin * max(self._max_norm * qmax, 1.0)
+        rows, k_fetch = fetch_exact_topk(fetch, self.n_rows, k_eff, 2 * m)
+        shadow = self._shadow
         qi_idx = np.repeat(np.arange(nq), k_fetch)
         cand_idx = rows.reshape(-1).astype(np.int64)
         sims = rescore_ops.cross_pair_dots(

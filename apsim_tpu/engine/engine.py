@@ -122,6 +122,32 @@ def _as_csr(
     return csr, out_ids
 
 
+def fetch_exact_topk(fetch, n_rows: int, k_eff: int, margin: float):
+    """Grow the candidate fetch until it provably contains the true top-k.
+
+    ``fetch(k_fetch) -> (dev_scores [nq, k_fetch], rows [nq, k_fetch])``
+    returns the device's top ``k_fetch`` per query, scores descending.  The
+    fetched set is sufficient for query q once
+    ``dev_scores[q, -1] < dev_scores[q, k_eff-1] - margin`` with
+    ``margin = 2m`` (see Engine.topk docstring for the bound), because every
+    unfetched candidate scores at most the minimum fetched score.  Fetching
+    all ``n_rows`` is trivially sufficient.  Depths double (shape-bucketed by
+    the caller's jit) so at most O(log n) device calls happen, and only on
+    adversarially tie-dense corpora.
+
+    Returns ``(rows, k_fetch)`` of the final sufficient fetch.
+    """
+    k_fetch = min(n_rows, max(4 * k_eff, k_eff + 64))
+    while True:
+        scores, rows = fetch(k_fetch)
+        if k_fetch >= n_rows:
+            return rows, k_fetch
+        cutoff = scores[:, k_eff - 1] - margin
+        if bool(np.all(scores[:, -1] < cutoff)):
+            return rows, k_fetch
+        k_fetch = min(n_rows, 2 * k_fetch)
+
+
 class Engine:
     def __init__(self, config: AllPairsConfig | None = None):
         setup_jax()
@@ -183,16 +209,22 @@ class Engine:
         thresholding stays lossless for unnormalized corpora too (the
         reference's HBase path stores unnormalized TF-IDF — SURVEY.md
         fine-print #1)."""
+        scale = max(self._max_norm * self._max_norm, 1.0)
+        return self._margin_rel() * scale
+
+    def _margin_rel(self, precision: str | None = None) -> float:
+        """Relative device-error bound for one dot product (unscaled)."""
+        if precision is None:
+            precision = self.cfg.matmul_precision
         m = self.cfg.rescore_margin  # relative bound, fp32-highest default
         if self.cfg.dtype != "float32":
             m = max(m, rescore_ops.default_margin(self.cfg.dtype))
-        if self.cfg.matmul_precision != "highest":
+        if precision != "highest":
             # single-pass bf16 MXU: worst-case |err| <= 2^-8 * sum|a_i b_i|
             # <= 0.004 * ||a||*||b|| (observed ~1e-3 on normalized Enron
             # TF-IDF); 2e-2 relative gives 5x worst-case headroom
             m = max(m, 2e-2)
-        scale = max(self._max_norm * self._max_norm, 1.0)
-        return m * scale
+        return m
 
     def _tau_eff(self, tau: float) -> np.float32:
         return np.float32(max(tau - self._margin(tau), score_ops.MIN_TAU_EFF))
@@ -702,19 +734,25 @@ class Engine:
         """k nearest cosine neighbors per query over the static index
         (BASELINE.json config #4).
 
-        Reported scores are exact float64: the device ranks in bf16/fp32, we
-        over-fetch candidates (4k + slack) to cover its ~4e-3 ranking jitter,
-        recompute the fetched candidates' similarities in float64 and
-        re-rank.  Unlike the thresholded join (whose margin is a proven
-        bound), top-k over-fetch is heuristic: an adversarial corpus with
-        more than the fetched depth of near-ties at the k-th score could
-        still demote a true member — use ``matmul_precision="highest"`` when
-        that matters.
+        Reported scores are exact float64 and the RESULT SET is provably
+        exact (up to ties at the k-th true score, where any valid selection
+        is returned): the device ranks candidates, we fetch the top
+        ``k_fetch`` and keep growing ``k_fetch`` until the margin condition
+        ``min(fetched device scores) < (k-th fetched device score) − 2m``
+        holds, where ``m`` bounds the device scoring error.  Proof sketch:
+        every true-top-k member c has ``dev(c) ≥ true(c) − m ≥ t* − m``
+        where ``t*`` is the k-th largest true score, and ``t* ≥ dev_k − m``
+        since the k best-by-device candidates all have true score
+        ``≥ dev_k − m``; hence ``dev(c) ≥ dev_k − 2m`` and c is fetched once
+        every candidate scoring above that cutoff is.  The fetched set is
+        then rescored in float64 and re-ranked — the same
+        superset-then-exact-rescore contract as the thresholded join.
+        Device scoring always runs at "highest" precision here so the margin
+        (and thus the fetch depth) stays small even in bf16 index mode.
         """
         if self.n_rows == 0:
             return {qid: [] for qid, _ in queries}
         k_eff = min(k, self.n_rows)
-        k_fetch = min(self.n_rows, max(4 * k_eff, k_eff + 64))
         csr, qids = _as_csr(list(queries), None, self.cfg.vector_dim)
         compact = self.compact.map_csr(self._drop_unmapped(csr), extend=False)
         from ..vector.batch import pow2_bucket
@@ -725,15 +763,21 @@ class Engine:
         q_dense = score_ops.densify(
             batch.dims, batch.vals, batch.rows, self.dim_cap, self.cfg.dtype
         )
-        _, rows = score_ops.topk_scores(
-            self.x, q_dense, np.int32(self.n_rows), k_fetch,
-            self.cfg.matmul_precision,
-        )
-        rows = np.asarray(rows)[: len(qids)]
+        nq = len(qids)
+
+        def fetch(kf: int):
+            s, r = score_ops.topk_scores(
+                self.x, q_dense, np.int32(self.n_rows), kf, "highest"
+            )
+            return np.asarray(s)[:nq], np.asarray(r)[:nq]
+
+        q_norms = csr.row_norms()
+        qmax = float(q_norms.max()) if q_norms.size else 0.0
+        m = self._margin_rel("highest") * max(self._max_norm * qmax, 1.0)
+        rows, k_fetch = fetch_exact_topk(fetch, self.n_rows, k_eff, 2 * m)
         # exact fp64 rescore of the fetched candidates (queries vs shadow;
         # no stacked copy of the corpus)
         shadow = self.shadow_csr()
-        nq = len(qids)
         qi_idx = np.repeat(np.arange(nq), k_fetch)
         cand_idx = rows.reshape(-1).astype(np.int64)
         sims = rescore_ops.cross_pair_dots(

@@ -287,3 +287,49 @@ def test_unaligned_row_bucket(corpus):
     eng.build(corpus)
     assert eng.row_cap % 64 == 0
     assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)
+
+
+def _near_tie_corpus(n=200, base=0.9):
+    # n vectors whose similarity to e0 differs only at the 1e-13 level:
+    # indistinguishable in fp32 (resolution ~5e-8 near 0.9) but strictly
+    # ordered in fp64, with the TRUE best at the LAST row index — the old
+    # heuristic 4k+64 over-fetch picked fp32-tied candidates by lowest row
+    # index and missed it
+    from apsim_tpu.vector.batch import CSRMatrix
+    from apsim_tpu.vector.sparse import SparseVector
+
+    vecs = []
+    for i in range(n):
+        s = base + i * 1e-13
+        vecs.append(
+            SparseVector(
+                DIM,
+                np.array([0, 1 + i], np.int32),
+                np.array([s, np.sqrt(1.0 - s * s)]),
+            )
+        )
+    q = SparseVector(DIM, np.array([0], np.int32), np.array([1.0]))
+    return CSRMatrix.from_vectors(vecs, DIM), q
+
+
+def test_topk_exact_under_near_ties():
+    corpus, q = _near_tie_corpus()
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    got = eng.topk([("q", q)], 3)["q"]
+    # provably-exact fetch must surface the true fp64 ranking: rows n-1,
+    # n-2, n-3 in that order
+    n = corpus.n_rows
+    assert [g[0] for g in got] == [str(n - 1), str(n - 2), str(n - 3)], got
+    assert got[0][1] == pytest.approx(0.9 + (n - 1) * 1e-13, abs=1e-15)
+
+
+def test_topk_exact_under_near_ties_chunked():
+    from apsim_tpu.engine.chunked import ChunkedAllPairs
+
+    corpus, q = _near_tie_corpus()
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=128)
+    eng.build(corpus)
+    got = eng.topk([("q", q)], 3)["q"]
+    n = corpus.n_rows
+    assert [g[0] for g in got] == [str(n - 1), str(n - 2), str(n - 3)], got

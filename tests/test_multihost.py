@@ -1,8 +1,24 @@
-"""Multi-host helper: single-process behavior (no coordinator => no-op)."""
+"""Multi-host tests: single-process no-op AND a real 2-process
+``jax.distributed`` cluster (the Akka seed-node join analog,
+conf/akka.conf:10-15) running a mesh build + all-pairs with exact parity.
+
+The 2-process test spawns fresh interpreters (each forcing 4 virtual CPU
+devices) because jax.distributed must initialize before any backend touch —
+it cannot run inside this already-initialized pytest process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
 
 import jax
+import pytest
 
 from apsim_tpu.parallel import global_mesh, init_multihost, is_coordinator
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
 
 
 def test_single_host_noop(monkeypatch):
@@ -11,3 +27,41 @@ def test_single_host_noop(monkeypatch):
     assert is_coordinator()
     mesh = global_mesh()
     assert mesh.devices.size == len(jax.devices())
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.parametrize("shard_axis", ["dims", "rows"])
+def test_two_process_cluster(shard_axis):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(pid), shard_axis],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    assert "MULTIHOST_OK" in outs[0], outs[0][-3000:]

@@ -99,6 +99,11 @@ class AllPairsConfig:
     query_tile: int = 1024             # rows per scoring tile
     row_bucket: int = 512              # row-capacity growth quantum
     dim_bucket: int = 4096             # compact-dim capacity growth quantum
+    dormant_dims: bool = True          # at build, keep df==1 dims OFF the
+                                       # device (they can't contribute to any
+                                       # i!=j pair); archived host-side and
+                                       # activated on demand by inserts —
+                                       # cuts Enron's matmul K by 0.56x
     rescore_margin: float = 1e-4      # relative device-error bound (fp64
                                        # host rescore is always on: it is what
                                        # makes the emitted pair set exact)

@@ -174,7 +174,15 @@ class Engine:
             "candidates_scored": 0,
             "pairs_emitted": 0,
             "insert_batches": 0,
+            "dormant_dims": 0,
         }
+        # dormant-dim archive: df==1 dims are kept OFF the device index (they
+        # cannot contribute to any i != j pair) and their single (row, value)
+        # entry lives here until an insert shares the dim (activation)
+        self._dorm_rows = np.empty(0, np.int64)
+        self._dorm_dims = np.empty(0, np.int64)
+        self._dorm_vals = np.empty(0, np.float64)
+        self._dormant_of_ext: np.ndarray | None = None
 
     # ------------------------------------------------------------------ sizes
     @property
@@ -246,8 +254,11 @@ class Engine:
         csr, new_ids = _as_csr(vectors, ids, self.cfg.vector_dim)
         if self.n_rows:
             raise RuntimeError("build() on a non-empty engine; use insert()")
-        self.compact = CompactSpace.from_csr(csr, self.cfg.dim_bucket)
-        compact_csr = self.compact.map_csr(csr)
+        self.compact = CompactSpace.from_csr(
+            csr, self.cfg.dim_bucket,
+            min_df=2 if self.cfg.dormant_dims else 1,
+        )
+        compact_csr = self.compact.map_csr(self._archive_dormant(csr))
         row_cap = round_up(max(csr.n_rows, 1), self._row_quantum())
         dim_cap = self.compact.capacity
         self.x = self._place(
@@ -407,9 +418,9 @@ class Engine:
             and self.dim_cap % 2048 == 0
             and self.cfg.matmul_precision != "highest"
         )
-        # the kernel materializes the upper-triangle hit mask
-        # (~row_cap²/2 bytes of HBM); cap auto mode where that stays small
-        fits = self.row_cap * self.row_cap // 2 <= (1 << 31)  # ≤ 2 GB
+        # the kernel materializes the bit-packed hit structure
+        # (~row_cap²/14 bytes of HBM); cap auto mode where that stays small
+        fits = self.row_cap * self.row_cap // 14 <= (1 << 31)  # ≤ 2 GB
         on_tpu = jax.default_backend() == "tpu"
         if mode == "on":
             return single and aligned
@@ -435,15 +446,35 @@ class Engine:
             tm, tn, tk = 256, 256, 2048
         bi, bj = pallas_score.upper_blocks_rect(self.row_cap, tm, tn)
         bi, bj = jnp.asarray(bi), jnp.asarray(bj)
+        from ..vector.batch import pow2_bucket
+
+        # per-level caps, cached across calls so steady-state joins hit the
+        # compiled shapes immediately (pow2-bucketed to bound recompiles)
+        cap, capb, cap0 = getattr(
+            self, "_pallas_caps",
+            (pow2_bucket(cap, 1024), 0, 0),
+        )
         while True:
             bufs, packed = pallas_score.allpairs_extract_pallas(
-                self.x, bi, bj, tau_eff, cap, tm=tm, tn=tn, tk=tk,
-                interpret=interpret,
+                self.x, bi, bj, tau_eff, cap, capb, cap0,
+                tm=tm, tn=tn, tk=tk, interpret=interpret,
             )
-            pairs = self._consume_match(bufs, packed, cap, pallas_score.GROUP)
-            if pairs is not None:
-                return pairs
-            cap = _next_cap(cap, self._last_needed)
+            rows, cols, total, groups, supers = (
+                pallas_score.unpack_pallas_head(np.asarray(packed))
+            )
+            eff_capb = capb or max(cap // pallas_score.GROUP, 1024)
+            eff_cap0 = cap0 or max(
+                eff_capb // (pallas_score.SUPER // pallas_score.GROUP), 1024
+            )
+            if total > cap or groups > eff_capb or supers > eff_cap0:
+                cap = pow2_bucket(max(total, cap), 1024)
+                capb = pow2_bucket(max(groups, eff_capb), 1024)
+                cap0 = pow2_bucket(max(supers, eff_cap0), 1024)
+                continue
+            self._pallas_caps = (cap, capb or eff_capb, cap0 or eff_cap0)
+            if total <= rows.size:
+                return rows, cols
+            return score_ops.decode_pairs(bufs, total)
 
     def _finalize_pairs(self, i: np.ndarray, j: np.ndarray, tau: float) -> PairResult:
         if i.size == 0:
@@ -507,6 +538,7 @@ class Engine:
 
         n0 = self.n_rows
         self._grow_for(csr)
+        self._activate_dormant(csr.indices)
         compact_csr = self.compact.map_csr(csr, extend=False)
         # host bookkeeping first so the error margin (tau_eff) already covers
         # the batch's norms before any device scoring
@@ -674,6 +706,12 @@ class Engine:
             cap = _next_cap(cap, self._last_needed)
         self.stats["candidates_scored"] += self.n_rows * len(qids)
         rows, qcols = pairs
+        # queries sharing a dormant dim with an indexed row: the device score
+        # missed that contribution — add those rows as explicit candidates
+        extra_q, extra_r = self._dormant_hits(csr)
+        if extra_q.size:
+            rows = np.concatenate([np.asarray(rows), extra_r])
+            qcols = np.concatenate([np.asarray(qcols), extra_q])
         # exact rescore against a merged shadow (queries appended temporarily)
         shadow = self.shadow_csr()
         out: Dict[str, Dict[str, float]] = {}
@@ -692,8 +730,10 @@ class Engine:
         return SimilarityOutput(out, time.time())
 
     def _drop_unmapped(self, csr: CSRMatrix) -> CSRMatrix:
-        """Remove components in dims the index has never seen (they cannot
-        contribute to any similarity against indexed vectors)."""
+        """Remove components in dims absent from the device index.  For a
+        QUERY this may drop dormant dims that live only in the host archive —
+        callers on the query path must add back ``_dormant_hits`` candidates
+        so no pair is lost."""
         mapped = self.compact.cols_of(csr.indices) >= 0
         if mapped.all():
             return csr
@@ -705,6 +745,76 @@ class Engine:
         return CSRMatrix(
             csr.n_rows, csr.n_cols, indptr, csr.indices[mapped], csr.data[mapped]
         )
+
+    # ------------------------------------------------------------ dormant dims
+    def _archive_dormant(self, csr: CSRMatrix) -> CSRMatrix:
+        """Archive build entries in dims the compact space left unmapped
+        (df==1: no i≠j pair can use them) and return the filtered CSR.  The
+        shadow CSR keeps EVERY entry, so the fp64 rescore — and thus the
+        emitted pair set — is unaffected; only the device matmul K shrinks."""
+        mapped = self.compact.cols_of(csr.indices) >= 0
+        if mapped.all():
+            return csr
+        keep = ~mapped
+        row_of = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
+        self._dorm_rows = row_of[keep].astype(np.int64)
+        self._dorm_dims = csr.indices[keep].astype(np.int64)
+        self._dorm_vals = csr.data[keep].astype(np.float64)
+        self._dormant_of_ext = np.full(self.cfg.vector_dim, -1, np.int32)
+        # df==1 ⇒ each dormant dim has exactly one archived entry
+        self._dormant_of_ext[self._dorm_dims] = np.arange(
+            self._dorm_dims.size, dtype=np.int32
+        )
+        self.stats["dormant_dims"] = int(self._dorm_dims.size)
+        return self._drop_unmapped(csr)
+
+    def _activate_dormant(self, ext_dims: np.ndarray) -> None:
+        """Insert-time activation: dims of the incoming batch that were
+        dormant just received compact columns (``_grow_for``'s extend); their
+        archived entries must now live on the device so new×old pairs through
+        those dims score correctly."""
+        if self._dormant_of_ext is None:
+            return
+        uniq = np.unique(np.asarray(ext_dims))
+        idxs = self._dormant_of_ext[uniq]
+        sel = idxs >= 0
+        if not sel.any():
+            return
+        dims, idxs = uniq[sel], idxs[sel]
+        cols = self.compact.cols_of(dims).astype(np.int64)
+        rows = self._dorm_rows[idxs]
+        vals = self._dorm_vals[idxs]
+        from ..vector.batch import pow2_bucket
+
+        cap = pow2_bucket(rows.size, 256)
+        pad = cap - rows.size
+        self.x = score_ops.scatter_entries(
+            self.x,
+            np.concatenate(
+                [rows, np.full(pad, self.row_cap, np.int64)]
+            ).astype(np.int32),
+            np.concatenate([cols, np.zeros(pad, np.int64)]).astype(np.int32),
+            np.concatenate([vals, np.zeros(pad)]).astype(np.float32),
+        )
+        self._dormant_of_ext[dims] = -1
+        self.stats["dormant_dims"] -= int(dims.size)
+
+    def _dormant_hits(self, csr: CSRMatrix) -> Tuple[np.ndarray, np.ndarray]:
+        """External-query correction: unique (query_idx, index_row) pairs
+        that share a dormant dim — the device score misses that contribution,
+        so these rows must join the rescore candidate set explicitly."""
+        if self._dormant_of_ext is None or self._dorm_dims.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        look = self._dormant_of_ext[csr.indices]
+        hit = look >= 0
+        if not hit.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        row_of = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
+        q = row_of[hit].astype(np.int64)
+        r = self._dorm_rows[look[hit]]
+        key = q * (self.n_rows + 1) + r
+        _, first = np.unique(key, return_index=True)
+        return q[first], r[first]
 
     def _emit_query_results(
         self, qrows: np.ndarray, crows: np.ndarray, tau: float
@@ -776,20 +886,29 @@ class Engine:
         m = self._margin_rel("highest") * max(self._max_norm * qmax, 1.0)
         rows, k_fetch = fetch_exact_topk(fetch, self.n_rows, k_eff, 2 * m)
         # exact fp64 rescore of the fetched candidates (queries vs shadow;
-        # no stacked copy of the corpus)
+        # no stacked copy of the corpus); rows reachable only through a
+        # dormant dim join the candidate set explicitly (the device score
+        # missed that contribution, so the margin bound alone can't cover them)
         shadow = self.shadow_csr()
         qi_idx = np.repeat(np.arange(nq), k_fetch)
         cand_idx = rows.reshape(-1).astype(np.int64)
+        extra_q, extra_r = self._dormant_hits(csr)
+        if extra_q.size:
+            qi_idx = np.concatenate([qi_idx, extra_q])
+            cand_idx = np.concatenate([cand_idx, extra_r])
         sims = rescore_ops.cross_pair_dots(
             shadow.indptr, shadow.indices, shadow.data, shadow.n_cols,
             csr.indptr, csr.indices, csr.data, qi_idx, cand_idx,
-        ).reshape(nq, k_fetch)
+        )
         out: Dict[str, List[Tuple[str, float]]] = {}
         for qi, qid in enumerate(qids):
-            order = np.argsort(-sims[qi], kind="stable")[:k_eff]
+            mask = qi_idx == qi
+            rr, ss = cand_idx[mask], sims[mask]
+            uniq, first = np.unique(rr, return_index=True)
+            rr, ss = uniq, ss[first]
+            order = np.argsort(-ss, kind="stable")[:k_eff]
             out[qid] = [
-                (self.ids[int(rows[qi, t])], float(sims[qi, t]))
-                for t in order
+                (self.ids[int(rr[t])], float(ss[t])) for t in order
             ]
         return out
 

@@ -17,7 +17,14 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_lib", "native_available", "hash_corpus", "pad_batch", "crc32"]
+__all__ = [
+    "get_lib",
+    "native_available",
+    "hash_corpus",
+    "pad_batch",
+    "crc32",
+    "native_pair_dots",
+]
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "apsim_native.cpp")
 _lock = threading.Lock()
@@ -88,6 +95,19 @@ def get_lib():
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
+        lib.apsim_pair_dots.restype = None
+        lib.apsim_pair_dots.argtypes = [
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
         _lib = lib
         return _lib
 
@@ -129,6 +149,29 @@ def hash_corpus(docs: list[str], num_features: int):
         if nnz >= 0:
             return indptr, indices[:nnz].copy(), values[:nnz].copy()
         cap *= 2
+
+
+def native_pair_dots(
+    a_indptr, a_indices, a_data, b_indptr, b_indices, b_data, a_rows, b_rows
+):
+    """Exact fp64 dots of (a_rows[p] of A) · (b_rows[p] of B); None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a_rows = np.ascontiguousarray(a_rows, np.int64)
+    b_rows = np.ascontiguousarray(b_rows, np.int64)
+    out = np.empty(a_rows.size, dtype=np.float64)
+    lib.apsim_pair_dots(
+        np.ascontiguousarray(a_indptr, np.int64),
+        np.ascontiguousarray(a_indices, np.int32),
+        np.ascontiguousarray(a_data, np.float64),
+        np.ascontiguousarray(b_indptr, np.int64),
+        np.ascontiguousarray(b_indices, np.int32),
+        np.ascontiguousarray(b_data, np.float64),
+        a_rows, b_rows, a_rows.size, out,
+    )
+    return out
 
 
 def pad_batch(indptr, indices, values, k: int, pad_dim: int):

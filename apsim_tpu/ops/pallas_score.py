@@ -5,20 +5,36 @@ rectangle tile-by-tile and filters the lower triangle afterwards.  This
 kernel iterates ONLY the upper-triangle block pairs — their (bi, bj) indices
 are scalar-prefetched so the BlockSpec index maps can follow a data-driven
 schedule (``pltpu.PrefetchScalarGridSpec``) — which halves both MXU work and
-HBM traffic, and fuses the threshold + row-group reduction + per-block hit
-count into the matmul epilogue so the fp32 score tile never leaves VMEM.
+HBM traffic, and fuses threshold + triangle mask + BIT-PACKING into the
+matmul epilogue so the fp32 score tile never leaves VMEM.
 
 Outputs per block p (bi[p], bj[p]):
-  mask   [n_blocks, TM, TN] uint8 — thresholded hits (diagonal blocks also
-                                    carry the strict ``row < col`` triangle)
-  rga    [n_blocks, TM/8, TN] uint8 — row-group (8) any-hit reduction, the
-                                    level-1 structure for compact extraction
+  gb   [n_blocks, TM/8, TN]  uint8 — bit-packed hits: byte (g, c) holds the
+                                     8 rows of group g at column c (bit o =
+                                     row g*8+o).  8× less HBM than the uint8
+                                     mask the round-1 kernel wrote.
+  g64  [n_blocks, TM/64, TN] uint8 — super-group (64-row) any-hit, the
+                                     level-0 structure for compaction
+  cnt  [n_blocks, 8, 128]    int32 — lanes 0..2 = (pairs, hit groups, hit
+                                     super-groups) of this block, so exact
+                                     totals cost no extra device pass
 
-``allpairs_extract_pallas`` wraps the kernel with the same two-level XLA
-compaction and (bufs, packed_head) contract as
-``score.allpairs_extract``, so the engine can switch per config flag.
+``allpairs_extract_pallas`` wraps the kernel with a THREE-level compaction
+(supers → group bytes → bits) whose ``jnp.nonzero`` domains are sized by the
+*previous* level's cap instead of the raw mask: the round-1 two-level scheme
+ran one nonzero over mask/8 ≈ row_cap²/16 elements (~9 ns/element on v5e ⇒
+52 ms on Enron); the three-level scheme's largest domain is
+``n_blocks·TM/64·TN`` (≈ row_cap²/128), ~8× smaller, and the deeper levels
+scale with the candidate caps, not the corpus.
+
+Each level has its own capacity (cap0 ≥ #hit supers, capb ≥ #hit groups,
+cap ≥ #pairs); the packed head returns all three true counts so the caller
+can retry with exact sizes (and cache them across calls).
 
 Runs in interpreter mode off-TPU (CPU tests).
+
+Replaces the reference's querySimilarItems posting walk + per-pair HashMap
+dot (IndexingWorkerActor.scala:74-111, CommonUtils.scala:98-117).
 """
 
 from __future__ import annotations
@@ -33,11 +49,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "upper_blocks",
-    "pallas_score_blocks",
+    "upper_blocks_rect",
+    "pallas_score_bits",
     "allpairs_extract_pallas",
+    "unpack_pallas_head",
+    "GROUP",
+    "SUPER",
 ]
 
-GROUP = 8  # row-group size of the rga reduction (fixed: fits the extractor)
+GROUP = 8  # rows per bit-packed byte (fixed: the uint8 width)
+SUPER = 64  # rows per level-0 super-group (8 group bytes)
+
+HEAD_PALLAS = 32768  # pairs carried inline in the packed head (one fetch)
 
 
 def upper_blocks(n_tiles: int) -> tuple[np.ndarray, np.ndarray]:
@@ -58,7 +81,7 @@ def upper_blocks_rect(
     return bi[keep].astype(np.int32), bj[keep].astype(np.int32)
 
 
-def _kernel(bi_ref, bj_ref, tau_ref, x_ref, q_ref, mask_ref, rga_ref,
+def _kernel(bi_ref, bj_ref, tau_ref, x_ref, q_ref, gb_ref, g64_ref, cnt_ref,
             acc_ref):
     k = pl.program_id(1)
     nk = pl.num_programs(1)
@@ -86,26 +109,42 @@ def _kernel(bi_ref, bj_ref, tau_ref, x_ref, q_ref, mask_ref, rga_ref,
         cols = bj_ref[p] * tn + jax.lax.broadcasted_iota(
             jnp.int32, (tm, tn), 1
         )
-        mask_ref[0] = (m & (rows < cols)).astype(jnp.uint8)
-
-        mm = mask_ref[0]
-        # arithmetic any(): min(sum, 1) — a `> 0` compare here produces an i1
-        # vector whose relayout Mosaic cannot compile (observed on v5e)
-        rga_ref[0] = jnp.minimum(
-            jnp.sum(
-                mm.reshape(tm // GROUP, GROUP, tn), axis=1, dtype=jnp.int32
-            ),
+        # arithmetic masking throughout: i1-vector relayouts can fail to
+        # compile in Mosaic (observed on v5e), so hits become int32 0/1
+        mi = (m & (rows < cols)).astype(jnp.int32)  # [tm, tn]
+        # bit-pack each 8-row group into one byte: bit o = row g*8+o
+        w = jnp.left_shift(
             1,
-        ).astype(jnp.uint8)
+            jax.lax.broadcasted_iota(jnp.int32, (tm // GROUP, GROUP, tn), 1),
+        )
+        gbi = jnp.sum(
+            mi.reshape(tm // GROUP, GROUP, tn) * w, axis=1
+        )  # int32 [tm/8, tn], values 0..255
+        gb_ref[0] = gbi.astype(jnp.uint8)
+        g_any = jnp.minimum(gbi, 1)
+        g64i = jnp.minimum(
+            jnp.sum(g_any.reshape(tm // SUPER, SUPER // GROUP, tn), axis=1), 1
+        )
+        g64_ref[0] = g64i.astype(jnp.uint8)
+        n_pairs = jnp.sum(mi)
+        n_groups = jnp.sum(g_any)
+        n_supers = jnp.sum(g64i)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+        cnt_ref[...] = jnp.where(
+            lane == 0,
+            n_pairs,
+            jnp.where(lane == 1, n_groups, jnp.where(lane == 2, n_supers, 0)),
+        )
 
 
 @functools.partial(
     jax.jit, static_argnames=("tm", "tn", "tk", "interpret")
 )
-def pallas_score_blocks(
-    x, bi, bj, tau_eff, tm: int = 256, tn: int = 256, tk: int = 2048,
+def pallas_score_bits(
+    x, bi, bj, tau_eff, tm: int = 1024, tn: int = 512, tk: int = 1024,
     interpret: bool = False,
 ):
+    """Run the kernel: (gb, g64, cnt) bit-packed hit structure per block."""
     row_cap, dim_cap = x.shape
     n_blocks = bi.shape[0]
     nk = dim_cap // tk
@@ -125,12 +164,9 @@ def pallas_score_blocks(
             ),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, tm, tn), lambda p, k, *_: (p, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, tm // GROUP, tn), lambda p, k, *_: (p, 0, 0)
-            ),
+            pl.BlockSpec((1, tm // GROUP, tn), lambda p, k, *_: (p, 0, 0)),
+            pl.BlockSpec((1, tm // SUPER, tn), lambda p, k, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda p, k, *_: (p, 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
     )
@@ -138,60 +174,116 @@ def pallas_score_blocks(
         _kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, tm, tn), jnp.uint8),
             jax.ShapeDtypeStruct((n_blocks, tm // GROUP, tn), jnp.uint8),
+            jax.ShapeDtypeStruct((n_blocks, tm // SUPER, tn), jnp.uint8),
+            jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.int32),
         ],
         # off-TPU use the TPU interpreter (emulates scalar prefetch etc.)
         interpret=pltpu.InterpretParams() if interpret else False,
     )(bi, bj, tau_arr, x, x)
 
 
+def _pack_pallas_head(row, col, total, groups, supers):
+    h = min(HEAD_PALLAS, row.shape[0])
+    return jnp.concatenate(
+        [
+            row[:h],
+            col[:h],
+            total.reshape(1).astype(jnp.int32),
+            groups.reshape(1).astype(jnp.int32),
+            supers.reshape(1).astype(jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+        ]
+    )
+
+
+def unpack_pallas_head(packed: np.ndarray):
+    """(rows_head, cols_head, total, groups, supers) from a fetched head."""
+    h = (packed.shape[0] - 4) // 2
+    total = int(packed[2 * h])
+    groups = int(packed[2 * h + 1])
+    supers = int(packed[2 * h + 2])
+    k = min(total, h)
+    return (
+        packed[:k].astype(np.int64),
+        packed[h : h + k].astype(np.int64),
+        total,
+        groups,
+        supers,
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("tm", "tn", "tk", "cap", "interpret"),
+    static_argnames=("tm", "tn", "tk", "cap", "capb", "cap0", "interpret"),
 )
 def allpairs_extract_pallas(
-    x, bi, bj, tau_eff, cap: int, tm: int = 512, tn: int = 512,
-    tk: int = 2048, interpret: bool = False,
+    x, bi, bj, tau_eff, cap: int, capb: int = 0, cap0: int = 0,
+    tm: int = 1024, tn: int = 512, tk: int = 1024, interpret: bool = False,
 ):
-    """Same contract as ``score.allpairs_extract``:
-    ((buf_i, buf_j), packed_head) over the upper triangle.
+    """Upper-triangle all-pairs: ((row, col), packed_head).
+
+    Three-level compaction over the kernel's bit-packed structure; each
+    level's nonzero domain is bounded by the previous level's cap, so the
+    only corpus-sized scan is level 0 (row_cap²/(tm·tn)·(tm/64)·tn =
+    row_cap²/64 bits ≈ row_cap²/128 elements).
 
     Operands are read in bfloat16 (measured 2.7× faster than fp32 tiles —
     the kernel is HBM-bound; the MXU's DEFAULT pass rounds inputs to bf16
-    anyway, so the engine's error margin already covers this)."""
-    mask, rga = pallas_score_blocks(
+    anyway, so the engine's error margin already covers this).
+
+    Overflow contract: the packed head carries the TRUE (pairs, groups,
+    supers) counts; the caller retries with larger caps when any exceeds its
+    capacity (entries past a cap are dropped, counts stay exact).
+    """
+    capb = capb or max(cap // GROUP, 1024)
+    cap0 = cap0 or max(capb // (SUPER // GROUP), 1024)
+    gb, g64, cnt = pallas_score_bits(
         x.astype(jnp.bfloat16), bi, bj, tau_eff, tm, tn, tk, interpret
     )
     n_blocks = bi.shape[0]
-    total = jnp.sum(mask, dtype=jnp.int32)
-    capb = max(cap // GROUP, 1024)
-    mb = rga != 0  # [n_blocks, tm/8, tn]
-    groups = jnp.sum(mb, dtype=jnp.int32)
-    (bflat,) = jnp.nonzero(
-        mb.reshape(-1), size=capb, fill_value=n_blocks * (tm // GROUP) * tn
+    total = jnp.sum(cnt[:, 0, 0])
+    groups = jnp.sum(cnt[:, 0, 1])
+    supers = jnp.sum(cnt[:, 0, 2])
+    # ---- level 0: hit super-groups (64 rows) over the whole structure
+    per0 = (tm // SUPER) * tn
+    (b0,) = jnp.nonzero(
+        (g64 != 0).reshape(-1), size=cap0, fill_value=n_blocks * per0
     )
-    per_block = (tm // GROUP) * tn
-    bvalid = bflat < n_blocks * per_block
-    p_idx = (bflat // per_block).astype(jnp.int32)
-    rem = bflat % per_block
-    g_idx = (rem // tn).astype(jnp.int32)
-    c_idx = (rem % tn).astype(jnp.int32)
-    mask4 = mask.reshape(n_blocks, tm // GROUP, GROUP, tn)
-    strips = mask4[
-        p_idx.clip(0, n_blocks - 1), g_idx, :, c_idx
-    ]  # [capb, GROUP] uint8
-    strips = jnp.where(bvalid[:, None], strips, 0)
+    v0 = b0 < n_blocks * per0
+    b0c = jnp.where(v0, b0, 0)
+    p0 = (b0c // per0).astype(jnp.int32)
+    rem0 = b0c % per0
+    s0 = (rem0 // tn).astype(jnp.int32)  # super index within block
+    c0 = (rem0 % tn).astype(jnp.int32)  # column within block
+    # ---- level 1: hit group bytes within each hit super (8 bytes each)
+    gb4 = gb.reshape(n_blocks, tm // SUPER, SUPER // GROUP, tn)
+    bytes0 = gb4[p0, s0, :, c0]  # [cap0, 8] uint8
+    bytes0 = jnp.where(v0[:, None], bytes0, 0)
+    (f1,) = jnp.nonzero(
+        (bytes0 != 0).reshape(-1), size=capb,
+        fill_value=cap0 * (SUPER // GROUP),
+    )
+    v1 = f1 < cap0 * (SUPER // GROUP)
+    f1c = jnp.where(v1, f1, 0)
+    slot1 = (f1c // (SUPER // GROUP)).astype(jnp.int32)
+    o1 = (f1c % (SUPER // GROUP)).astype(jnp.int32)
+    byte1 = bytes0.reshape(-1)[f1c].astype(jnp.int32)
+    byte1 = jnp.where(v1, byte1, 0)
+    # ---- level 2: hit bits (rows) within each hit group byte
+    bits = (byte1[:, None] >> jnp.arange(GROUP, dtype=jnp.int32)[None, :]) & 1
     (f2,) = jnp.nonzero(
-        (strips != 0).reshape(-1), size=cap, fill_value=capb * GROUP
+        bits.reshape(-1) != 0, size=cap, fill_value=capb * GROUP
     )
-    f2valid = f2 < capb * GROUP
-    slot = (f2 // GROUP).clip(0, capb - 1)
-    off = (f2 % GROUP).astype(jnp.int32)
-    row = bi[p_idx[slot]] * tm + g_idx[slot] * GROUP + off
-    col = bj[p_idx[slot]] * tn + c_idx[slot]
-    row = jnp.where(f2valid, row, -1).astype(jnp.int32)
-    col = jnp.where(f2valid, col, -1).astype(jnp.int32)
-    from .score import HEAD_JOIN, _pack_head
-
-    return (row, col), _pack_head(row, col, total, groups, HEAD_JOIN)
+    v2 = f2 < capb * GROUP
+    f2c = jnp.where(v2, f2, 0)
+    slot2 = (f2c // GROUP).astype(jnp.int32)
+    o2 = (f2c % GROUP).astype(jnp.int32)
+    sl = slot1[slot2]
+    g = s0[sl] * (SUPER // GROUP) + o1[slot2]  # group index within block
+    P = p0[sl]
+    row = bi[P] * tm + g * GROUP + o2
+    col = bj[P] * tn + c0[sl]
+    row = jnp.where(v2, row, -1).astype(jnp.int32)
+    col = jnp.where(v2, col, -1).astype(jnp.int32)
+    return (row, col), _pack_pallas_head(row, col, total, groups, supers)

@@ -38,6 +38,14 @@ def cross_pair_dots(
     of the shadow per call (that copy is O(corpus nnz))."""
     qrows = np.asarray(qrows, dtype=np.int64)
     crows = np.asarray(crows, dtype=np.int64)
+    from ..native import native_pair_dots
+
+    nat = native_pair_dots(
+        s_indptr, s_indices, s_data, q_indptr, q_indices, q_data,
+        crows, qrows,
+    )
+    if nat is not None:
+        return nat
     if _sp is not None:
         a = _sp.csr_matrix(
             (s_data, s_indices, s_indptr),
@@ -91,6 +99,13 @@ def pair_dots(
     out = np.empty(i.size, dtype=np.float64)
     if i.size == 0:
         return out
+    from ..native import native_pair_dots
+
+    nat = native_pair_dots(
+        indptr, indices, data, indptr, indices, data, i, j
+    )
+    if nat is not None:
+        return nat
     if _sp is not None and (mat is not None or i.size >= 1024):
         # for few pairs the O(corpus nnz) scipy build dwarfs the dots;
         # the sort-merge path below is O(pairs · row nnz)

@@ -97,6 +97,16 @@ def insert_rows(x, dims, vals, row_offset):
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def scatter_entries(x, rows, cols, vals):
+    """COO scatter-add of arbitrary (row, col, val) entries into the index
+    matrix (dormant-dim activation path; padding entries carry
+    ``rows == row_cap`` and are dropped by the out-of-bounds rule)."""
+    return x.at[rows, cols].add(
+        vals.astype(x.dtype), mode="drop", unique_indices=True
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("row_cap", "dim_cap"))
 def grow(x, row_cap: int, dim_cap: int):
     """Copy into a larger zero matrix (capacity-doubling growth)."""

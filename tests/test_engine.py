@@ -333,3 +333,57 @@ def test_topk_exact_under_near_ties_chunked():
     got = eng.topk([("q", q)], 3)["q"]
     n = corpus.n_rows
     assert [g[0] for g in got] == [str(n - 1), str(n - 2), str(n - 3)], got
+
+
+def _dormant_corpus():
+    # rows 0,1 share dim 5; row 2 has UNIQUE dims {100, 101} (df==1 ->
+    # dormant: kept off the device, archived host-side)
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    v = Vectors.sparse
+    a = 1 / np.sqrt(2)
+    vecs = [
+        v(DIM, [5, 7], [a, a]),
+        v(DIM, [5, 8], [a, a]),
+        v(DIM, [100, 101], [a, a]),
+    ]
+    return CSRMatrix.from_vectors(vecs, DIM)
+
+
+def test_dormant_dims_archived_and_exact():
+    corpus = _dormant_corpus()
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    assert eng.stats["dormant_dims"] >= 2  # dims 100,101 (7,8 too)
+    # device index lost nothing decidable: pair set still exact
+    assert eng.all_pairs(0.3).pair_set() == brute_force_pairs(corpus, 0.3)
+
+
+def test_dormant_activation_on_insert():
+    corpus = _dormant_corpus()
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    a = 1 / np.sqrt(2)
+    # new vector shares dormant dim 100 with row 2: the archived entry must
+    # activate or the (new, 2) pair is lost
+    out = eng.insert([("new", Vectors.sparse(DIM, [100, 300], [a, a]))],
+                     tau=0.4)
+    assert out.output.get("new", {}).get("2") == pytest.approx(0.5)
+    assert eng.all_pairs(0.4).pair_set() == brute_force_pairs(
+        eng.shadow_csr(), 0.4, eng.ids
+    )
+
+
+def test_dormant_topk_and_frozen_match():
+    corpus = _dormant_corpus()
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    a = 1 / np.sqrt(2)
+    q = Vectors.sparse(DIM, [100, 101], [a, a])  # only dormant dims
+    # top-k must surface row 2 at sim 1.0 even though the device sees zeros
+    res = eng.topk([("q", q)], 2)["q"]
+    assert res[0] == ("2", pytest.approx(1.0))
+    # frozen external match must find it too
+    eng.freeze()
+    out = eng.insert([("probe", q)], tau=0.9)
+    assert out.output.get("probe", {}).get("2") == pytest.approx(1.0)

@@ -1,18 +1,25 @@
-"""Chunked-sparse batch join engine — exact all-pairs beyond the dense-index
+"""Chunked-sparse engine — exact all-pairs + streaming beyond the dense-index
 HBM ceiling.
 
 The dense :class:`Engine` needs ``rows × dim_cap`` floats resident (~130k
 rows at Enron-like vocabularies on one v5e).  ``ChunkedAllPairs`` keeps only
-flat COO entries + one dim-chunk slab on device (``O(nnz + rows·chunk_dim)``)
-and runs the same exact join — fp64 host rescore included — at ~1M rows per
-chip.  Batch mode only (build + join + re-join at other taus); streaming
-inserts live on the dense engine.
+per-chunk COO entry buffers + one dim-chunk slab on device
+(``O(nnz + rows·chunk_dim)``) and runs the same exact join — fp64 host
+rescore included — at ~1M rows per chip.
+
+Round 2 adds STREAMING INSERTS (the reference's WriteWorkerActor.scala:185-202
+capability at out-of-core scale): entries live in fixed-capacity per-chunk
+device buffers with capacity-doubling growth; an insert is one donated
+scatter-append plus a chunked cross-match of the batch against the full
+index (index-before-query, so intra-batch pairs surface symmetrically —
+SURVEY.md fine-print #2).  Dense-engine parity gaps that remain: no admission
+pruning (max-weight bounds live on the dense path), no dormant-dim tier.
 """
 
 from __future__ import annotations
 
 import time
-from typing import List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -22,9 +29,9 @@ from ..ops import chunked as chunked_ops
 from ..ops import rescore as rescore_ops
 from ..ops import score as score_ops
 from ..utils.jaxsetup import setup_jax
-from ..vector.batch import CSRMatrix, pow2_bucket, round_up
+from ..vector.batch import CSRMatrix, GrowableCSR, pow2_bucket, round_up
 from .engine import _as_csr, _next_cap
-from .output import PairResult
+from .output import PairResult, SimilarityOutput
 
 __all__ = ["ChunkedAllPairs"]
 
@@ -39,60 +46,80 @@ class ChunkedAllPairs:
         # scatter (100k rows: 4096 -> 55 s, 8192 -> 38 s); auto-sized at
         # build time to a ~3 GB fp32 accumulator budget unless overridden
         self.super_tile = None if super_tile is None else int(super_tile)
-        self._device = None
-        self._shadow: CSRMatrix | None = None
+        self._ent = None  # (rows2d, cols2d, vals2d) jnp [n_chunks, chunk_cap]
+        self._counts = None  # np int64 [n_chunks] (host truth)
+        self._counts_dev = None  # jnp int32 copy for kernels
+        self._chunk_cap = 0
+        self._shadow: GrowableCSR | None = None
         self.ids: List[str] = []
+        self.id_to_row: Dict[str, int] = {}
         self.n_rows = 0
-        self.row_cap = 0
+        self._max_norm = 0.0
+        self._frozen = False
 
+    # ------------------------------------------------------------------ sizes
+    @property
+    def row_cap(self) -> int:
+        """Slab height for the current row count — a compile-time parameter
+        only (row growth costs no device copies in this mode).  Power-of-two
+        quanta up to 8192 keep small corpora small while bounding streaming
+        recompiles."""
+        q = min(8192, pow2_bucket(max(self.n_rows, 1), 1024))
+        return round_up(max(self.n_rows, 1), q)
+
+    @property
+    def _chunk_width(self) -> int:
+        """Slab width covering the largest local dim so far; grows in
+        ``chunk_dim`` doublings when inserts mint new compact dims."""
+        need = -(-self._compact.capacity // self._n_chunks)
+        w = self.chunk_dim
+        while w < need:
+            w *= 2
+        return w
+
+    def _q_super(self) -> int:
+        """Stripe width: the widest power of two whose fp32 accumulator
+        (row_cap × stripe) stays under ~3 GB, clamped to the row capacity so
+        small corpora pay small programs (pow2 ⇒ it always divides row_cap)."""
+        if self.super_tile is None:
+            padded = round_up(max(self.n_rows, 1), 8192)
+            budget = (3 << 30) // (4 * padded)
+            st = 1024
+            while st * 2 <= min(budget, 8192):
+                st *= 2
+            self.super_tile = st
+        return min(self.super_tile, self.row_cap)
+
+    # ------------------------------------------------------------------ build
     def build(self, vectors, ids: Sequence[str] | None = None) -> dict:
         import jax.numpy as jnp
 
         t0 = time.time()
         csr, self.ids = _as_csr(vectors, ids, self.cfg.vector_dim)
-        self._shadow = csr
+        self.id_to_row = {v: k for k, v in enumerate(self.ids)}
+        self._shadow = GrowableCSR(self.cfg.vector_dim)
+        self._shadow.append(csr)
         self.n_rows = csr.n_rows
-        compact = CompactSpace.from_csr(csr, self.cfg.dim_bucket)
-        ccsr = compact.map_csr(csr)
-        if self.super_tile is None:
-            # widest stripe whose fp32 accumulator (row_cap × super_tile)
-            # stays under ~3 GB (100k rows: 8192 measured 38 s vs 55 s @4096);
-            # divide by the PADDED row count so the real allocation respects
-            # the budget
-            padded = round_up(max(csr.n_rows, 1), 8192)
-            budget = (3 << 30) // (4 * padded)
-            self.super_tile = max(1024, min(8192, (budget // 256) * 256))
-        self.super_tile = min(
-            self.super_tile,
-            round_up(max(csr.n_rows, 1), 256),
-        )
-        self.row_cap = round_up(max(csr.n_rows, 1), self.super_tile)
-        n_chunks = max(1, -(-compact.n_active // self.chunk_dim))
+        self._compact = CompactSpace.from_csr(csr, self.cfg.dim_bucket)
+        ccsr = self._compact.map_csr(csr)
+        self._q_super()
+        n_chunks = max(1, -(-self._compact.n_active // self.chunk_dim))
+        self._n_chunks = n_chunks
         rows_of = np.repeat(
             np.arange(csr.n_rows, dtype=np.int64), np.diff(ccsr.indptr)
         )
-        ent_row, ent_col, ent_val, offs, max_cnt = (
-            chunked_ops.sort_entries_by_chunk(
-                rows_of, ccsr.indices.astype(np.int64), ccsr.data, n_chunks
-            )
+        chunk, _ = chunked_ops.split_chunks(ccsr.indices, n_chunks)
+        per = np.bincount(chunk, minlength=n_chunks)
+        self._chunk_cap = pow2_bucket(max(int(per.max()) if per.size else 1, 1), 1024)
+        rows2d, cols2d, vals2d, counts = chunked_ops.bucket_entries(
+            rows_of, ccsr.indices.astype(np.int64), ccsr.data, n_chunks,
+            self._chunk_cap, self._pad_row(),
         )
-        # pad the flat entry arrays to a pow2 length; pad rows scatter nothing
-        cap_e = pow2_bucket(len(ent_row), 1024)
-        pad = cap_e - len(ent_row)
-        ent_row = np.concatenate(
-            [ent_row, np.full(pad, self.row_cap, np.int32)]
+        self._ent = (
+            jnp.asarray(rows2d), jnp.asarray(cols2d), jnp.asarray(vals2d)
         )
-        ent_col = np.concatenate([ent_col, np.zeros(pad, np.int32)])
-        ent_val = np.concatenate([ent_val, np.zeros(pad, np.float32)])
-        self._device = (
-            jnp.asarray(ent_row),
-            jnp.asarray(ent_col),
-            jnp.asarray(ent_val),
-            jnp.asarray(offs),
-        )
-        self._max_ent = pow2_bucket(max_cnt, 1024)
-        self._n_chunks = n_chunks
-        self._compact = compact
+        self._counts = counts
+        self._counts_dev = jnp.asarray(counts.astype(np.int32))
         # margin bookkeeping (same policy as the dense engine)
         norms = csr.row_norms()
         self._max_norm = float(norms.max()) if norms.size else 0.0
@@ -102,15 +129,245 @@ class ChunkedAllPairs:
             "n_chunks": n_chunks,
             "chunk_dim": self.chunk_dim,
             "entries": int(csr.indptr[-1]),
-            "entry_cap": cap_e,
+            "chunk_cap": self._chunk_cap,
             "build_seconds": time.time() - t0,
         }
+
+    def _pad_row(self) -> int:
+        # pad entries scatter out of bounds for ANY current/future row_cap:
+        # use a row index no slab will ever reach
+        return (1 << 30)
 
     def _tau_eff(self, tau: float) -> np.float32:
         m = max(self.cfg.rescore_margin, 2e-2)
         m *= max(self._max_norm * self._max_norm, 1.0)
         return np.float32(max(tau - m, score_ops.MIN_TAU_EFF))
 
+    # ----------------------------------------------------------------- insert
+    def insert(
+        self,
+        vectors: Sequence[Tuple[str, "object"]],
+        tau: float | None = None,
+        bulk: bool = False,
+        defer: bool = False,
+    ):
+        """Streaming micro-batch insert matched online against the live
+        chunked index (WriteWorkerActor.scala:185-202 semantics at
+        out-of-core scale): index-before-query, intra-batch pairs emitted
+        symmetrically; component filter (``index_threshold``) on the
+        streaming path only (fine-print #5)."""
+        import jax.numpy as jnp
+
+        from .engine import _CompletedInsert
+
+        tau = self.cfg.similarity_threshold if tau is None else float(tau)
+        filtered = []
+        for vid, vec in vectors:
+            if not bulk and self.cfg.index_threshold > 0:
+                vec = vec.filter_values_above(self.cfg.index_threshold)
+            filtered.append((vid, vec))
+        if not filtered:
+            out = SimilarityOutput({}, time.time())
+            return _CompletedInsert(out) if defer else out
+        csr, new_ids = _as_csr(filtered, None, self.cfg.vector_dim)
+        if self._shadow is None:
+            st = self.build(csr, new_ids)
+            # match the fresh corpus against itself for the emission contract
+            out = self._emit(self._match_rows(0, tau), new_ids, 0, tau)
+            return _CompletedInsert(out) if defer else out
+
+        n0 = self.n_rows
+        if self._frozen:
+            out = self._match_external(csr, new_ids, tau)
+            return _CompletedInsert(out) if defer else out
+
+        # host bookkeeping first (margins must cover the batch's norms)
+        norms = csr.row_norms()
+        if norms.size:
+            self._max_norm = max(self._max_norm, float(norms.max()))
+        self._shadow.append(csr)
+        self.ids.extend(new_ids)
+        for k, vid in enumerate(new_ids):
+            self.id_to_row[vid] = n0 + k
+        self.n_rows = n0 + csr.n_rows
+
+        # map to compact cols (minting new dims), bucket by chunk, append
+        self._compact.extend(csr.indices)
+        ccsr = self._compact.map_csr(csr, extend=False)
+        rows_of = n0 + np.repeat(
+            np.arange(csr.n_rows, dtype=np.int64), np.diff(ccsr.indptr)
+        )
+        chunk, local = chunked_ops.split_chunks(ccsr.indices, self._n_chunks)
+        add = np.bincount(chunk, minlength=self._n_chunks).astype(np.int64)
+        need = int((self._counts + add).max())
+        while need > self._chunk_cap:
+            self._chunk_cap *= 2
+            self._ent = chunked_ops.grow_entry_cap(
+                *self._ent, new_cap=self._chunk_cap, pad_row=self._pad_row()
+            )
+        order = np.argsort(chunk, kind="stable")
+        ch = chunk[order]
+        starts = np.zeros(self._n_chunks + 1, np.int64)
+        np.cumsum(add, out=starts[1:])
+        slot = (
+            np.arange(chunk.size) - starts[ch] + self._counts[ch]
+        ).astype(np.int32)
+        cap_e = pow2_bucket(max(chunk.size, 1), 256)
+        pad = cap_e - chunk.size
+        self._ent = chunked_ops.append_entries(
+            *self._ent,
+            jnp.asarray(np.concatenate(
+                [ch, np.full(pad, self._n_chunks)]).astype(np.int32)),
+            jnp.asarray(np.concatenate(
+                [slot, np.zeros(pad, np.int32)]).astype(np.int32)),
+            jnp.asarray(np.concatenate(
+                [rows_of[order], np.zeros(pad, np.int64)]).astype(np.int32)),
+            jnp.asarray(np.concatenate(
+                [local[order], np.zeros(pad, np.int64)]).astype(np.int32)),
+            jnp.asarray(np.concatenate(
+                [ccsr.data[order], np.zeros(pad)]).astype(np.float32)),
+        )
+        self._counts = self._counts + add
+        self._counts_dev = jnp.asarray(self._counts.astype(np.int32))
+
+        out = self._emit(self._match_rows(n0, tau), new_ids, n0, tau)
+        return _CompletedInsert(out) if defer else out
+
+    def _bucket_queries(self, ccsr: CSRMatrix, q_rows_cap: int):
+        """Chunk-bucket a compact query CSR into 2-D buffers."""
+        import jax.numpy as jnp
+
+        rows_of = np.repeat(
+            np.arange(ccsr.n_rows, dtype=np.int64), np.diff(ccsr.indptr)
+        )
+        chunk, _ = chunked_ops.split_chunks(ccsr.indices, self._n_chunks)
+        per = np.bincount(chunk, minlength=self._n_chunks)
+        q_cap = pow2_bucket(max(int(per.max()) if per.size else 1, 1), 256)
+        r2, c2, v2, cnts = chunked_ops.bucket_entries(
+            rows_of, ccsr.indices.astype(np.int64), ccsr.data,
+            self._n_chunks, q_cap, q_rows_cap,
+        )
+        return (
+            jnp.asarray(r2), jnp.asarray(c2), jnp.asarray(v2),
+            jnp.asarray(cnts.astype(np.int32)),
+        )
+
+    def _match_rows(self, n0: int, tau: float):
+        """Cross-match index rows [n0, n_rows) (already appended) against the
+        full index; returns (index_row, query_local) candidate arrays."""
+        nq = self.n_rows - n0
+        shadow = self._shadow.view()
+        sub = CSRMatrix(
+            nq, shadow.n_cols,
+            (shadow.indptr[n0:] - shadow.indptr[n0]).astype(np.int64),
+            shadow.indices[shadow.indptr[n0]:],
+            shadow.data[shadow.indptr[n0]:],
+        )
+        ccsr = self._compact.map_csr(sub, extend=False)
+        q_rows_cap = pow2_bucket(nq, 32)
+        q = self._bucket_queries(ccsr, q_rows_cap)
+        tau_eff = self._tau_eff(tau)
+        cap = int(self.cfg.extract_cap)
+        grp = int(self.cfg.extract_group)
+        while True:
+            bufs, packed = chunked_ops.chunked_match_extract(
+                *self._ent, self._counts_dev, *q, np.int32(n0), tau_eff,
+                self.row_cap, self._chunk_width, q_rows_cap, cap, grp,
+                self.cfg.matmul_precision,
+            )
+            pairs, needed = score_ops.consume_packed(
+                bufs, np.asarray(packed), cap, grp
+            )
+            if pairs is not None:
+                return pairs
+            cap = _next_cap(cap, needed)
+
+    def _emit(self, pairs, qids: List[str], n0: int, tau: float):
+        rows, qlocal = pairs
+        shadow = self._shadow.view()
+        if len(rows) == 0:
+            return SimilarityOutput({}, time.time())
+        sims = rescore_ops.pair_dots(
+            shadow.indptr, shadow.indices, shadow.data,
+            np.asarray(rows, np.int64), np.asarray(qlocal, np.int64) + n0,
+            shadow.n_cols,
+        )
+        out: Dict[str, Dict[str, float]] = {}
+        keep = sims >= tau
+        for r, q, s in zip(
+            np.asarray(rows)[keep], np.asarray(qlocal)[keep], sims[keep]
+        ):
+            out.setdefault(qids[int(q)], {})[self.ids[int(r)]] = float(s)
+        return SimilarityOutput(out, time.time())
+
+    def _match_external(self, csr: CSRMatrix, qids, tau: float):
+        """Frozen-index matching: queries scored but not indexed."""
+        qn = csr.row_norms()
+        saved = None
+        if qn.size and float(qn.max()) > self._max_norm:
+            saved, self._max_norm = self._max_norm, float(qn.max())
+        mapped = self._compact.cols_of(csr.indices) >= 0
+        sub = self._filter_entries(csr, mapped)
+        ccsr = self._compact.map_csr(sub, extend=False)
+        q_rows_cap = pow2_bucket(csr.n_rows, 32)
+        q = self._bucket_queries(ccsr, q_rows_cap)
+        tau_eff = self._tau_eff(tau)
+        cap = int(self.cfg.extract_cap)
+        grp = int(self.cfg.extract_group)
+        while True:
+            bufs, packed = chunked_ops.chunked_match_extract(
+                *self._ent, self._counts_dev, *q,
+                np.int32(self.n_rows), tau_eff,  # q_base beyond rows: no self
+                self.row_cap, self._chunk_width, q_rows_cap, cap, grp,
+                self.cfg.matmul_precision,
+            )
+            pairs, needed = score_ops.consume_packed(
+                bufs, np.asarray(packed), cap, grp
+            )
+            if pairs is not None:
+                break
+            cap = _next_cap(cap, needed)
+        rows, qlocal = pairs
+        shadow = self._shadow.view()
+        out: Dict[str, Dict[str, float]] = {}
+        if len(rows):
+            sims = rescore_ops.cross_pair_dots(
+                shadow.indptr, shadow.indices, shadow.data, shadow.n_cols,
+                csr.indptr, csr.indices, csr.data,
+                np.asarray(qlocal, np.int64), np.asarray(rows, np.int64),
+            )
+            keep = sims >= tau
+            for r, ql, s in zip(
+                np.asarray(rows)[keep], np.asarray(qlocal)[keep], sims[keep]
+            ):
+                out.setdefault(qids[int(ql)], {})[self.ids[int(r)]] = float(s)
+        if saved is not None:
+            self._max_norm = saved
+        return SimilarityOutput(out, time.time())
+
+    @staticmethod
+    def _filter_entries(csr: CSRMatrix, keep: np.ndarray) -> CSRMatrix:
+        row_of = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
+        counts = np.zeros(csr.n_rows, np.int64)
+        np.add.at(counts, row_of[keep], 1)
+        indptr = np.zeros(csr.n_rows + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return CSRMatrix(
+            csr.n_rows, csr.n_cols, indptr, csr.indices[keep], csr.data[keep]
+        )
+
+    # ----------------------------------------------------------------- freeze
+    def freeze(self) -> None:
+        self._frozen = True
+
+    def unfreeze(self) -> None:
+        self._frozen = False
+
+    @property
+    def frozen(self) -> bool:
+        return self._frozen
+
+    # -------------------------------------------------------------- all_pairs
     def all_pairs(self, tau: float | None = None) -> PairResult:
         tau = self.cfg.similarity_threshold if tau is None else float(tau)
         if self.n_rows == 0:
@@ -118,20 +375,20 @@ class ChunkedAllPairs:
                 np.empty(0, np.int64), np.empty(0, np.int64),
                 np.empty(0, np.float64), [],
             )
-        ent_row, ent_col, ent_val, offs = self._device
         grp = int(self.cfg.extract_group)
         tau_eff = self._tau_eff(tau)
+        super_tile = self._q_super()
         all_i: list = []
         all_j: list = []
         # host loop over query stripes; a stripe wide enough to amortize the
         # per-chunk slab scatter (the dominant cost of this mode)
-        for q0 in range(0, self.n_rows, self.super_tile):
+        for q0 in range(0, self.n_rows, super_tile):
             cap = int(self.cfg.extract_cap)
             while True:
                 bufs, packed = chunked_ops.chunked_stripe_extract(
-                    ent_row, ent_col, ent_val, offs, np.int32(q0), tau_eff,
-                    self.row_cap, self.chunk_dim, self._max_ent,
-                    self.super_tile, cap, grp, self.cfg.matmul_precision,
+                    *self._ent, self._counts_dev, np.int32(q0), tau_eff,
+                    self.row_cap, self._chunk_width, super_tile, cap, grp,
+                    self.cfg.matmul_precision,
                 )
                 pairs, needed = score_ops.consume_packed(
                     bufs, np.asarray(packed), cap, grp
@@ -143,51 +400,34 @@ class ChunkedAllPairs:
             all_j.append(pairs[1])
         i = np.concatenate(all_i)
         j = np.concatenate(all_j)
+        shadow = self._shadow.view()
         sims = rescore_ops.pair_dots(
-            self._shadow.indptr, self._shadow.indices, self._shadow.data,
-            i, j, self._shadow.n_cols,
+            shadow.indptr, shadow.indices, shadow.data,
+            i, j, shadow.n_cols,
         )
         keep = sims >= tau
         return PairResult(i[keep], j[keep], sims[keep], list(self.ids))
 
+    # ------------------------------------------------------------------- topk
     def topk(self, queries, k: int):
-        """k-NN over the chunked index: queries are chunk-sorted COO too, so
-        neither side densifies its full width.  Same provably-exact fetch +
-        fp64 re-rank contract as the dense engine (see Engine.topk for the
-        margin bound)."""
-        import jax.numpy as jnp
-
+        """k-NN over the chunked index: queries are chunk-bucketed COO too,
+        so neither side densifies its full width.  Same provably-exact fetch
+        + fp64 re-rank contract as the dense engine (see Engine.topk)."""
         if self.n_rows == 0:
             return {qid: [] for qid, _ in queries}
         qcsr, qids = _as_csr(list(queries), None, self.cfg.vector_dim)
-        # drop dims the index never saw, map to compact columns
         mapped = self._compact.cols_of(qcsr.indices) >= 0
-        row_of = np.repeat(np.arange(qcsr.n_rows), np.diff(qcsr.indptr))
-        rows_m = row_of[mapped].astype(np.int64)
-        cols_m = self._compact.cols_of(qcsr.indices[mapped]).astype(np.int64)
-        vals_m = qcsr.data[mapped]
-        q_row, q_col, q_val, q_offs, q_max = (
-            chunked_ops.sort_entries_by_chunk(
-                rows_m, cols_m, vals_m, self._n_chunks
-            )
-        )
+        sub = self._filter_entries(qcsr, mapped)
+        ccsr = self._compact.map_csr(sub, extend=False)
         q_rows_cap = pow2_bucket(qcsr.n_rows, 32)
-        cap_e = pow2_bucket(max(len(q_row), 1), 256)
-        pad = cap_e - len(q_row)
-        q_row = np.concatenate([q_row, np.full(pad, q_rows_cap, np.int32)])
-        q_col = np.concatenate([q_col, np.zeros(pad, np.int32)])
-        q_val = np.concatenate([q_val, np.zeros(pad, np.float32)])
+        q = self._bucket_queries(ccsr, q_rows_cap)
         k_eff = min(k, self.n_rows)
-        ent_row, ent_col, ent_val, offs = self._device
         nq = len(qids)
 
         def fetch(kf: int):
             s, r = chunked_ops.chunked_topk(
-                ent_row, ent_col, ent_val, offs,
-                jnp.asarray(q_row), jnp.asarray(q_col), jnp.asarray(q_val),
-                jnp.asarray(q_offs), np.int32(self.n_rows),
-                self.row_cap, self.chunk_dim, self._max_ent, q_rows_cap,
-                pow2_bucket(q_max, 256), kf, "highest",
+                *self._ent, self._counts_dev, *q, np.int32(self.n_rows),
+                self.row_cap, self._chunk_width, q_rows_cap, kf, "highest",
             )
             return np.asarray(s)[:nq], np.asarray(r)[:nq]
 
@@ -199,7 +439,7 @@ class ChunkedAllPairs:
         # default relative bound (rescore_margin) covers the device error
         m = self.cfg.rescore_margin * max(self._max_norm * qmax, 1.0)
         rows, k_fetch = fetch_exact_topk(fetch, self.n_rows, k_eff, 2 * m)
-        shadow = self._shadow
+        shadow = self._shadow.view()
         qi_idx = np.repeat(np.arange(nq), k_fetch)
         cand_idx = rows.reshape(-1).astype(np.int64)
         sims = rescore_ops.cross_pair_dots(

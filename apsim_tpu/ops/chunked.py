@@ -1,13 +1,21 @@
 """Chunked-sparse scoring: exact joins without a resident dense index.
 
 The dense engine materializes ``X [rows, dim_cap]`` (HBM ceiling ≈ 130k rows
-at Enron-like vocabularies).  This mode keeps the index as flat COO entry
-arrays sorted by dim-chunk and densifies ONE ``[row_cap, C]`` slab at a time:
+at Enron-like vocabularies).  This mode keeps the index as per-chunk COO
+entry buffers and densifies ONE ``[row_cap, C]`` slab at a time:
 
     S_super = Σ_c  slab_c @ slab_c[q0:q0+super]ᵀ
 
 Memory: ``O(nnz + rows·C + rows·super)`` — a few GB at 1M rows — instead of
 ``O(rows · dims)``.
+
+Device layout (round 2, streaming-capable): entries live in 2-D per-chunk
+buffers ``rows/cols/vals [n_chunks, chunk_cap]`` with a device count vector
+``counts [n_chunks]`` — the WriteWorker buffer analog
+(WriteWorkerActor.scala:185-202) as fixed-capacity device arrays.  Appends
+are one donated scatter at ``(chunk, counts[chunk] + i)``; capacity doubles
+(one pad-copy) when any chunk fills.  Entries within a chunk are unordered —
+the slab scatter-add is order-independent — so appends never re-sort.
 
 Structure notes (learned on hardware):
   - the tile loop lives on the HOST; each device call handles one
@@ -20,9 +28,6 @@ Structure notes (learned on hardware):
 Chunk assignment interleaves frequency-ranked compact dims
 (``chunk = col % n_chunks``, ``local = col // n_chunks``) so chunk loads are
 balanced and the static per-chunk entry capacity wastes little.
-
-Batch-mode only in round 1 (build + all_pairs); streaming appends stay on
-the dense engine.
 """
 
 from __future__ import annotations
@@ -36,69 +41,110 @@ import numpy as np
 from .score import HEAD_JOIN, _extract, _pack_head, _precision
 
 __all__ = [
-    "sort_entries_by_chunk",
+    "bucket_entries",
+    "append_entries",
+    "grow_entry_cap",
     "chunked_stripe_extract",
+    "chunked_match_extract",
     "chunked_topk",
 ]
 
 
-def sort_entries_by_chunk(
-    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_chunks: int
+def split_chunks(cols: np.ndarray, n_chunks: int):
+    """(chunk, local) of compact columns — interleaved assignment."""
+    cols = np.asarray(cols)
+    return (cols % n_chunks).astype(np.int64), (cols // n_chunks).astype(
+        np.int64
+    )
+
+
+def bucket_entries(
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_chunks: int,
+    chunk_cap: int, pad_row: int,
 ):
-    """Host-side: sort COO entries by (chunk, local dim); returns the sorted
-    arrays plus int32 per-chunk offsets [n_chunks + 1] and the max per-chunk
-    count (for capacity sizing)."""
-    chunk = cols % n_chunks
-    local = cols // n_chunks
-    order = np.lexsort((local, chunk))
-    rows, local, vals, chunk = (
-        rows[order], local[order], vals[order], chunk[order]
-    )
-    counts = np.bincount(chunk, minlength=n_chunks)
-    offs = np.zeros(n_chunks + 1, dtype=np.int32)
-    np.cumsum(counts, out=offs[1:])
+    """Host-side: bucket COO entries into per-chunk 2-D buffers.
+
+    Returns ``(rows2d, cols2d, vals2d, counts)`` with shapes
+    ``[n_chunks, chunk_cap]`` / ``[n_chunks]``; unused slots carry
+    ``row == pad_row`` (out-of-bounds ⇒ the slab scatter drops them)."""
+    chunk, local = split_chunks(cols, n_chunks)
+    counts = np.bincount(chunk, minlength=n_chunks).astype(np.int64)
+    if counts.size and int(counts.max()) > chunk_cap:
+        raise ValueError("chunk_cap too small")
+    order = np.argsort(chunk, kind="stable")
+    rows2d = np.full((n_chunks, chunk_cap), pad_row, np.int32)
+    cols2d = np.zeros((n_chunks, chunk_cap), np.int32)
+    vals2d = np.zeros((n_chunks, chunk_cap), np.float32)
+    ch = chunk[order]
+    starts = np.zeros(n_chunks + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(chunk.size) - starts[ch]
+    rows2d[ch, slot] = rows[order]
+    cols2d[ch, slot] = local[order]
+    vals2d[ch, slot] = vals[order]
+    return rows2d, cols2d, vals2d, counts
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def append_entries(rows2d, cols2d, vals2d, chunk_idx, slot_idx, r, lc, v):
+    """Donated scatter-append of new entries at (chunk, slot); padding
+    entries carry ``chunk_idx == n_chunks`` and are dropped."""
+    rows2d = rows2d.at[chunk_idx, slot_idx].set(r, mode="drop")
+    cols2d = cols2d.at[chunk_idx, slot_idx].set(lc, mode="drop")
+    vals2d = vals2d.at[chunk_idx, slot_idx].set(v, mode="drop")
+    return rows2d, cols2d, vals2d
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap", "pad_row"))
+def grow_entry_cap(rows2d, cols2d, vals2d, new_cap: int, pad_row: int):
+    """Capacity-doubling pad of the per-chunk buffers."""
+    n_chunks, old = rows2d.shape
+    nr = jnp.full((n_chunks, new_cap), pad_row, jnp.int32)
+    nc = jnp.zeros((n_chunks, new_cap), jnp.int32)
+    nv = jnp.zeros((n_chunks, new_cap), jnp.float32)
     return (
-        rows.astype(np.int32),
-        local.astype(np.int32),
-        vals.astype(np.float32),
-        offs,
-        int(counts.max()) if counts.size else 0,
+        jax.lax.dynamic_update_slice(nr, rows2d, (0, 0)),
+        jax.lax.dynamic_update_slice(nc, cols2d, (0, 0)),
+        jax.lax.dynamic_update_slice(nv, vals2d, (0, 0)),
     )
+
+
+def _densify_chunk(rows2d, cols2d, vals2d, counts, c, cap_rows, chunk_dim):
+    """One [cap_rows, chunk_dim] slab from chunk ``c``'s buffer."""
+    r = jax.lax.dynamic_index_in_dim(rows2d, c, 0, keepdims=False)
+    lc = jax.lax.dynamic_index_in_dim(cols2d, c, 0, keepdims=False)
+    v = jax.lax.dynamic_index_in_dim(vals2d, c, 0, keepdims=False)
+    cnt = jax.lax.dynamic_index_in_dim(counts, c, 0, keepdims=False)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r.shape[0], 1), 0).squeeze(-1)
+    valid = pos < cnt
+    r = jnp.where(valid, r, cap_rows)  # OOB row -> dropped by scatter
+    lc = jnp.where(valid, lc, 0)
+    v = jnp.where(valid, v, 0.0)
+    slab = jnp.zeros((cap_rows, chunk_dim), jnp.float32)
+    return slab.at[r, lc].add(v, mode="drop", unique_indices=True)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "row_cap", "chunk_dim", "max_ent", "super_tile", "cap", "group",
-        "precision",
+        "row_cap", "chunk_dim", "super_tile", "cap", "group", "precision",
     ),
 )
 def chunked_stripe_extract(
-    ent_row, ent_col, ent_val, chunk_offs, q0, tau_eff,
-    row_cap: int, chunk_dim: int, max_ent: int, super_tile: int, cap: int,
+    rows2d, cols2d, vals2d, counts, q0, tau_eff,
+    row_cap: int, chunk_dim: int, super_tile: int, cap: int,
     group: int = 8, precision: str = "default",
 ):
     """Score one ``super_tile``-wide query stripe of the upper-triangle join
     over chunked COO entries; returns (bufs, packed_head) like
-    ``score.match_tile_extract``.
-
-    ``ent_*``: flat entry arrays sorted by chunk (padded to a static length
-    with rows == row_cap so the pad scatters nothing).
-    """
-    n_chunks = chunk_offs.shape[0] - 1
+    ``score.match_tile_extract``."""
+    n_chunks = rows2d.shape[0]
     prec = _precision(precision)
 
     def chunk_body(c, acc):
-        start = chunk_offs[c]
-        cnt = chunk_offs[c + 1] - start
-        pos = jax.lax.broadcasted_iota(jnp.int32, (max_ent, 1), 0).squeeze(-1)
-        idx = jnp.minimum(start + pos, ent_row.shape[0] - 1)
-        valid = pos < cnt
-        r = jnp.where(valid, ent_row[idx], row_cap)  # OOB row -> dropped
-        lc = jnp.where(valid, ent_col[idx], 0)
-        v = jnp.where(valid, ent_val[idx], 0.0)
-        slab = jnp.zeros((row_cap, chunk_dim), jnp.float32)
-        slab = slab.at[r, lc].add(v, mode="drop", unique_indices=True)
+        slab = _densify_chunk(
+            rows2d, cols2d, vals2d, counts, c, row_cap, chunk_dim
+        )
         q = jax.lax.dynamic_slice(slab, (q0, 0), (super_tile, chunk_dim))
         return acc + jax.lax.dot_general(
             slab, q,
@@ -126,42 +172,80 @@ def chunked_stripe_extract(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "row_cap", "chunk_dim", "max_ent", "q_rows_cap", "q_max_ent", "k",
-        "precision",
+        "row_cap", "chunk_dim", "q_rows_cap", "cap", "group", "precision",
+    ),
+)
+def chunked_match_extract(
+    rows2d, cols2d, vals2d, counts,
+    q_rows2d, q_cols2d, q_vals2d, q_counts,
+    q_base, tau_eff,
+    row_cap: int, chunk_dim: int, q_rows_cap: int, cap: int,
+    group: int = 8, precision: str = "default",
+):
+    """Streaming match: score the batch's chunk-bucketed queries against the
+    FULL chunked index, keep ``s >= tau_eff`` excluding self-pairs (global
+    query row = ``q_base + local``).  Returns (bufs, packed_head); decoded
+    pairs are (index_row, query_local) — the chunked analog of
+    ``score.match_tile_extract`` (index-before-query emission,
+    SURVEY.md fine-print #2)."""
+    n_chunks = rows2d.shape[0]
+    prec = _precision(precision)
+
+    def chunk_body(c, acc):
+        slab = _densify_chunk(
+            rows2d, cols2d, vals2d, counts, c, row_cap, chunk_dim
+        )
+        qslab = _densify_chunk(
+            q_rows2d, q_cols2d, q_vals2d, q_counts, c, q_rows_cap, chunk_dim
+        )
+        return acc + jax.lax.dot_general(
+            slab, qslab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    s = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        jnp.zeros((row_cap, q_rows_cap), jnp.float32),
+    )
+    s = jax.lax.optimization_barrier(s)
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    qglob = q_base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    m = (s >= tau_eff) & (rows != qglob)
+    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_i, buf_j, _, total, groups = _extract(
+        m, jnp.int32(0), buf_i, buf_j, jnp.int32(0), cap, group
+    )
+    return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups, HEAD_JOIN)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "row_cap", "chunk_dim", "q_rows_cap", "k", "precision",
     ),
 )
 def chunked_topk(
-    ent_row, ent_col, ent_val, chunk_offs,
-    q_row, q_col, q_val, q_offs, n_rows,
-    row_cap: int, chunk_dim: int, max_ent: int, q_rows_cap: int,
-    q_max_ent: int, k: int, precision: str = "default",
+    rows2d, cols2d, vals2d, counts,
+    q_rows2d, q_cols2d, q_vals2d, q_counts, n_rows,
+    row_cap: int, chunk_dim: int, q_rows_cap: int, k: int,
+    precision: str = "default",
 ):
     """Top-k over chunked entries: both the index AND the queries arrive as
-    chunk-sorted COO (queries go through the same ``sort_entries_by_chunk``),
-    so neither side ever materializes its full dense width.  Returns
-    (scores [q_rows_cap, k], index row ids [q_rows_cap, k])."""
-    from .score import _precision
-
-    n_chunks = chunk_offs.shape[0] - 1
+    chunk-bucketed COO, so neither side ever materializes its full dense
+    width.  Returns (scores [q_rows_cap, k], index row ids [q_rows_cap, k])."""
+    n_chunks = rows2d.shape[0]
     prec = _precision(precision)
 
-    def densify(rows_a, cols_a, vals_a, offs_a, cap_rows, ment, c):
-        start = offs_a[c]
-        cnt = offs_a[c + 1] - start
-        pos = jax.lax.broadcasted_iota(jnp.int32, (ment, 1), 0).squeeze(-1)
-        idx = jnp.minimum(start + pos, rows_a.shape[0] - 1)
-        valid = pos < cnt
-        r = jnp.where(valid, rows_a[idx], cap_rows)
-        lc = jnp.where(valid, cols_a[idx], 0)
-        v = jnp.where(valid, vals_a[idx], 0.0)
-        slab = jnp.zeros((cap_rows, chunk_dim), jnp.float32)
-        return slab.at[r, lc].add(v, mode="drop", unique_indices=True)
-
     def chunk_body(c, acc):
-        slab = densify(ent_row, ent_col, ent_val, chunk_offs, row_cap,
-                       max_ent, c)
-        qslab = densify(q_row, q_col, q_val, q_offs, q_rows_cap,
-                        q_max_ent, c)
+        slab = _densify_chunk(
+            rows2d, cols2d, vals2d, counts, c, row_cap, chunk_dim
+        )
+        qslab = _densify_chunk(
+            q_rows2d, q_cols2d, q_vals2d, q_counts, c, q_rows_cap, chunk_dim
+        )
         return acc + jax.lax.dot_general(
             qslab, slab,
             dimension_numbers=(((1,), (1,)), ((), ())),

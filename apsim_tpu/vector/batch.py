@@ -21,7 +21,7 @@ import numpy as np
 
 from .sparse import SparseVector
 
-__all__ = ["CSRMatrix", "PaddedBatch", "round_up"]
+__all__ = ["CSRMatrix", "PaddedBatch", "GrowableCSR", "round_up"]
 
 
 def round_up(x: int, m: int) -> int:
@@ -161,3 +161,51 @@ class PaddedBatch:
             dims[i, : e - s] = csr.indices[s:e]
             vals[i, : e - s] = csr.data[s:e]
         return PaddedBatch(dims, vals, lengths, pad_dim)
+
+
+class GrowableCSR:
+    """Append-only host CSR with geometric capacity growth — the fp64 shadow
+    store used by streaming engines (amortized O(nnz) total append cost
+    instead of O(nnz · batches) reallocation)."""
+
+    def __init__(self, n_cols: int):
+        self.n_cols = int(n_cols)
+        self.n_rows = 0
+        self._nnz = 0
+        self._indptr = np.zeros(1024, dtype=np.int64)
+        self._indices = np.empty(4096, dtype=np.int32)
+        self._data = np.empty(4096, dtype=np.float64)
+
+    def append(self, csr: CSRMatrix) -> None:
+        nnz = int(csr.indptr[-1])
+        need_rows = self.n_rows + csr.n_rows + 1
+        if need_rows > self._indptr.size:
+            grown = np.zeros(max(self._indptr.size * 2, need_rows), np.int64)
+            grown[: self.n_rows + 1] = self._indptr[: self.n_rows + 1]
+            self._indptr = grown
+        need = self._nnz + nnz
+        if need > self._indices.size:
+            cap = max(self._indices.size * 2, need)
+            gi = np.empty(cap, np.int32)
+            gi[: self._nnz] = self._indices[: self._nnz]
+            gd = np.empty(cap, np.float64)
+            gd[: self._nnz] = self._data[: self._nnz]
+            self._indices, self._data = gi, gd
+        base = self._indptr[self.n_rows]
+        self._indptr[self.n_rows + 1 : self.n_rows + csr.n_rows + 1] = (
+            base + csr.indptr[1:]
+        )
+        self._indices[self._nnz : self._nnz + nnz] = csr.indices[:nnz]
+        self._data[self._nnz : self._nnz + nnz] = csr.data[:nnz]
+        self.n_rows += csr.n_rows
+        self._nnz += nnz
+
+    def view(self) -> CSRMatrix:
+        """Read-only CSR view of the current contents."""
+        return CSRMatrix(
+            self.n_rows,
+            self.n_cols,
+            self._indptr[: self.n_rows + 1],
+            self._indices[: self._nnz],
+            self._data[: self._nnz],
+        )

@@ -11,6 +11,14 @@ from oracle import brute_force_pairs, random_sparse_corpus
 DIM = 500
 
 
+def small_cfg(**kw):
+    base = dict(
+        vector_dim=DIM, query_tile=64, row_bucket=64, dim_bucket=64
+    )
+    base.update(kw)
+    return AllPairsConfig(**base)
+
+
 @pytest.fixture(scope="module")
 def corpus():
     rng = np.random.default_rng(23)
@@ -87,3 +95,64 @@ def test_chunked_overflow_retry(corpus):
     got = eng.all_pairs(0.3).pair_set()
     assert got == brute_force_pairs(corpus, 0.3)
     assert len(got) > 8
+
+
+def test_chunked_streaming_equals_batch():
+    # stream the corpus in micro-batches: emitted pair set must equal the
+    # fp64 brute-force join, with intra-batch pairs surfacing symmetrically
+    rng = np.random.default_rng(11)
+    corpus = random_sparse_corpus(rng, 150, DIM)
+    tau = 0.4
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=128)
+    emitted = set()
+    for s in range(0, corpus.n_rows, 37):
+        e = min(s + 37, corpus.n_rows)
+        out = eng.insert(
+            [(str(i), corpus.row(i)) for i in range(s, e)], tau=tau
+        )
+        for q, sims in out.output.items():
+            for c in sims:
+                emitted.add((q, c) if q <= c else (c, q))
+    assert emitted == brute_force_pairs(corpus, tau)
+    # the final index state joins exactly too
+    assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+
+
+def test_chunked_streaming_grows_capacity_and_dims():
+    # force chunk_cap doubling AND brand-new dims across inserts
+    from apsim_tpu.vector.sparse import Vectors
+
+    rng = np.random.default_rng(3)
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=64)
+    seen = set()
+    for step in range(4):
+        vecs = []
+        for i in range(30):
+            dims = np.sort(
+                rng.choice(
+                    np.arange(step * 90, step * 90 + 90), 5, replace=False
+                )
+            ).astype(np.int32)
+            vals = rng.random(5) + 0.1
+            vals /= np.linalg.norm(vals)
+            vecs.append((f"{step}:{i}", Vectors.sparse(DIM, dims, vals)))
+        out = eng.insert(vecs, tau=0.9)
+        for q, sims in out.output.items():
+            for c in sims:
+                seen.add((q, c) if q <= c else (c, q))
+    assert eng.n_rows == 120
+    got = eng.all_pairs(0.9).pair_set()
+    want = brute_force_pairs(eng._shadow.view(), 0.9, eng.ids)
+    assert got == want
+    assert seen == want
+
+
+def test_chunked_freeze_external_match():
+    rng = np.random.default_rng(5)
+    corpus = random_sparse_corpus(rng, 80, DIM)
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=128)
+    eng.build(corpus)
+    eng.freeze()
+    out = eng.insert([("probe", corpus.row(0))], tau=0.9)
+    assert out.output.get("probe", {}).get("0") == pytest.approx(1.0)
+    assert eng.n_rows == corpus.n_rows  # nothing indexed while frozen

@@ -104,6 +104,7 @@ def run_suite(
     # ---- 3: streaming ------------------------------------------------------
     eng_s = Engine(AllPairsConfig())
     emitted = 0
+    emitted_set = set()
     t_total = 0.0
     for s in range(0, n, stream_batch):
         e = min(s + stream_batch, n)
@@ -111,14 +112,19 @@ def run_suite(
         t0 = time.time()
         out = eng_s.insert(batch, tau=tau)
         t_total += time.time() - t0
-        emitted += sum(len(v) for v in out.output.values())
-    stream_ok = emitted >= batch_pairs.n_pairs  # symmetric intra-batch dupes
+        for q, sims in out.output.items():
+            emitted += len(sims)
+            for c in sims:
+                emitted_set.add((q, c) if q <= c else (c, q))
+    # EXACT unordered-pair-set equality with the batch join — a weak
+    # `emitted >= n_pairs` would pass on spurious extra pairs
+    stream_ok = emitted_set == batch_pairs.pair_set()
     report["streaming"] = {
         "batch_size": stream_batch,
         "vectors_per_sec": n / t_total,
         "seconds_total": t_total,
         "results_emitted": emitted,
-        "covers_batch_join": stream_ok,
+        "equals_batch_join": stream_ok,
     }
     eng_s.x = None
 

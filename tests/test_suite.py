@@ -18,7 +18,7 @@ def test_suite_small():
     )
     for tau, entry in report["threshold_sweep"].items():
         assert entry["parity_prefix"], tau
-    assert report["streaming"]["covers_batch_join"]
+    assert report["streaming"]["equals_batch_join"]
     assert report["topk"]["self_match_rate"] == 1.0
     assert report["mesh"]["matches_single_device"]
     assert report["mesh"]["devices"] == 8

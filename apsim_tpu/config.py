@@ -109,6 +109,11 @@ class AllPairsConfig:
                                        # makes the emitted pair set exact)
     mesh_shape: tuple = ()             # e.g. (8,) — empty => single device
     shard_axis: str = "dims"           # "dims" (reference parity) | "rows"
+    profile_dir: str = ""              # when set, capture a jax.profiler
+                                       # trace around every all_pairs/insert
+                                       # (view with TensorBoard/xprof);
+                                       # per-stage wall timings are always
+                                       # collected in stats["timings"]
     checkpoint_dir: str = ""           # server auto-checkpoint location
     checkpoint_interval_s: float = 0.0  # 0 = off (reference has NO
                                        # checkpointing; its index dies with

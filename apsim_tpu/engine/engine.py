@@ -176,6 +176,9 @@ class Engine:
             "insert_batches": 0,
             "dormant_dims": 0,
         }
+        from ..utils.logging import Timer
+
+        self.timer = Timer()  # per-stage wall timings (stats["timings"])
         # dormant-dim archive: df==1 dims are kept OFF the device index (they
         # cannot contribute to any i != j pair) and their single (row, value)
         # entry lives here until an insert shares the dim (activation)
@@ -380,25 +383,43 @@ class Engine:
                 np.empty(0, np.int64), np.empty(0, np.int64),
                 np.empty(0, np.float64), [],
             )
+        with self._maybe_trace(), self.timer.section("all_pairs"):
+            return self._all_pairs_timed(tau)
+
+    def _maybe_trace(self):
+        """jax.profiler trace context when ``profile_dir`` is configured
+        (SURVEY.md §5 tracing hook); no-op otherwise."""
+        import contextlib
+
+        if not self.cfg.profile_dir:
+            return contextlib.nullcontext()
+        from ..utils.logging import profile_trace
+
+        return profile_trace(self.cfg.profile_dir)
+
+    def _all_pairs_timed(self, tau: float) -> PairResult:
         tau_eff = self._tau_eff(tau)
         tile = self._tile()
         cap = int(self.cfg.extract_cap)
         grp = int(self.cfg.extract_group)
         if self._pallas_ok():
-            i, j = self._all_pairs_pallas(tau_eff, cap)
+            with self.timer.section("score_extract"):
+                i, j = self._all_pairs_pallas(tau_eff, cap)
         else:
-            while True:
-                bufs, packed = score_ops.allpairs_extract(
-                    self.x, tau_eff, tile, cap, "upper",
-                    self.cfg.matmul_precision, grp,
-                )
-                pairs = self._consume_match(bufs, packed, cap, grp)
-                if pairs is not None:
-                    break
-                cap = _next_cap(cap, self._last_needed)
-            i, j = pairs
+            with self.timer.section("score_extract"):
+                while True:
+                    bufs, packed = score_ops.allpairs_extract(
+                        self.x, tau_eff, tile, cap, "upper",
+                        self.cfg.matmul_precision, grp,
+                    )
+                    pairs = self._consume_match(bufs, packed, cap, grp)
+                    if pairs is not None:
+                        break
+                    cap = _next_cap(cap, self._last_needed)
+                i, j = pairs
         self.stats["candidates_scored"] += self.n_rows * self.n_rows
-        return self._finalize_pairs(i, j, tau)
+        with self.timer.section("rescore"):
+            return self._finalize_pairs(i, j, tau)
 
     def _pallas_ok(self) -> bool:
         """Use the Pallas upper-triangle kernel for all_pairs?  Auto mode:
@@ -491,6 +512,16 @@ class Engine:
 
     # ----------------------------------------------------------------- insert
     def insert(
+        self,
+        vectors: Sequence[Tuple[str, SparseVector]],
+        tau: float | None = None,
+        bulk: bool = False,
+        defer: bool = False,
+    ) -> "SimilarityOutput | PendingInsert":
+        with self._maybe_trace(), self.timer.section("insert"):
+            return self._insert_impl(vectors, tau, bulk, defer)
+
+    def _insert_impl(
         self,
         vectors: Sequence[Tuple[str, SparseVector]],
         tau: float | None = None,

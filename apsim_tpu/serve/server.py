@@ -229,6 +229,13 @@ class SimilarityServer:
                 "queue_depth": self._queue.qsize(),
                 "frozen": self.engine.frozen,
                 "errors": self._errors,
+                "timings": {
+                    name: {
+                        "seconds": self.engine.timer.totals[name],
+                        "count": self.engine.timer.counts[name],
+                    }
+                    for name in getattr(self.engine, "timer", None).totals
+                } if getattr(self.engine, "timer", None) else {},
             }
 
     # --------------------------------------------------------------- flusher

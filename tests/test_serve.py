@@ -282,3 +282,29 @@ def test_rpc_bad_insert_never_desyncs(corpus):
         assert stats["n_rows"] == 1
         assert stats["errors"] >= 2
         conn.close()
+
+
+def test_stats_expose_stage_timings(corpus):
+    cfg = make_cfg()
+    with SimilarityServer(Engine(cfg), cfg) as srv:
+        srv.insert_new_vectors([("a", corpus.row(0))])
+        srv.all_pairs(0.5)
+        t = srv.stats()["timings"]
+        assert t["all_pairs"]["count"] >= 1
+        assert t["insert"]["count"] >= 1
+        assert t["score_extract"]["seconds"] >= 0
+        assert t["rescore"]["count"] >= 1
+
+
+def test_profile_dir_captures_trace(tmp_path, corpus):
+    # jax.profiler trace hook (SURVEY.md §5): a trace directory appears
+    cfg = make_cfg(profile_dir=str(tmp_path / "trace"))
+    eng = Engine(cfg)
+    eng.build(corpus)
+    eng.all_pairs(0.5)
+    import os
+
+    found = []
+    for root, _, files in os.walk(str(tmp_path / "trace")):
+        found.extend(files)
+    assert found, "no profiler trace files written"

@@ -114,6 +114,13 @@ class AllPairsConfig:
                                        # (view with TensorBoard/xprof);
                                        # per-stage wall timings are always
                                        # collected in stats["timings"]
+    tls_cert: str = ""                 # PEM cert path: serve TLS when both
+    tls_key: str = ""                  # cert+key are set (non-loopback
+                                       # deployments; the reference's Akka
+                                       # remote is plaintext TCP)
+    auth_token: str = ""               # shared secret: when set, every
+                                       # connection must send
+                                       # {"op":"auth","token":...} first
     checkpoint_dir: str = ""           # server auto-checkpoint location
     checkpoint_interval_s: float = 0.0  # 0 = off (reference has NO
                                        # checkpointing; its index dies with

@@ -28,20 +28,43 @@ __all__ = ["ClientConnection", "InteractiveClient"]
 
 class ClientConnection:
     def __init__(
-        self, remote_addresses: List[str], timeout: float | None = None
+        self,
+        remote_addresses: List[str],
+        timeout: float | None = None,
+        ca_file: str | None = None,
+        auth_token: str | None = None,
     ):
         """``timeout`` applies to request/response calls; None blocks — the
         server may legitimately take minutes on first-compile of a new index
-        shape, so finite timeouts are opt-in."""
+        shape, so finite timeouts are opt-in.  ``ca_file`` enables TLS
+        (verifying the server cert against it); ``auth_token`` performs the
+        shared-secret handshake before any other op."""
         if not remote_addresses:
             raise ValueError("need at least one host:port")
         # random remote selection — ClientConnection.scala:24-25
         host, port = random.choice(remote_addresses).rsplit(":", 1)
         self.address = (host, int(port))
-        self._sock = socket.create_connection(self.address, timeout=timeout)
+        self._ca_file = ca_file
+        self._auth_token = auth_token
+        self._sock = self._connect(timeout)
         self._rfile = self._sock.makefile("r", encoding="utf-8")
         self._lock = threading.Lock()
         self._sub_thread: threading.Thread | None = None
+        if auth_token is not None:
+            rsp = self._request({"op": "auth", "token": auth_token})
+            if not rsp.get("ok"):
+                raise PermissionError(rsp.get("error", "auth failed"))
+
+    def _connect(self, timeout: float | None):
+        sock = socket.create_connection(self.address, timeout=timeout)
+        if self._ca_file:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.load_verify_locations(self._ca_file)
+            ctx.check_hostname = False  # self-signed deploys pin by CA file
+            sock = ctx.wrap_socket(sock)
+        return sock
 
     def _send(self, obj: dict) -> None:
         with self._lock:
@@ -102,9 +125,16 @@ class ClientConnection:
         fires for every SimilarityOutput the server emits.  Uses a dedicated
         event-stream connection so pushes never interleave with
         request/response traffic on this connection."""
-        sub_sock = socket.create_connection(self.address)
+        sub_sock = self._connect(None)
         sub_sock.settimeout(None)  # events may be sparse
         sub_file = sub_sock.makefile("r", encoding="utf-8")
+        if self._auth_token is not None:
+            sub_sock.sendall(
+                (json.dumps({"op": "auth", "token": self._auth_token}) + "\n")
+                .encode()
+            )
+            if not json.loads(sub_file.readline()).get("ok"):
+                raise PermissionError("auth failed on subscription stream")
         sub_sock.sendall((json.dumps({"op": "subscribe"}) + "\n").encode())
         rsp = json.loads(sub_file.readline())
         if not rsp.get("subscribed"):

@@ -58,6 +58,7 @@ class _Handler(socketserver.StreamRequestHandler):
         srv: SimilarityServer = self.server.sim_server  # type: ignore[attr-defined]
         subscribed = False
         send_lock = threading.Lock()
+        authed = not getattr(self.server, "auth_token", "")
 
         def push(out) -> None:
             msg = json.dumps(
@@ -95,7 +96,21 @@ class _Handler(socketserver.StreamRequestHandler):
                 try:
                     msg = json.loads(raw)
                     op = msg.get("op")
-                    if op in ("insert", "load"):
+                    if not authed:
+                        # shared-secret gate: nothing is processed (or even
+                        # parsed into engine state) before a valid auth op
+                        if op == "auth" and msg.get("token") == getattr(
+                            self.server, "auth_token", ""
+                        ):
+                            authed = True
+                            reply({"ok": True, "authed": True})
+                        else:
+                            reply({"ok": False, "error": "unauthorized"})
+                            break
+                        continue
+                    if op == "auth":
+                        reply({"ok": True, "authed": True})
+                    elif op in ("insert", "load"):
                         # fire-and-forget ops (the reference's at-most-once
                         # `!` sends) get NO reply — not even on error, which
                         # would desync a client's request/response stream;
@@ -163,16 +178,36 @@ class _Handler(socketserver.StreamRequestHandler):
 class _TcpServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
+    ssl_context = None
+
+    def get_request(self):
+        sock, addr = super().get_request()
+        if self.ssl_context is not None:
+            sock = self.ssl_context.wrap_socket(sock, server_side=True)
+        return sock, addr
 
 
 class RpcServer:
-    """Lifecycle wrapper: serve a SimilarityServer on host:port."""
+    """Lifecycle wrapper: serve a SimilarityServer on host:port.
+
+    TLS (``tls_cert``/``tls_key`` config) and a shared-secret auth gate
+    (``auth_token``) extend the reference's plaintext, unauthenticated Akka
+    remote for non-loopback deployments."""
 
     def __init__(self, sim_server: SimilarityServer, host: str = "127.0.0.1",
                  port: int = 0):
         self.sim_server = sim_server
         self._tcp = _TcpServer((host, port), _Handler)
         self._tcp.sim_server = sim_server  # type: ignore[attr-defined]
+        cfg = sim_server.cfg
+        self._tcp.auth_token = getattr(cfg, "auth_token", "")  # type: ignore[attr-defined]
+        cert, key = getattr(cfg, "tls_cert", ""), getattr(cfg, "tls_key", "")
+        if cert and key:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(cert, key)
+            self._tcp.ssl_context = ctx  # type: ignore[attr-defined]
         self.host, self.port = self._tcp.server_address[:2]
         self._thread: Optional[threading.Thread] = None
 

@@ -276,7 +276,14 @@ class SimilarityServer:
                 except queue.Empty:
                     break
                 (bulk if is_bulk else stream).append(batch)
-            self._complete_pending()
+            # double-buffered ingest: submit THIS tick's batches first, THEN
+            # complete the PREVIOUS tick's — the device scatters/scores batch
+            # N while the host fetches + fp64-rescores batch N-1.  Emission
+            # order is preserved (prior pendings complete before the new
+            # ones, which wait for the next tick or an explicit flush()).
+            with self._pending_lock:
+                prior = list(self._pending)
+                self._pending.clear()
             for is_bulk, batches in ((True, bulk), (False, stream)):
                 if not batches:
                     continue
@@ -296,6 +303,17 @@ class SimilarityServer:
                 with self._pending_lock:
                     self._pending.append(pending)
                 self._dirty = True
+            for pending in prior:
+                try:
+                    with self._lock:
+                        out = pending.result()
+                except Exception:
+                    self._errors += 1
+                    get_logger().exception(
+                        "dropped result of poisoned pending batch"
+                    )
+                    continue
+                self._batcher.emit(out)
         self._maybe_checkpoint()
 
     def _complete_pending(self) -> None:

@@ -308,3 +308,64 @@ def test_profile_dir_captures_trace(tmp_path, corpus):
     for root, _, files in os.walk(str(tmp_path / "trace")):
         found.extend(files)
     assert found, "no profiler trace files written"
+
+
+def test_auth_token_gate(corpus):
+    cfg = make_cfg(auth_token="sekrit")
+    with RpcServer(SimilarityServer(Engine(cfg), cfg)) as rpc:
+        addr = [f"127.0.0.1:{rpc.port}"]
+        # wrong token -> refused
+        with pytest.raises(PermissionError):
+            ClientConnection(addr, timeout=10.0, auth_token="wrong")
+        # no token -> first real op refused, connection closed
+        c = ClientConnection(addr, timeout=10.0)
+        rsp = c._request({"op": "stats"})
+        assert rsp == {"ok": False, "error": "unauthorized"}
+        c.close()
+        # right token -> full service
+        c = ClientConnection(addr, timeout=10.0, auth_token="sekrit")
+        c.insert_new_vector([("a", corpus.row(0))])
+        c.flush()
+        assert c.stats()["n_rows"] == 1
+        c.close()
+
+
+def test_tls_roundtrip(tmp_path, corpus):
+    import subprocess
+
+    cert = str(tmp_path / "cert.pem")
+    key = str(tmp_path / "key.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", key, "-out", cert, "-days", "1",
+            "-subj", "/CN=localhost",
+        ],
+        check=True, capture_output=True,
+    )
+    cfg = make_cfg(tls_cert=cert, tls_key=key, auth_token="t0k3n")
+    with RpcServer(SimilarityServer(Engine(cfg), cfg)) as rpc:
+        addr = [f"127.0.0.1:{rpc.port}"]
+        # plaintext client cannot speak to a TLS server
+        import socket as socklib
+
+        raw = socklib.create_connection(("127.0.0.1", rpc.port), timeout=5)
+        raw.sendall(b'{"op": "stats"}\n')
+        raw.settimeout(5)
+        try:
+            data = raw.recv(100)
+        except OSError:
+            data = b""
+        raw.close()
+        assert b'"ok": true' not in data.lower()
+        # TLS + auth client gets everything, including the event stream
+        c = ClientConnection(
+            addr, timeout=30.0, ca_file=cert, auth_token="t0k3n"
+        )
+        events = []
+        c.subscribe_outputs(lambda out, moment: events.append(out))
+        c.insert_new_vector([("a", corpus.row(0)), ("b", corpus.row(0))])
+        c.flush()
+        assert c.stats()["n_rows"] == 2
+        assert wait_until(lambda: any("a" in e for e in events))
+        c.close()

@@ -141,7 +141,10 @@ def cmd_serve(args) -> int:
         cfg = cfg.replace(
             mesh_shape=tuple(int(s) for s in args.mesh_shape.split(","))
         )
-    store = VectorStore(args.store) if args.store else None
+    store = (
+        VectorStore(args.store, run_mode=cfg.run_mode)
+        if args.store else None
+    )
     if args.mesh or args.mesh_shape:
         engine = MeshEngine(cfg)
         sim = SimilarityServer(engine, cfg, store=store)

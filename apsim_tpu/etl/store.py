@@ -60,10 +60,18 @@ def load_text_vectors(path: str) -> CSRMatrix:
 
 class VectorStore:
     """Directory-backed table store with row-range loads and max-weight side
-    tables."""
+    tables.
 
-    def __init__(self, root: str):
+    ``run_mode`` reproduces the reference's DEBUG/PRODUCT cell-encoding
+    split (WriteWorkerActor.scala:83-130, HBaseUpLoader.scala:27-36):
+    DEBUG additionally writes the human-readable reference text format
+    (``vectors.txt``, one ``(size,[i..],[v..])`` line per row) so a test
+    table can be hand-written or inspected, and ``read`` falls back to a
+    text-only table when no binary npz exists; PRODUCT is binary-only."""
+
+    def __init__(self, root: str, run_mode: str = "DEBUG"):
         self.root = root
+        self.run_mode = str(run_mode).upper()
         os.makedirs(root, exist_ok=True)
         # one-table read cache: bulk loads split into io_range_num sub-ranges
         # hit load_range() once per sub-range — without this, each call
@@ -100,19 +108,38 @@ class VectorStore:
         np.save(os.path.join(d, "max_weights.npy"), csr.max_weights())
         with open(os.path.join(d, "meta.json"), "w", encoding="utf-8") as f:
             json.dump({"n_rows": csr.n_rows, "n_cols": csr.n_cols}, f)
+        if self.run_mode == "DEBUG":
+            save_text_vectors(os.path.join(d, "vectors.txt"), csr)
 
     def read(self, table: str) -> tuple[CSRMatrix, List[str]]:
         d = self._table_dir(table)
-        z = np.load(os.path.join(d, "vectors.npz"))
-        n_rows, n_cols = (int(x) for x in z["shape"])
-        csr = CSRMatrix(n_rows, n_cols, z["indptr"], z["indices"], z["data"])
-        with open(os.path.join(d, "ids.txt"), "r", encoding="utf-8") as f:
-            text = f.read()
-            ids = text.split("\n") if text else []
+        npz = os.path.join(d, "vectors.npz")
+        if os.path.exists(npz):
+            z = np.load(npz)
+            n_rows, n_cols = (int(x) for x in z["shape"])
+            csr = CSRMatrix(
+                n_rows, n_cols, z["indptr"], z["indices"], z["data"]
+            )
+        elif self.run_mode == "DEBUG" and os.path.exists(
+            os.path.join(d, "vectors.txt")
+        ):
+            # DEBUG: a hand-written text table is a valid table
+            csr = load_text_vectors(os.path.join(d, "vectors.txt"))
+        else:
+            raise FileNotFoundError(npz)
+        ids_path = os.path.join(d, "ids.txt")
+        if os.path.exists(ids_path):
+            with open(ids_path, "r", encoding="utf-8") as f:
+                text = f.read()
+                ids = text.split("\n") if text else []
+        else:
+            ids = [str(i) for i in range(csr.n_rows)]
         return csr, ids
 
     def _read_cached(self, table: str) -> tuple[CSRMatrix, List[str]]:
         path = os.path.join(self._table_dir(table), "vectors.npz")
+        if not os.path.exists(path):  # DEBUG text-only table
+            path = os.path.join(self._table_dir(table), "vectors.txt")
         mtime = os.path.getmtime(path)
         if self._cache is not None:
             c_table, c_mtime, c_csr, c_ids = self._cache

@@ -134,3 +134,35 @@ def test_ccweb_parser():
     assert vec.size == 4
     np.testing.assert_array_equal(vec.indices, [1, 3])
     np.testing.assert_allclose(vec.values, [1.5, 2.5])
+
+
+def test_run_mode_debug_text_tables(tmp_path):
+    # DEBUG run_mode (the reference's human-readable cell encoding,
+    # WriteWorkerActor.scala:83-130): write emits a text mirror, and a
+    # hand-written text-only table is readable
+    import numpy as np
+
+    from apsim_tpu.etl.store import VectorStore
+    from apsim_tpu.vector.batch import CSRMatrix
+    from apsim_tpu.vector.sparse import Vectors
+
+    vecs = [Vectors.sparse(10, [1, 3], [0.6, 0.8]),
+            Vectors.sparse(10, [2], [1.0])]
+    csr = CSRMatrix.from_vectors(vecs, 10)
+    st = VectorStore(str(tmp_path / "dbg"), run_mode="DEBUG")
+    st.write("t", csr)
+    assert (tmp_path / "dbg" / "t" / "vectors.txt").exists()
+    # PRODUCT: binary only
+    st2 = VectorStore(str(tmp_path / "prod"), run_mode="PRODUCT")
+    st2.write("t", csr)
+    assert not (tmp_path / "prod" / "t" / "vectors.txt").exists()
+    # hand-written text-only table
+    import os
+
+    d = tmp_path / "dbg" / "hand"
+    os.makedirs(d)
+    (d / "vectors.txt").write_text("(10,[1,3],[0.6,0.8])\n(10,[2],[1.0])\n")
+    got, ids = st.read("hand")
+    assert got.n_rows == 2 and ids == ["0", "1"]
+    sub, sids = st.load_range("hand", 1, 1)
+    assert sub.n_rows == 1 and sids == ["1"]

@@ -54,6 +54,15 @@ def main() -> None:
     res = eng.all_pairs(TAU)
     log(f"warm-up all_pairs: {time.time() - t0:.1f}s, {res.n_pairs} pairs")
 
+    # warm build: rebuild with every shape compiled — this is the engine's
+    # actual indexing cost; the first build above may include one-time
+    # remote-compiles (environment noise, not engine work)
+    eng2 = Engine(AllPairsConfig())
+    t0 = time.time()
+    eng2.build(csr, ids)
+    log(f"warm build: {time.time() - t0:.1f}s")
+    del eng2
+
     times = []
     for _ in range(REPEATS):
         t0 = time.time()

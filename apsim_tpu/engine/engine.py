@@ -467,6 +467,14 @@ class Engine:
             tm, tn, tk = 256, 256, 2048
         bi, bj = pallas_score.upper_blocks_rect(self.row_cap, tm, tn)
         bi, bj = jnp.asarray(bi), jnp.asarray(bj)
+        # cache the bf16 copy of the index keyed by array identity (jax
+        # arrays are immutable; any insert/grow produces a new object) — the
+        # per-call cast costs ~6 ms of HBM traffic on Enron
+        cached = getattr(self, "_bf16_cache", None)
+        if cached is None or cached[0] is not self.x:
+            cached = (self.x, self.x.astype(jnp.bfloat16))
+            self._bf16_cache = cached
+        x_bf16 = cached[1]
         from ..vector.batch import pow2_bucket
 
         # per-level caps, cached across calls so steady-state joins hit the
@@ -477,7 +485,7 @@ class Engine:
         )
         while True:
             bufs, packed = pallas_score.allpairs_extract_pallas(
-                self.x, bi, bj, tau_eff, cap, capb, cap0,
+                x_bf16, bi, bj, tau_eff, cap, capb, cap0,
                 tm=tm, tn=tn, tk=tk, interpret=interpret,
             )
             rows, cols, total, groups, supers = (

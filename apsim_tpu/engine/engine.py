@@ -223,6 +223,15 @@ class Engine:
         scale = max(self._max_norm * self._max_norm, 1.0)
         return self._margin_rel() * scale
 
+    def _max_row_nnz(self) -> int:
+        """Largest SHADOW row nnz — an upper bound on any device row's nnz
+        (the device may hold fewer entries: dormant dims)."""
+        if self._sh_rows == 0:
+            return 0
+        return int(
+            np.diff(self._sh_indptr[: self._sh_rows + 1]).max()
+        )
+
     def _margin_rel(self, precision: str | None = None) -> float:
         """Relative device-error bound for one dot product (unscaled)."""
         if precision is None:
@@ -467,14 +476,28 @@ class Engine:
             tm, tn, tk = 256, 256, 2048
         bi, bj = pallas_score.upper_blocks_rect(self.row_cap, tm, tn)
         bi, bj = jnp.asarray(bi), jnp.asarray(bj)
-        # cache the bf16 copy of the index keyed by array identity (jax
-        # arrays are immutable; any insert/grow produces a new object) — the
-        # per-call cast costs ~6 ms of HBM traffic on Enron
-        cached = getattr(self, "_bf16_cache", None)
-        if cached is None or cached[0] is not self.x:
-            cached = (self.x, self.x.astype(jnp.bfloat16))
-            self._bf16_cache = cached
-        x_bf16 = cached[1]
+        # int8 path: 2x MXU rate + half the operand DMA, per-pair
+        # quantization bound in the epilogue (see pallas_score.py); gated on
+        # the int32-accumulator safety bound D <= 127^2 * max_nnz
+        use_int8 = bool(self.cfg.pallas_int8) and self._max_row_nnz() < (
+            (1 << 30) // (127 * 127)
+        )
+        if use_int8:
+            cached = getattr(self, "_int8_cache", None)
+            if cached is None or cached[0] is not self.x:
+                q8, aux = pallas_score.quantize_rows(self.x)
+                cached = (self.x, q8, aux)
+                self._int8_cache = cached
+            _, x_q8, x_aux = cached
+        else:
+            # cache the bf16 copy keyed by array identity (jax arrays are
+            # immutable; any insert/grow produces a new object) — the
+            # per-call cast costs ~6 ms of HBM traffic on Enron
+            cached = getattr(self, "_bf16_cache", None)
+            if cached is None or cached[0] is not self.x:
+                cached = (self.x, self.x.astype(jnp.bfloat16))
+                self._bf16_cache = cached
+            x_bf16 = cached[1]
         from ..vector.batch import pow2_bucket
 
         # per-level caps, cached across calls so steady-state joins hit the
@@ -484,10 +507,18 @@ class Engine:
             (pow2_bucket(cap, 1024), 0, 0),
         )
         while True:
-            bufs, packed = pallas_score.allpairs_extract_pallas(
-                x_bf16, bi, bj, tau_eff, cap, capb, cap0,
-                tm=tm, tn=tn, tk=tk, interpret=interpret,
-            )
+            if use_int8:
+                # int8 halves operand bytes: double tk when it still tiles
+                tk8 = 2 * tk if self.dim_cap % (2 * tk) == 0 else tk
+                bufs, packed = pallas_score.allpairs_extract_pallas_int8(
+                    x_q8, x_aux, bi, bj, tau_eff, cap, capb, cap0,
+                    tm=tm, tn=tn, tk=tk8, interpret=interpret,
+                )
+            else:
+                bufs, packed = pallas_score.allpairs_extract_pallas(
+                    x_bf16, bi, bj, tau_eff, cap, capb, cap0,
+                    tm=tm, tn=tn, tk=tk, interpret=interpret,
+                )
             rows, cols, total, groups, supers = (
                 pallas_score.unpack_pallas_head(np.asarray(packed))
             )

@@ -241,6 +241,10 @@ def allpairs_extract_pallas(
     gb, g64, cnt = pallas_score_bits(
         x.astype(jnp.bfloat16), bi, bj, tau_eff, tm, tn, tk, interpret
     )
+    return _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn)
+
+
+def _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn):
     n_blocks = bi.shape[0]
     total = jnp.sum(cnt[:, 0, 0])
     groups = jnp.sum(cnt[:, 0, 1])
@@ -287,3 +291,161 @@ def allpairs_extract_pallas(
     row = jnp.where(v2, row, -1).astype(jnp.int32)
     col = jnp.where(v2, col, -1).astype(jnp.int32)
     return (row, col), _pack_pallas_head(row, col, total, groups, supers)
+
+
+# --------------------------------------------------------------- int8 kernel
+#
+# Per-row symmetric quantization x_i = α_i (q_i + e_i), α_i = max|x_i|/127,
+# q int8, |e| ≤ 0.5 and e = 0 off-support.  The MXU runs the q·qᵀ products at
+# int8 (2× bf16 throughput, half the operand DMA bytes); the epilogue rescales
+# and thresholds with a PER-PAIR quantization-error upper bound
+#
+#   |x_i·x_j − α_iα_j D| ≤ 0.5(α_j b_i + α_i b_j) + 0.25 α_iα_j min(n_i, n_j)
+#
+# where D = Σ q_i q_j (device int32), b_i = α_i L1(q_i), n_i = nnz(x_i) —
+# so candidates at ``s_hat + bound ≥ tau_eff`` form a PROVEN superset and the
+# host fp64 rescore keeps the emitted pair set exact, same contract as bf16.
+# int32 accumulator safety: D ≤ 127·min(L1(q_i), L1(q_j)) ≤ 127²·max_nnz —
+# the engine gates this path on max_nnz < 2^30/127² ≈ 66k.
+
+
+@jax.jit
+def quantize_rows(x):
+    """(q int8, aux f32 [3, rows]): per-row symmetric int8 quantization with
+    the bound ingredients (aux rows: α, α·L1(q), nnz)."""
+    ax = jnp.abs(x)
+    s = jnp.max(ax, axis=1)
+    alpha = jnp.where(s > 0, s / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(
+        jnp.round(x / alpha[:, None]), -127, 127
+    ).astype(jnp.int8)
+    l1q = jnp.sum(jnp.abs(q).astype(jnp.float32), axis=1)
+    nnz = jnp.sum((x != 0).astype(jnp.float32), axis=1)
+    aux = jnp.stack([alpha, alpha * l1q, nnz])
+    return q, aux
+
+
+def _kernel_int8(bi_ref, bj_ref, tau_ref, x_ref, q_ref, auxi_ref, auxj_ref,
+                 gb_ref, g64_ref, cnt_ref, acc_ref):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        p = pl.program_id(0)
+        tm, tn = acc_ref.shape
+        ai = auxi_ref[0][:, None]   # α_i  [tm, 1]
+        bi_b = auxi_ref[1][:, None]  # α_i·L1(q_i)
+        ci = auxi_ref[2][:, None]   # nnz_i
+        aj = auxj_ref[0][None, :]
+        bj_b = auxj_ref[1][None, :]
+        cj = auxj_ref[2][None, :]
+        s_hat = acc_ref[:].astype(jnp.float32) * (ai * aj)
+        bound = (
+            0.5 * (aj * bi_b + ai * bj_b)
+            + 0.25 * (ai * aj) * jnp.minimum(ci, cj)
+        )
+        m = (s_hat + bound) >= tau_ref[0]
+        rows = bi_ref[p] * tm + jax.lax.broadcasted_iota(
+            jnp.int32, (tm, tn), 0
+        )
+        cols = bj_ref[p] * tn + jax.lax.broadcasted_iota(
+            jnp.int32, (tm, tn), 1
+        )
+        mi = (m & (rows < cols)).astype(jnp.int32)
+        w = jnp.left_shift(
+            1,
+            jax.lax.broadcasted_iota(jnp.int32, (tm // GROUP, GROUP, tn), 1),
+        )
+        gbi = jnp.sum(mi.reshape(tm // GROUP, GROUP, tn) * w, axis=1)
+        gb_ref[0] = gbi.astype(jnp.uint8)
+        g_any = jnp.minimum(gbi, 1)
+        g64i = jnp.minimum(
+            jnp.sum(g_any.reshape(tm // SUPER, SUPER // GROUP, tn), axis=1), 1
+        )
+        g64_ref[0] = g64i.astype(jnp.uint8)
+        n_pairs = jnp.sum(mi)
+        n_groups = jnp.sum(g_any)
+        n_supers = jnp.sum(g64i)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+        cnt_ref[...] = jnp.where(
+            lane == 0,
+            n_pairs,
+            jnp.where(lane == 1, n_groups, jnp.where(lane == 2, n_supers, 0)),
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tm", "tn", "tk", "interpret")
+)
+def pallas_score_bits_int8(
+    xq, aux, bi, bj, tau_eff, tm: int = 1024, tn: int = 512, tk: int = 2048,
+    interpret: bool = False,
+):
+    row_cap, dim_cap = xq.shape
+    n_blocks = bi.shape[0]
+    nk = dim_cap // tk
+    tau_arr = jnp.full((1,), tau_eff, jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # bi, bj, tau
+        grid=(n_blocks, nk),
+        in_specs=[
+            pl.BlockSpec(
+                (tm, tk), lambda p, k, bi_r, bj_r, tau_r: (bi_r[p], k)
+            ),
+            pl.BlockSpec(
+                (tn, tk), lambda p, k, bi_r, bj_r, tau_r: (bj_r[p], k)
+            ),
+            pl.BlockSpec(
+                (3, tm), lambda p, k, bi_r, bj_r, tau_r: (0, bi_r[p])
+            ),
+            pl.BlockSpec(
+                (3, tn), lambda p, k, bi_r, bj_r, tau_r: (0, bj_r[p])
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm // GROUP, tn), lambda p, k, *_: (p, 0, 0)),
+            pl.BlockSpec((1, tm // SUPER, tn), lambda p, k, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda p, k, *_: (p, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+    )
+    return pl.pallas_call(
+        _kernel_int8,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, tm // GROUP, tn), jnp.uint8),
+            jax.ShapeDtypeStruct((n_blocks, tm // SUPER, tn), jnp.uint8),
+            jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.int32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(bi, bj, tau_arr, xq, xq, aux, aux)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tm", "tn", "tk", "cap", "capb", "cap0", "interpret"),
+)
+def allpairs_extract_pallas_int8(
+    xq, aux, bi, bj, tau_eff, cap: int, capb: int = 0, cap0: int = 0,
+    tm: int = 1024, tn: int = 512, tk: int = 2048, interpret: bool = False,
+):
+    """int8 variant of ``allpairs_extract_pallas``: same ((row, col), head)
+    contract, per-pair quantization bound fused into the epilogue."""
+    capb = capb or max(cap // GROUP, 1024)
+    cap0 = cap0 or max(capb // (SUPER // GROUP), 1024)
+    gb, g64, cnt = pallas_score_bits_int8(
+        xq, aux, bi, bj, tau_eff, tm, tn, tk, interpret
+    )
+    return _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn)

@@ -387,3 +387,12 @@ def test_dormant_topk_and_frozen_match():
     eng.freeze()
     out = eng.insert([("probe", q)], tau=0.9)
     assert out.output.get("probe", {}).get("2") == pytest.approx(1.0)
+
+
+def test_pallas_int8_matches_oracle(corpus):
+    # opt-in int8 kernel: the per-pair quantization bound must keep the
+    # pair set exact (interpret mode off-TPU)
+    eng = Engine(small_cfg(use_pallas="on", pallas_int8=True,
+                           query_tile=256, row_bucket=256, dim_bucket=2048))
+    eng.build(corpus)
+    assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)

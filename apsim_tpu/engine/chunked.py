@@ -90,6 +90,59 @@ class ChunkedAllPairs:
             self.super_tile = st
         return min(self.super_tile, self.row_cap)
 
+    # ---------------------------------------------------------------- op hooks
+    # Device-facing seams: the mesh-sharded subclass
+    # (:class:`~apsim_tpu.parallel.chunked_mesh.MeshChunkedAllPairs`) reroutes
+    # these through shard_map'd collectives; all host logic stays shared.
+
+    def _round_chunks(self, n: int) -> int:
+        return n
+
+    def _place_ent(self, rows2d, cols2d, vals2d):
+        import jax.numpy as jnp
+
+        return (jnp.asarray(rows2d), jnp.asarray(cols2d), jnp.asarray(vals2d))
+
+    def _place_counts(self, counts: np.ndarray):
+        import jax.numpy as jnp
+
+        return jnp.asarray(counts.astype(np.int32))
+
+    def _place_q(self, q):
+        return q
+
+    def _op_append(self, chunk_idx, slot_idx, r, lc, v):
+        self._ent = chunked_ops.append_entries(
+            *self._ent, chunk_idx, slot_idx, r, lc, v
+        )
+
+    def _op_grow(self, new_cap: int):
+        self._ent = chunked_ops.grow_entry_cap(
+            *self._ent, new_cap=new_cap, pad_row=self._pad_row()
+        )
+
+    def _op_stripe(self, q0: int, tau_eff, super_tile: int, cap: int,
+                   grp: int):
+        return chunked_ops.chunked_stripe_extract(
+            *self._ent, self._counts_dev, np.int32(q0), tau_eff,
+            self.row_cap, self._chunk_width, super_tile, cap, grp,
+            self.cfg.matmul_precision,
+        )
+
+    def _op_match(self, q, q_base: int, tau_eff, q_rows_cap: int, cap: int,
+                  grp: int):
+        return chunked_ops.chunked_match_extract(
+            *self._ent, self._counts_dev, *q, np.int32(q_base), tau_eff,
+            self.row_cap, self._chunk_width, q_rows_cap, cap, grp,
+            self.cfg.matmul_precision,
+        )
+
+    def _op_topk(self, q, q_rows_cap: int, kf: int):
+        return chunked_ops.chunked_topk(
+            *self._ent, self._counts_dev, *q, np.int32(self.n_rows),
+            self.row_cap, self._chunk_width, q_rows_cap, kf, "highest",
+        )
+
     # ------------------------------------------------------------------ build
     def build(self, vectors, ids: Sequence[str] | None = None) -> dict:
         import jax.numpy as jnp
@@ -103,7 +156,9 @@ class ChunkedAllPairs:
         self._compact = CompactSpace.from_csr(csr, self.cfg.dim_bucket)
         ccsr = self._compact.map_csr(csr)
         self._q_super()
-        n_chunks = max(1, -(-self._compact.n_active // self.chunk_dim))
+        n_chunks = self._round_chunks(
+            max(1, -(-self._compact.n_active // self.chunk_dim))
+        )
         self._n_chunks = n_chunks
         rows_of = np.repeat(
             np.arange(csr.n_rows, dtype=np.int64), np.diff(ccsr.indptr)
@@ -115,11 +170,9 @@ class ChunkedAllPairs:
             rows_of, ccsr.indices.astype(np.int64), ccsr.data, n_chunks,
             self._chunk_cap, self._pad_row(),
         )
-        self._ent = (
-            jnp.asarray(rows2d), jnp.asarray(cols2d), jnp.asarray(vals2d)
-        )
+        self._ent = self._place_ent(rows2d, cols2d, vals2d)
         self._counts = counts
-        self._counts_dev = jnp.asarray(counts.astype(np.int32))
+        self._counts_dev = self._place_counts(counts)
         # margin bookkeeping (same policy as the dense engine)
         norms = csr.row_norms()
         self._max_norm = float(norms.max()) if norms.size else 0.0
@@ -202,9 +255,7 @@ class ChunkedAllPairs:
         need = int((self._counts + add).max())
         while need > self._chunk_cap:
             self._chunk_cap *= 2
-            self._ent = chunked_ops.grow_entry_cap(
-                *self._ent, new_cap=self._chunk_cap, pad_row=self._pad_row()
-            )
+            self._op_grow(self._chunk_cap)
         order = np.argsort(chunk, kind="stable")
         ch = chunk[order]
         starts = np.zeros(self._n_chunks + 1, np.int64)
@@ -214,8 +265,7 @@ class ChunkedAllPairs:
         ).astype(np.int32)
         cap_e = pow2_bucket(max(chunk.size, 1), 256)
         pad = cap_e - chunk.size
-        self._ent = chunked_ops.append_entries(
-            *self._ent,
+        self._op_append(
             jnp.asarray(np.concatenate(
                 [ch, np.full(pad, self._n_chunks)]).astype(np.int32)),
             jnp.asarray(np.concatenate(
@@ -228,7 +278,7 @@ class ChunkedAllPairs:
                 [ccsr.data[order], np.zeros(pad)]).astype(np.float32)),
         )
         self._counts = self._counts + add
-        self._counts_dev = jnp.asarray(self._counts.astype(np.int32))
+        self._counts_dev = self._place_counts(self._counts)
 
         out = self._emit(self._match_rows(n0, tau), new_ids, n0, tau)
         return _CompletedInsert(out) if defer else out
@@ -247,10 +297,10 @@ class ChunkedAllPairs:
             rows_of, ccsr.indices.astype(np.int64), ccsr.data,
             self._n_chunks, q_cap, q_rows_cap,
         )
-        return (
+        return self._place_q((
             jnp.asarray(r2), jnp.asarray(c2), jnp.asarray(v2),
             jnp.asarray(cnts.astype(np.int32)),
-        )
+        ))
 
     def _match_rows(self, n0: int, tau: float):
         """Cross-match index rows [n0, n_rows) (already appended) against the
@@ -270,11 +320,7 @@ class ChunkedAllPairs:
         cap = int(self.cfg.extract_cap)
         grp = int(self.cfg.extract_group)
         while True:
-            bufs, packed = chunked_ops.chunked_match_extract(
-                *self._ent, self._counts_dev, *q, np.int32(n0), tau_eff,
-                self.row_cap, self._chunk_width, q_rows_cap, cap, grp,
-                self.cfg.matmul_precision,
-            )
+            bufs, packed = self._op_match(q, n0, tau_eff, q_rows_cap, cap, grp)
             pairs, needed = score_ops.consume_packed(
                 bufs, np.asarray(packed), cap, grp
             )
@@ -315,11 +361,9 @@ class ChunkedAllPairs:
         cap = int(self.cfg.extract_cap)
         grp = int(self.cfg.extract_group)
         while True:
-            bufs, packed = chunked_ops.chunked_match_extract(
-                *self._ent, self._counts_dev, *q,
-                np.int32(self.n_rows), tau_eff,  # q_base beyond rows: no self
-                self.row_cap, self._chunk_width, q_rows_cap, cap, grp,
-                self.cfg.matmul_precision,
+            # q_base beyond all rows: no self-pair exclusion can trigger
+            bufs, packed = self._op_match(
+                q, self.n_rows, tau_eff, q_rows_cap, cap, grp
             )
             pairs, needed = score_ops.consume_packed(
                 bufs, np.asarray(packed), cap, grp
@@ -385,11 +429,8 @@ class ChunkedAllPairs:
         for q0 in range(0, self.n_rows, super_tile):
             cap = int(self.cfg.extract_cap)
             while True:
-                bufs, packed = chunked_ops.chunked_stripe_extract(
-                    *self._ent, self._counts_dev, np.int32(q0), tau_eff,
-                    self.row_cap, self._chunk_width, super_tile, cap, grp,
-                    self.cfg.matmul_precision,
-                )
+                bufs, packed = self._op_stripe(q0, tau_eff, super_tile, cap,
+                                               grp)
                 pairs, needed = score_ops.consume_packed(
                     bufs, np.asarray(packed), cap, grp
                 )
@@ -425,10 +466,7 @@ class ChunkedAllPairs:
         nq = len(qids)
 
         def fetch(kf: int):
-            s, r = chunked_ops.chunked_topk(
-                *self._ent, self._counts_dev, *q, np.int32(self.n_rows),
-                self.row_cap, self._chunk_width, q_rows_cap, kf, "highest",
-            )
+            s, r = self._op_topk(q, q_rows_cap, kf)
             return np.asarray(s)[:nq], np.asarray(r)[:nq]
 
         from .engine import fetch_exact_topk

@@ -47,6 +47,8 @@ __all__ = [
     "chunked_stripe_extract",
     "chunked_match_extract",
     "chunked_topk",
+    "join_epilogue",
+    "match_epilogue",
 ]
 
 
@@ -131,6 +133,37 @@ def _densify_chunk(rows2d, cols2d, vals2d, counts, c, cap_rows, chunk_dim,
     )
 
 
+def join_epilogue(s, q0, tau_eff, cap: int, group: int):
+    """Shared upper-triangle join epilogue over a psum'd/complete score
+    stripe ``s [row_cap, super_tile]`` whose columns are global rows
+    ``q0 + j``: threshold, strict-upper mask, two-level compaction.
+    Returns ``((buf_i, buf_j), packed_head)``."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    m = (s >= tau_eff) & (rows < cols)
+    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_i, buf_j, _, total, groups = _extract(
+        m, q0, buf_i, buf_j, jnp.int32(0), cap, group
+    )
+    return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups, HEAD_JOIN)
+
+
+def match_epilogue(s, q_base, tau_eff, cap: int, group: int):
+    """Shared streaming-match epilogue over a complete score matrix
+    ``s [row_cap, q_rows_cap]``: threshold, self-pair exclusion (global query
+    row = ``q_base + local``), two-level compaction."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    qglob = q_base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    m = (s >= tau_eff) & (rows != qglob)
+    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_i, buf_j, _, total, groups = _extract(
+        m, jnp.int32(0), buf_i, buf_j, jnp.int32(0), cap, group
+    )
+    return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups, HEAD_JOIN)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -166,15 +199,7 @@ def chunked_stripe_extract(
         jnp.zeros((row_cap, super_tile), jnp.float32),
     )
     s = jax.lax.optimization_barrier(s)
-    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    m = (s >= tau_eff) & (rows < cols)
-    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
-    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
-    buf_i, buf_j, _, total, groups = _extract(
-        m, q0, buf_i, buf_j, jnp.int32(0), cap, group
-    )
-    return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups, HEAD_JOIN)
+    return join_epilogue(s, q0, tau_eff, cap, group)
 
 
 @functools.partial(
@@ -220,15 +245,7 @@ def chunked_match_extract(
         jnp.zeros((row_cap, q_rows_cap), jnp.float32),
     )
     s = jax.lax.optimization_barrier(s)
-    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    qglob = q_base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    m = (s >= tau_eff) & (rows != qglob)
-    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
-    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
-    buf_i, buf_j, _, total, groups = _extract(
-        m, jnp.int32(0), buf_i, buf_j, jnp.int32(0), cap, group
-    )
-    return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups, HEAD_JOIN)
+    return match_epilogue(s, q_base, tau_eff, cap, group)
 
 
 @functools.partial(

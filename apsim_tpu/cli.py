@@ -74,25 +74,45 @@ def cmd_build(args) -> int:
     return 0
 
 
+def _mesh_cfg(args, cfg):
+    """Fold --mesh-shape into the config; True iff a mesh engine was asked."""
+    if getattr(args, "mesh_shape", None):
+        cfg = cfg.replace(
+            mesh_shape=tuple(int(s) for s in args.mesh_shape.split(","))
+        )
+    return cfg, bool(getattr(args, "mesh", False) or
+                     getattr(args, "mesh_shape", None))
+
+
 def _engine_from(args):
     from .engine.engine import Engine
     from .etl.store import VectorStore
 
     cfg = _load_cfg(args)
+    cfg, use_mesh = _mesh_cfg(args, cfg)
     if getattr(args, "chunked", False):
-        # out-of-core batch engine (beyond-HBM corpora)
-        from .engine.chunked import ChunkedAllPairs
+        # out-of-core batch engine (beyond-HBM corpora); with --mesh the
+        # chunk axis shards over the device mesh (parallel/chunked_mesh.py)
+        if use_mesh:
+            from .parallel import MeshChunkedAllPairs as Chunked
+        else:
+            from .engine.chunked import ChunkedAllPairs as Chunked
 
         if args.checkpoint and not args.store:
             csr, ids, _, _ = Engine.read_checkpoint(args.checkpoint)
         else:
             csr, ids = VectorStore(args.store).read(args.table)
-        eng = ChunkedAllPairs(cfg)
+        eng = Chunked(cfg)
         eng.build(csr, ids)
         return eng
     if args.checkpoint and not args.store:
         return Engine.load(args.checkpoint, config=cfg)
-    eng = Engine(cfg)
+    if use_mesh:
+        from .parallel import MeshEngine
+
+        eng = MeshEngine(cfg)
+    else:
+        eng = Engine(cfg)
     csr, ids = VectorStore(args.store).read(args.table)
     eng.build(csr, ids)
     return eng
@@ -137,15 +157,18 @@ def cmd_serve(args) -> int:
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_interval_s=args.checkpoint_interval,
         )
-    if args.mesh_shape:
-        cfg = cfg.replace(
-            mesh_shape=tuple(int(s) for s in args.mesh_shape.split(","))
+    cfg, use_mesh = _mesh_cfg(args, cfg)
+    if getattr(args, "chunked", False):
+        raise SystemExit(
+            "apsim serve: --chunked is not supported yet (the server needs "
+            "checkpoint/stats support on the chunked engine); use "
+            "'apsim join --chunked' for out-of-core batch joins"
         )
     store = (
         VectorStore(args.store, run_mode=cfg.run_mode)
         if args.store else None
     )
-    if args.mesh or args.mesh_shape:
+    if use_mesh:
         engine = MeshEngine(cfg)
         sim = SimilarityServer(engine, cfg, store=store)
     else:
@@ -209,6 +232,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--vector-dim", type=int, default=None, dest="vector_dim")
         sp.add_argument("--chunked", action="store_true",
                         help="out-of-core batch engine (beyond-HBM corpora)")
+        sp.add_argument("--mesh", action="store_true",
+                        help="shard the index over all visible devices")
+        sp.add_argument("--mesh-shape", default=None, dest="mesh_shape",
+                        help="e.g. '8' (1-D) or '2,4' (2-D rows x dims; "
+                             "chunked mode is 1-D only)")
 
     sp = sub.add_parser("etl")
     sp.add_argument("corpus")
@@ -243,10 +271,6 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=2551)
-    sp.add_argument("--mesh", action="store_true",
-                    help="shard the index over all visible devices")
-    sp.add_argument("--mesh-shape", default=None, dest="mesh_shape",
-                    help="e.g. '8' (1-D) or '2,4' (2-D rows x dims)")
     sp.add_argument("--checkpoint-dir", default="", dest="checkpoint_dir",
                     help="auto-checkpoint/restore the index here")
     sp.add_argument("--checkpoint-interval", type=float, default=60.0,

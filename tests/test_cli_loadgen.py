@@ -65,6 +65,19 @@ def test_cli_etl_build_join_topk(tmp_path, corpus_dir, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "inbox/1." in out and "inbox/2." in out
+    # mesh variants: dim-sharded dense and chunk-sharded out-of-core
+    assert cli_main(
+        ["join", "--config", cfgfile, "--store", store, "--table", "T",
+         "--tau", "0.9", "--mesh-shape", "8"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "inbox/1." in out and "inbox/2." in out
+    assert cli_main(
+        ["join", "--config", cfgfile, "--checkpoint", ckpt, "--tau", "0.9",
+         "--chunked", "--mesh-shape", "8"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "inbox/1." in out and "inbox/2." in out
 
 
 def test_loadgen_protocol(tmp_path):

@@ -158,19 +158,20 @@ def cmd_serve(args) -> int:
             checkpoint_interval_s=args.checkpoint_interval,
         )
     cfg, use_mesh = _mesh_cfg(args, cfg)
-    if getattr(args, "chunked", False):
-        raise SystemExit(
-            "apsim serve: --chunked is not supported yet (the server needs "
-            "checkpoint/stats support on the chunked engine); use "
-            "'apsim join --chunked' for out-of-core batch joins"
-        )
     store = (
         VectorStore(args.store, run_mode=cfg.run_mode)
         if args.store else None
     )
-    if use_mesh:
-        engine = MeshEngine(cfg)
-        sim = SimilarityServer(engine, cfg, store=store)
+    if getattr(args, "chunked", False):
+        # out-of-core serving: streaming inserts beyond the dense-HBM ceiling
+        if use_mesh:
+            from .parallel import MeshChunkedAllPairs as Chunked
+        else:
+            from .engine.chunked import ChunkedAllPairs as Chunked
+
+        sim = SimilarityServer(Chunked(cfg), cfg, store=store)
+    elif use_mesh:
+        sim = SimilarityServer(MeshEngine(cfg), cfg, store=store)
     else:
         sim = SimilarityServer(None, cfg, store=store)
     rpc = RpcServer(sim, host=args.host, port=args.port).start()

@@ -29,8 +29,9 @@ from ..ops import chunked as chunked_ops
 from ..ops import rescore as rescore_ops
 from ..ops import score as score_ops
 from ..utils.jaxsetup import setup_jax
+from ..utils.logging import Timer, get_logger
 from ..vector.batch import CSRMatrix, GrowableCSR, pow2_bucket, round_up
-from .engine import _as_csr, _next_cap
+from .engine import Engine, _as_csr, _next_cap
 from .output import PairResult, SimilarityOutput
 
 __all__ = ["ChunkedAllPairs"]
@@ -56,6 +57,36 @@ class ChunkedAllPairs:
         self.n_rows = 0
         self._max_norm = 0.0
         self._frozen = False
+        # serving surface (SimilarityServer duck-types the engine): empty
+        # compact space until build, counters, per-stage timings
+        self._compact = CompactSpace(self.cfg.vector_dim, self.cfg.dim_bucket)
+        self.max_weights = np.zeros(self.cfg.vector_dim, dtype=np.float64)
+        self.stats: Dict[str, float] = {
+            "vectors_indexed": 0,
+            "candidates_scored": 0,
+            "pairs_emitted": 0,
+            "insert_batches": 0,
+        }
+        self.timer = Timer()
+
+    @property
+    def compact(self) -> CompactSpace:
+        return self._compact
+
+    def shadow_csr(self) -> CSRMatrix:
+        return self._shadow.view() if self._shadow is not None else CSRMatrix(
+            0, self.cfg.vector_dim, np.zeros(1, np.int64),
+            np.empty(0, np.int32), np.empty(0, np.float64),
+        )
+
+    def set_max_weight_map(self, weights: np.ndarray) -> None:
+        """Admission pruning lives on the dense engine only; the chunked
+        engine indexes everything (the bound-based drop is an optimization —
+        skipping it cannot change the emitted pair set, EntryProxyActor
+        admission semantics stay a no-op superset)."""
+        get_logger().warning(
+            "chunked engine has no admission pruning; max-weight map ignored"
+        )
 
     # ------------------------------------------------------------------ sizes
     @property
@@ -176,6 +207,7 @@ class ChunkedAllPairs:
         # margin bookkeeping (same policy as the dense engine)
         norms = csr.row_norms()
         self._max_norm = float(norms.max()) if norms.size else 0.0
+        self.stats["vectors_indexed"] += csr.n_rows
         return {
             "n_rows": self.n_rows,
             "row_cap": self.row_cap,
@@ -198,6 +230,16 @@ class ChunkedAllPairs:
 
     # ----------------------------------------------------------------- insert
     def insert(
+        self,
+        vectors: Sequence[Tuple[str, "object"]],
+        tau: float | None = None,
+        bulk: bool = False,
+        defer: bool = False,
+    ):
+        with self.timer.section("insert"):
+            return self._insert_impl(vectors, tau, bulk, defer)
+
+    def _insert_impl(
         self,
         vectors: Sequence[Tuple[str, "object"]],
         tau: float | None = None,
@@ -233,6 +275,8 @@ class ChunkedAllPairs:
         if self._frozen:
             out = self._match_external(csr, new_ids, tau)
             return _CompletedInsert(out) if defer else out
+        self.stats["insert_batches"] += 1
+        self.stats["vectors_indexed"] += csr.n_rows
 
         # host bookkeeping first (margins must cover the batch's norms)
         norms = csr.row_norms()
@@ -333,6 +377,7 @@ class ChunkedAllPairs:
         shadow = self._shadow.view()
         if len(rows) == 0:
             return SimilarityOutput({}, time.time())
+        self.stats["candidates_scored"] += len(rows)
         sims = rescore_ops.pair_dots(
             shadow.indptr, shadow.indices, shadow.data,
             np.asarray(rows, np.int64), np.asarray(qlocal, np.int64) + n0,
@@ -344,6 +389,7 @@ class ChunkedAllPairs:
             np.asarray(rows)[keep], np.asarray(qlocal)[keep], sims[keep]
         ):
             out.setdefault(qids[int(q)], {})[self.ids[int(r)]] = float(s)
+        self.stats["pairs_emitted"] += sum(len(v) for v in out.values())
         return SimilarityOutput(out, time.time())
 
     def _match_external(self, csr: CSRMatrix, qids, tau: float):
@@ -411,8 +457,42 @@ class ChunkedAllPairs:
     def frozen(self) -> bool:
         return self._frozen
 
+    # ------------------------------------------------------------- checkpoint
+    # Same on-disk format as the dense engine (one atomic npz snapshot of the
+    # host shadow + ids), so checkpoints are interchangeable across engine
+    # flavors: a dense-engine checkpoint restores into a chunked engine when
+    # a corpus outgrows HBM, and vice versa.
+    save = Engine.save
+
+    def restore(self, path: str) -> None:
+        """Rebuild this (empty) engine from a checkpoint (any flavor)."""
+        if self.n_rows:
+            raise RuntimeError("restore() on a non-empty engine")
+        csr, ids, _, _ = Engine.read_checkpoint(path)
+        if csr.n_rows:
+            self.build(csr, ids)
+
+    @classmethod
+    def load(
+        cls, path: str, config: AllPairsConfig | None = None, **kw
+    ) -> "ChunkedAllPairs":
+        csr, ids, _, ckpt_cfg = Engine.read_checkpoint(path)
+        cfg = config or AllPairsConfig().replace(
+            vector_dim=int(ckpt_cfg["vector_dim"]),
+            similarity_threshold=float(ckpt_cfg["similarity_threshold"]),
+            dtype=str(ckpt_cfg["dtype"]),
+        )
+        eng = cls(cfg, **kw)
+        if csr.n_rows:
+            eng.build(csr, ids)
+        return eng
+
     # -------------------------------------------------------------- all_pairs
     def all_pairs(self, tau: float | None = None) -> PairResult:
+        with self.timer.section("all_pairs"):
+            return self._all_pairs_impl(tau)
+
+    def _all_pairs_impl(self, tau: float | None = None) -> PairResult:
         tau = self.cfg.similarity_threshold if tau is None else float(tau)
         if self.n_rows == 0:
             return PairResult(

@@ -158,6 +158,53 @@ def CSRSlice(csr, n):
     )
 
 
+def test_chunked_server_async_ingest(corpus):
+    # out-of-core engine behind the same server: streaming ingest + stats
+    from apsim_tpu.engine import ChunkedAllPairs
+
+    cfg = make_cfg()
+    with SimilarityServer(ChunkedAllPairs(cfg, chunk_dim=64), cfg) as srv:
+        outputs = []
+        srv.add_output_sink(lambda o: outputs.append(o))
+        for s in range(0, corpus.n_rows, 10):
+            srv.insert_new_vectors(
+                [(str(i), corpus.row(i))
+                 for i in range(s, min(s + 10, corpus.n_rows))]
+            )
+        assert wait_until(lambda: srv.stats()["n_rows"] == corpus.n_rows)
+        st = srv.stats()
+        assert st["vectors_indexed"] == corpus.n_rows
+        assert "insert" in st["timings"]
+    emitted = set()
+    for o in outputs:
+        for q, sims in o.output.items():
+            for c in sims:
+                emitted.add((q, c) if q <= c else (c, q))
+    assert emitted == brute_force_pairs(corpus, 0.5)
+
+
+def test_chunked_server_checkpoint_cross_flavor(tmp_path, corpus):
+    # checkpoints are interchangeable across engine flavors: chunked server
+    # writes, dense AND mesh-chunked engines restore the same index
+    from apsim_tpu.engine import ChunkedAllPairs
+    from apsim_tpu.parallel import MeshChunkedAllPairs, make_mesh
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = make_cfg(checkpoint_dir=ckpt, checkpoint_interval_s=0.0)
+    with SimilarityServer(ChunkedAllPairs(cfg, chunk_dim=64), cfg) as srv:
+        srv.insert_new_vectors([(str(i), corpus.row(i)) for i in range(40)])
+        assert wait_until(lambda: srv.stats()["n_rows"] == 40)
+    want = brute_force_pairs(
+        CSRSlice(corpus, 40), 0.5, [str(i) for i in range(40)]
+    )
+    dense = Engine.load(ckpt, config=cfg)
+    assert dense.all_pairs(0.5).pair_set() == want
+    mce = MeshChunkedAllPairs(cfg, mesh=make_mesh(8), chunk_dim=32)
+    with SimilarityServer(mce, cfg) as srv2:
+        assert srv2.stats()["n_rows"] == 40
+        assert srv2.all_pairs(0.5).pair_set() == want
+
+
 def test_profiling_utils(tmp_path):
     from apsim_tpu.utils.logging import Timer, get_logger
 

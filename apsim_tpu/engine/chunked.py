@@ -66,8 +66,22 @@ class ChunkedAllPairs:
             "candidates_scored": 0,
             "pairs_emitted": 0,
             "insert_batches": 0,
+            "dormant_dims": 0,
         }
         self.timer = Timer()
+        # dormant-dim archive (same tier as the dense engine: df==1 dims stay
+        # off-device until an insert shares the dim) — shrinks the compact
+        # space, so every chunk slab and its scatter get narrower
+        self._dorm_rows = np.empty(0, np.int64)
+        self._dorm_dims = np.empty(0, np.int64)
+        self._dorm_vals = np.empty(0, np.float64)
+        self._dormant_of_ext: np.ndarray | None = None
+
+    # dormant-dim machinery shared verbatim with the dense engine (it only
+    # touches the compact space, the archive arrays, and host CSR filtering)
+    _drop_unmapped = Engine._drop_unmapped
+    _archive_dormant = Engine._archive_dormant
+    _dormant_hits = Engine._dormant_hits
 
     @property
     def compact(self) -> CompactSpace:
@@ -184,8 +198,11 @@ class ChunkedAllPairs:
         self._shadow = GrowableCSR(self.cfg.vector_dim)
         self._shadow.append(csr)
         self.n_rows = csr.n_rows
-        self._compact = CompactSpace.from_csr(csr, self.cfg.dim_bucket)
-        ccsr = self._compact.map_csr(csr)
+        self._compact = CompactSpace.from_csr(
+            csr, self.cfg.dim_bucket,
+            min_df=2 if self.cfg.dormant_dims else 1,
+        )
+        ccsr = self._compact.map_csr(self._archive_dormant(csr))
         self._q_super()
         n_chunks = self._round_chunks(
             max(1, -(-self._compact.n_active // self.chunk_dim))
@@ -288,15 +305,28 @@ class ChunkedAllPairs:
             self.id_to_row[vid] = n0 + k
         self.n_rows = n0 + csr.n_rows
 
-        # map to compact cols (minting new dims), bucket by chunk, append
+        # map to compact cols (minting new dims — which may activate archived
+        # dormant entries), bucket by chunk, append
         self._compact.extend(csr.indices)
+        self._activate_dormant(csr.indices)
         ccsr = self._compact.map_csr(csr, extend=False)
         rows_of = n0 + np.repeat(
             np.arange(csr.n_rows, dtype=np.int64), np.diff(ccsr.indptr)
         )
-        chunk, local = chunked_ops.split_chunks(ccsr.indices, self._n_chunks)
+        self._append_ccoo(rows_of, ccsr.indices, ccsr.data)
+
+        out = self._emit(self._match_rows(n0, tau), new_ids, n0, tau)
+        return _CompletedInsert(out) if defer else out
+
+    def _append_ccoo(self, rows_of, ccols, vals) -> None:
+        """Append COO entries (global rows, COMPACT cols, values) into the
+        per-chunk device buffers: chunk-bucket, grow capacity as needed, one
+        padded scatter-append, counts refresh."""
+        import jax.numpy as jnp
+
+        chunk, local = chunked_ops.split_chunks(ccols, self._n_chunks)
         add = np.bincount(chunk, minlength=self._n_chunks).astype(np.int64)
-        need = int((self._counts + add).max())
+        need = int((self._counts + add).max()) if chunk.size else 0
         while need > self._chunk_cap:
             self._chunk_cap *= 2
             self._op_grow(self._chunk_cap)
@@ -315,17 +345,35 @@ class ChunkedAllPairs:
             jnp.asarray(np.concatenate(
                 [slot, np.zeros(pad, np.int32)]).astype(np.int32)),
             jnp.asarray(np.concatenate(
-                [rows_of[order], np.zeros(pad, np.int64)]).astype(np.int32)),
+                [np.asarray(rows_of)[order], np.zeros(pad, np.int64)]
+            ).astype(np.int32)),
             jnp.asarray(np.concatenate(
                 [local[order], np.zeros(pad, np.int64)]).astype(np.int32)),
             jnp.asarray(np.concatenate(
-                [ccsr.data[order], np.zeros(pad)]).astype(np.float32)),
+                [np.asarray(vals)[order], np.zeros(pad)]).astype(np.float32)),
         )
         self._counts = self._counts + add
         self._counts_dev = self._place_counts(self._counts)
 
-        out = self._emit(self._match_rows(n0, tau), new_ids, n0, tau)
-        return _CompletedInsert(out) if defer else out
+    def _activate_dormant(self, ext_dims: np.ndarray) -> None:
+        """Insert-time activation: archived df==1 entries whose dim just got
+        a compact column move into the chunk buffers so new×old pairs through
+        those dims score on device (dense analog: Engine._activate_dormant,
+        which scatters into the dense matrix instead)."""
+        if self._dormant_of_ext is None:
+            return
+        uniq = np.unique(np.asarray(ext_dims))
+        idxs = self._dormant_of_ext[uniq]
+        sel = idxs >= 0
+        if not sel.any():
+            return
+        dims, idxs = uniq[sel], idxs[sel]
+        cols = self._compact.cols_of(dims).astype(np.int64)
+        self._append_ccoo(
+            self._dorm_rows[idxs], cols, self._dorm_vals[idxs]
+        )
+        self._dormant_of_ext[dims] = -1
+        self.stats["dormant_dims"] -= int(dims.size)
 
     def _bucket_queries(self, ccsr: CSRMatrix, q_rows_cap: int):
         """Chunk-bucket a compact query CSR into 2-D buffers."""
@@ -357,6 +405,13 @@ class ChunkedAllPairs:
             shadow.indices[shadow.indptr[n0]:],
             shadow.data[shadow.indptr[n0]:],
         )
+        # build-via-insert: the batch IS the corpus, so its archived dormant
+        # dims (df==1) can only contribute to excluded self-pairs — dropping
+        # them from the query side is lossless (all other insert paths have
+        # every batch dim mapped by the preceding extend)
+        mapped = self._compact.cols_of(sub.indices) >= 0
+        if not mapped.all():
+            sub = self._filter_entries(sub, mapped)
         ccsr = self._compact.map_csr(sub, extend=False)
         q_rows_cap = pow2_bucket(nq, 32)
         q = self._bucket_queries(ccsr, q_rows_cap)
@@ -418,6 +473,12 @@ class ChunkedAllPairs:
                 break
             cap = _next_cap(cap, needed)
         rows, qlocal = pairs
+        # queries sharing a dormant dim with an archived row: the device
+        # score missed that contribution — add explicit candidates
+        extra_q, extra_r = self._dormant_hits(csr)
+        if extra_q.size:
+            rows = np.concatenate([np.asarray(rows), extra_r])
+            qlocal = np.concatenate([np.asarray(qlocal), extra_q])
         shadow = self._shadow.view()
         out: Dict[str, Dict[str, float]] = {}
         if len(rows):
@@ -560,15 +621,22 @@ class ChunkedAllPairs:
         shadow = self._shadow.view()
         qi_idx = np.repeat(np.arange(nq), k_fetch)
         cand_idx = rows.reshape(-1).astype(np.int64)
+        # rows reachable only through a dormant dim join explicitly (the
+        # device score missed that contribution; same policy as Engine.topk)
+        extra_q, extra_r = self._dormant_hits(qcsr)
+        if extra_q.size:
+            qi_idx = np.concatenate([qi_idx, extra_q])
+            cand_idx = np.concatenate([cand_idx, extra_r])
         sims = rescore_ops.cross_pair_dots(
             shadow.indptr, shadow.indices, shadow.data, shadow.n_cols,
             qcsr.indptr, qcsr.indices, qcsr.data, qi_idx, cand_idx,
-        ).reshape(nq, k_fetch)
+        )
         out = {}
         for qi, qid in enumerate(qids):
-            order = np.argsort(-sims[qi], kind="stable")[:k_eff]
-            out[qid] = [
-                (self.ids[int(rows[qi, t])], float(sims[qi, t]))
-                for t in order
-            ]
+            mask = qi_idx == qi
+            rr, ss = cand_idx[mask], sims[mask]
+            uniq, first = np.unique(rr, return_index=True)
+            rr, ss = uniq, ss[first]
+            order = np.argsort(-ss, kind="stable")[:k_eff]
+            out[qid] = [(self.ids[int(rr[t])], float(ss[t])) for t in order]
         return out

@@ -147,6 +147,86 @@ def test_chunked_streaming_grows_capacity_and_dims():
     assert seen == want
 
 
+def _dormant_corpus():
+    # rows 0,1 share dim 5; row 2 has UNIQUE dims {100, 101} (df==1 ->
+    # dormant: archived host-side, off the chunk buffers)
+    from apsim_tpu.vector.batch import CSRMatrix
+    from apsim_tpu.vector.sparse import Vectors
+
+    v = Vectors.sparse
+    a = 1 / np.sqrt(2)
+    vecs = [
+        v(DIM, [5, 7], [a, a]),
+        v(DIM, [5, 8], [a, a]),
+        v(DIM, [100, 101], [a, a]),
+    ]
+    return CSRMatrix.from_vectors(vecs, DIM)
+
+
+def test_chunked_dormant_archived_and_exact():
+    from oracle import brute_force_pairs as bf
+
+    corpus = _dormant_corpus()
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=16)
+    st = eng.build(corpus)
+    assert eng.stats["dormant_dims"] >= 2
+    assert st["entries"] == int(corpus.indptr[-1])  # stats count everything
+    assert eng.all_pairs(0.3).pair_set() == bf(corpus, 0.3)
+
+
+def test_chunked_dormant_activation_on_insert():
+    from apsim_tpu.vector.sparse import Vectors
+    from oracle import brute_force_pairs as bf
+
+    corpus = _dormant_corpus()
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=16)
+    eng.build(corpus)
+    a = 1 / np.sqrt(2)
+    out = eng.insert([("new", Vectors.sparse(DIM, [100, 300], [a, a]))],
+                     tau=0.4)
+    assert out.output.get("new", {}).get("2") == pytest.approx(0.5)
+    assert eng.all_pairs(0.4).pair_set() == bf(
+        eng.shadow_csr(), 0.4, eng.ids
+    )
+
+
+def test_chunked_dormant_topk_and_frozen_match():
+    from apsim_tpu.vector.sparse import Vectors
+
+    corpus = _dormant_corpus()
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=16)
+    eng.build(corpus)
+    a = 1 / np.sqrt(2)
+    q = Vectors.sparse(DIM, [100, 101], [a, a])  # only dormant dims
+    res = eng.topk([("q", q)], 2)["q"]
+    assert res[0] == ("2", pytest.approx(1.0))
+    eng.freeze()
+    out = eng.insert([("probe", q)], tau=0.9)
+    assert out.output.get("probe", {}).get("2") == pytest.approx(1.0)
+
+
+def test_chunked_streaming_from_empty_with_dormant():
+    # build-via-insert: first batch archives df==1 dims; later batches
+    # activate them; emitted set stays exact throughout
+    from oracle import brute_force_pairs as bf
+
+    rng = np.random.default_rng(17)
+    corpus = random_sparse_corpus(rng, 90, DIM)
+    tau = 0.4
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=32)
+    emitted = set()
+    for s in range(0, corpus.n_rows, 30):
+        out = eng.insert(
+            [(str(i), corpus.row(i)) for i in range(s, min(s + 30, 90))],
+            tau=tau,
+        )
+        for q, sims in out.output.items():
+            for c in sims:
+                emitted.add((q, c) if q <= c else (c, q))
+    assert emitted == bf(corpus, tau)
+    assert eng.all_pairs(tau).pair_set() == bf(corpus, tau)
+
+
 def test_chunked_freeze_external_match():
     rng = np.random.default_rng(5)
     corpus = random_sparse_corpus(rng, 80, DIM)

@@ -47,9 +47,10 @@ def test_mesh_chunked_entries_actually_sharded(corpus, mesh):
         assert shard.data.shape[0] == a.shape[0] // 8
     layout = eng.shard_layout()
     assert len(layout) == 8
-    assert sum(v["n_entries"] for v in layout.values()) == int(
-        corpus.indptr[-1]
-    )
+    # device entries + host-archived dormant (df==1) entries = corpus nnz
+    assert sum(v["n_entries"] for v in layout.values()) + eng.stats[
+        "dormant_dims"
+    ] == int(corpus.indptr[-1])
 
 
 def test_mesh_chunked_matches_single_device(corpus, mesh):
@@ -133,6 +134,31 @@ def test_mesh_chunked_streaming_grows_capacity_and_dims(mesh):
     want = brute_force_pairs(eng._shadow.view(), 0.9, eng.ids)
     assert got == want
     assert seen == want
+
+
+def test_mesh_chunked_dormant_roundtrip(mesh):
+    # dormant archive + activation through the shard_map append path
+    from apsim_tpu.vector.batch import CSRMatrix
+    from apsim_tpu.vector.sparse import Vectors
+
+    v = Vectors.sparse
+    a = 1 / np.sqrt(2)
+    corpus = CSRMatrix.from_vectors(
+        [
+            v(DIM, [5, 7], [a, a]),
+            v(DIM, [5, 8], [a, a]),
+            v(DIM, [100, 101], [a, a]),
+        ],
+        DIM,
+    )
+    eng = MeshChunkedAllPairs(small_cfg(), mesh=mesh, chunk_dim=16)
+    eng.build(corpus)
+    assert eng.stats["dormant_dims"] >= 2
+    assert eng.all_pairs(0.3).pair_set() == brute_force_pairs(corpus, 0.3)
+    out = eng.insert([("new", v(DIM, [100, 300], [a, a]))], tau=0.4)
+    assert out.output.get("new", {}).get("2") == pytest.approx(0.5)
+    res = eng.topk([("q", v(DIM, [100, 101], [a, a]))], 2)["q"]
+    assert res[0][0] == "2" and res[0][1] == pytest.approx(1.0)
 
 
 def test_mesh_chunked_freeze_external_match(mesh):

@@ -531,7 +531,24 @@ class Engine:
                 capb = pow2_bucket(max(groups, eff_capb), 1024)
                 cap0 = pow2_bucket(max(supers, eff_cap0), 1024)
                 continue
-            self._pallas_caps = (cap, capb or eff_capb, cap0 or eff_cap0)
+            # steady-state cap TIGHTENING (8x hysteresis): each level's
+            # nonzero/gather domain scales with its cap, so a one-off spike
+            # (or a generous config default) would otherwise tax every later
+            # join — on Enron, compacting at cap=262144 instead of the needed
+            # 32768 costs ~7 ms/call of pure domain-scan overhead.  A shrink
+            # recompiles once per shape (persistent cache) and an upward tau
+            # switch past the shrunk cap pays one overflow retry, so only
+            # shrink on gross (≥8x) oversize — tau sweeps within an 8x
+            # pair-count band never flap.
+            tight = (
+                pow2_bucket(max(total + (total >> 2), 1024), 1024),
+                pow2_bucket(max(groups + (groups >> 2), 1024), 1024),
+                pow2_bucket(max(supers + (supers >> 2), 1024), 1024),
+            )
+            cur = (cap, capb or eff_capb, cap0 or eff_cap0)
+            self._pallas_caps = tuple(
+                t if t * 8 <= c else c for t, c in zip(tight, cur)
+            )
             if total <= rows.size:
                 return rows, cols
             return score_ops.decode_pairs(bufs, total)

@@ -49,10 +49,16 @@ def main() -> None:
     st = eng.build(csr, ids)
     log(f"build: {dict(st)}")
 
-    # warm-up (compile; persistent cache makes this fast on repeat runs)
+    # warm-up (compile; persistent cache makes this fast on repeat runs).
+    # Two calls: the first compiles the config-default extraction caps, and
+    # its result lets the engine tighten the caps to the observed candidate
+    # counts — the second compiles those steady-state shapes.
     t0 = time.time()
     res = eng.all_pairs(TAU)
     log(f"warm-up all_pairs: {time.time() - t0:.1f}s, {res.n_pairs} pairs")
+    t0 = time.time()
+    eng.all_pairs(TAU)
+    log(f"warm-up 2 (tight caps): {time.time() - t0:.1f}s")
 
     # warm build: rebuild with every shape compiled — this is the engine's
     # actual indexing cost; the first build above may include one-time

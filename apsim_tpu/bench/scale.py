@@ -71,7 +71,8 @@ def run_scale(sizes=(10_000, 25_000, 50_000), tau: float = 0.8) -> Dict:
         t0 = time.time()
         eng.build(csr)
         build_s = time.time() - t0
-        eng.all_pairs(tau)  # warm
+        eng.all_pairs(tau)  # warm (default caps; lets the engine tighten)
+        eng.all_pairs(tau)  # warm the tight-cap shapes
         t0 = time.time()
         res = eng.all_pairs(tau)
         join_s = time.time() - t0

@@ -506,6 +506,9 @@ class Engine:
             self, "_pallas_caps",
             (pow2_bucket(cap, 1024), 0, 0),
         )
+        # u32-packed result head (row<<16|col) halves the dominant D2H
+        # transfer whenever rows and cols fit 16 bits
+        pack = self.row_cap <= 65536
         while True:
             if use_int8:
                 # int8 halves operand bytes: double tk when it still tiles
@@ -513,11 +516,13 @@ class Engine:
                 bufs, packed = pallas_score.allpairs_extract_pallas_int8(
                     x_q8, x_aux, bi, bj, tau_eff, cap, capb, cap0,
                     tm=tm, tn=tn, tk=tk8, interpret=interpret,
+                    pack_head=pack,
                 )
             else:
                 bufs, packed = pallas_score.allpairs_extract_pallas(
                     x_bf16, bi, bj, tau_eff, cap, capb, cap0,
                     tm=tm, tn=tn, tk=tk, interpret=interpret,
+                    pack_head=pack,
                 )
             rows, cols, total, groups, supers = (
                 pallas_score.unpack_pallas_head(np.asarray(packed))

@@ -183,26 +183,48 @@ def pallas_score_bits(
     )(bi, bj, tau_arr, x, x)
 
 
-def _pack_pallas_head(row, col, total, groups, supers):
+def _pack_pallas_head(row, col, total, groups, supers, pack_u32: bool):
+    """Result head: first h pairs + (total, groups, supers) counts.
+
+    ``pack_u32=True`` (any corpus with row_cap ≤ 65536, i.e. everything the
+    dense engine can hold short of its ceiling) packs each pair into ONE
+    int32 as ``row << 16 | col`` — halving the head bytes, which matters
+    because the D2H link here moves ~55 MB/s after a ~28 ms fixed round
+    trip.  The trailing flag word records the layout so the host can decode
+    either format."""
     h = min(HEAD_PALLAS, row.shape[0])
-    return jnp.concatenate(
-        [
-            row[:h],
-            col[:h],
-            total.reshape(1).astype(jnp.int32),
-            groups.reshape(1).astype(jnp.int32),
-            supers.reshape(1).astype(jnp.int32),
-            jnp.zeros((1,), jnp.int32),
-        ]
-    )
+    tail = [
+        total.reshape(1).astype(jnp.int32),
+        groups.reshape(1).astype(jnp.int32),
+        supers.reshape(1).astype(jnp.int32),
+        jnp.full((1,), int(pack_u32), jnp.int32),
+    ]
+    if pack_u32:
+        # sentinel (-1, -1) slots become 0xFFFFFFFF -> decoded as (65535,
+        # 65535), but decode only reads the first `total` slots anyway
+        packed = jnp.left_shift(row[:h], 16) | (col[:h] & 0xFFFF)
+        return jnp.concatenate([packed] + tail)
+    return jnp.concatenate([row[:h], col[:h]] + tail)
 
 
 def unpack_pallas_head(packed: np.ndarray):
-    """(rows_head, cols_head, total, groups, supers) from a fetched head."""
+    """(rows_head, cols_head, total, groups, supers) from a fetched head;
+    the layout flag in the last word selects u32-packed vs two-array."""
+    total = int(packed[-4])
+    groups = int(packed[-3])
+    supers = int(packed[-2])
+    if int(packed[-1]):  # u32-packed pairs
+        h = packed.shape[0] - 4
+        k = min(total, h)
+        u = packed[:k].view(np.uint32)
+        return (
+            (u >> 16).astype(np.int64),
+            (u & 0xFFFF).astype(np.int64),
+            total,
+            groups,
+            supers,
+        )
     h = (packed.shape[0] - 4) // 2
-    total = int(packed[2 * h])
-    groups = int(packed[2 * h + 1])
-    supers = int(packed[2 * h + 2])
     k = min(total, h)
     return (
         packed[:k].astype(np.int64),
@@ -215,11 +237,14 @@ def unpack_pallas_head(packed: np.ndarray):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tm", "tn", "tk", "cap", "capb", "cap0", "interpret"),
+    static_argnames=(
+        "tm", "tn", "tk", "cap", "capb", "cap0", "interpret", "pack_head"
+    ),
 )
 def allpairs_extract_pallas(
     x, bi, bj, tau_eff, cap: int, capb: int = 0, cap0: int = 0,
     tm: int = 1024, tn: int = 512, tk: int = 1024, interpret: bool = False,
+    pack_head: bool = False,
 ):
     """Upper-triangle all-pairs: ((row, col), packed_head).
 
@@ -241,10 +266,13 @@ def allpairs_extract_pallas(
     gb, g64, cnt = pallas_score_bits(
         x.astype(jnp.bfloat16), bi, bj, tau_eff, tm, tn, tk, interpret
     )
-    return _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn)
+    return _compact_bits(
+        gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn, pack_head
+    )
 
 
-def _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn):
+def _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn,
+                  pack_head: bool = False):
     n_blocks = bi.shape[0]
     total = jnp.sum(cnt[:, 0, 0])
     groups = jnp.sum(cnt[:, 0, 1])
@@ -290,7 +318,9 @@ def _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn):
     col = bj[P] * tn + c0[sl]
     row = jnp.where(v2, row, -1).astype(jnp.int32)
     col = jnp.where(v2, col, -1).astype(jnp.int32)
-    return (row, col), _pack_pallas_head(row, col, total, groups, supers)
+    return (row, col), _pack_pallas_head(
+        row, col, total, groups, supers, pack_head
+    )
 
 
 # --------------------------------------------------------------- int8 kernel
@@ -435,11 +465,14 @@ def pallas_score_bits_int8(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tm", "tn", "tk", "cap", "capb", "cap0", "interpret"),
+    static_argnames=(
+        "tm", "tn", "tk", "cap", "capb", "cap0", "interpret", "pack_head"
+    ),
 )
 def allpairs_extract_pallas_int8(
     xq, aux, bi, bj, tau_eff, cap: int, capb: int = 0, cap0: int = 0,
     tm: int = 1024, tn: int = 512, tk: int = 2048, interpret: bool = False,
+    pack_head: bool = False,
 ):
     """int8 variant of ``allpairs_extract_pallas``: same ((row, col), head)
     contract, per-pair quantization bound fused into the epilogue."""
@@ -448,4 +481,6 @@ def allpairs_extract_pallas_int8(
     gb, g64, cnt = pallas_score_bits_int8(
         xq, aux, bi, bj, tau_eff, tm, tn, tk, interpret
     )
-    return _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn)
+    return _compact_bits(
+        gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn, pack_head
+    )

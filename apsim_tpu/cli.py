@@ -60,12 +60,13 @@ def cmd_etl(args) -> int:
 
 
 def cmd_build(args) -> int:
-    from .engine.engine import Engine
     from .etl.store import VectorStore
 
     cfg = _load_cfg(args)
+    cfg, use_mesh = _mesh_cfg(args, cfg)
+    cls = _engine_cls(args, use_mesh)
     csr, ids = VectorStore(args.store).read(args.table)
-    eng = Engine(cfg)
+    eng = cls(cfg)
     stats = eng.build(csr, ids)
     print(json.dumps(dict(stats)), file=sys.stderr)
     if args.checkpoint:
@@ -84,35 +85,40 @@ def _mesh_cfg(args, cfg):
                      getattr(args, "mesh_shape", None))
 
 
-def _engine_from(args):
+def _engine_cls(args, use_mesh: bool):
+    """Engine flavor from --chunked/--mesh: dense or out-of-core, single
+    device or mesh-sharded.  Every CLI path (store build, checkpoint
+    restore) goes through the same selection."""
+    if getattr(args, "chunked", False):
+        if use_mesh:
+            from .parallel import MeshChunkedAllPairs
+
+            return MeshChunkedAllPairs
+        from .engine.chunked import ChunkedAllPairs
+
+        return ChunkedAllPairs
+    if use_mesh:
+        from .parallel import MeshEngine
+
+        return MeshEngine
     from .engine.engine import Engine
+
+    return Engine
+
+
+def _engine_from(args):
     from .etl.store import VectorStore
 
     cfg = _load_cfg(args)
     cfg, use_mesh = _mesh_cfg(args, cfg)
-    if getattr(args, "chunked", False):
-        # out-of-core batch engine (beyond-HBM corpora); with --mesh the
-        # chunk axis shards over the device mesh (parallel/chunked_mesh.py)
-        if use_mesh:
-            from .parallel import MeshChunkedAllPairs as Chunked
-        else:
-            from .engine.chunked import ChunkedAllPairs as Chunked
-
-        if args.checkpoint and not args.store:
-            csr, ids, _, _ = Engine.read_checkpoint(args.checkpoint)
-        else:
-            csr, ids = VectorStore(args.store).read(args.table)
-        eng = Chunked(cfg)
-        eng.build(csr, ids)
-        return eng
+    cls = _engine_cls(args, use_mesh)
     if args.checkpoint and not args.store:
-        return Engine.load(args.checkpoint, config=cfg)
-    if use_mesh:
-        from .parallel import MeshEngine
-
-        eng = MeshEngine(cfg)
-    else:
-        eng = Engine(cfg)
+        # checkpoints are engine-flavor-agnostic: restore into whatever
+        # flavor the flags ask for
+        eng = cls(cfg)
+        eng.restore(args.checkpoint)
+        return eng
+    eng = cls(cfg)
     csr, ids = VectorStore(args.store).read(args.table)
     eng.build(csr, ids)
     return eng
@@ -148,7 +154,6 @@ def cmd_topk(args) -> int:
 def cmd_serve(args) -> int:
     from .engine.engine import Engine
     from .etl.store import VectorStore
-    from .parallel import MeshEngine
     from .serve import RpcServer, SimilarityServer
 
     cfg = _load_cfg(args)
@@ -162,18 +167,12 @@ def cmd_serve(args) -> int:
         VectorStore(args.store, run_mode=cfg.run_mode)
         if args.store else None
     )
-    if getattr(args, "chunked", False):
-        # out-of-core serving: streaming inserts beyond the dense-HBM ceiling
-        if use_mesh:
-            from .parallel import MeshChunkedAllPairs as Chunked
-        else:
-            from .engine.chunked import ChunkedAllPairs as Chunked
-
-        sim = SimilarityServer(Chunked(cfg), cfg, store=store)
-    elif use_mesh:
-        sim = SimilarityServer(MeshEngine(cfg), cfg, store=store)
-    else:
-        sim = SimilarityServer(None, cfg, store=store)
+    cls = _engine_cls(args, use_mesh)
+    # plain dense: let the server construct (and checkpoint-load) the engine;
+    # other flavors are caller-provided and restored by the server if a
+    # checkpoint exists
+    engine = None if cls is Engine else cls(cfg)
+    sim = SimilarityServer(engine, cfg, store=store)
     rpc = RpcServer(sim, host=args.host, port=args.port).start()
     print(f"serving on {rpc.host}:{rpc.port}", flush=True)
     try:

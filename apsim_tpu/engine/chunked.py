@@ -283,6 +283,12 @@ class ChunkedAllPairs:
             return _CompletedInsert(out) if defer else out
         csr, new_ids = _as_csr(filtered, None, self.cfg.vector_dim)
         if self._shadow is None:
+            if self._frozen:
+                # frozen before anything was indexed: match-only against an
+                # empty index — nothing to match, and nothing may be indexed
+                # (the dense engine's frozen-first ordering)
+                out = SimilarityOutput({}, time.time())
+                return _CompletedInsert(out) if defer else out
             st = self.build(csr, new_ids)
             # match the fresh corpus against itself for the emission contract
             out = self._emit(self._match_rows(0, tau), new_ids, 0, tau)
@@ -409,9 +415,7 @@ class ChunkedAllPairs:
         # dims (df==1) can only contribute to excluded self-pairs — dropping
         # them from the query side is lossless (all other insert paths have
         # every batch dim mapped by the preceding extend)
-        mapped = self._compact.cols_of(sub.indices) >= 0
-        if not mapped.all():
-            sub = self._filter_entries(sub, mapped)
+        sub = self._drop_unmapped(sub)
         ccsr = self._compact.map_csr(sub, extend=False)
         q_rows_cap = pow2_bucket(nq, 32)
         q = self._bucket_queries(ccsr, q_rows_cap)
@@ -631,12 +635,6 @@ class ChunkedAllPairs:
             shadow.indptr, shadow.indices, shadow.data, shadow.n_cols,
             qcsr.indptr, qcsr.indices, qcsr.data, qi_idx, cand_idx,
         )
-        out = {}
-        for qi, qid in enumerate(qids):
-            mask = qi_idx == qi
-            rr, ss = cand_idx[mask], sims[mask]
-            uniq, first = np.unique(rr, return_index=True)
-            rr, ss = uniq, ss[first]
-            order = np.argsort(-ss, kind="stable")[:k_eff]
-            out[qid] = [(self.ids[int(rr[t])], float(ss[t])) for t in order]
-        return out
+        from .engine import assemble_topk
+
+        return assemble_topk(qids, qi_idx, cand_idx, sims, k_eff, self.ids)

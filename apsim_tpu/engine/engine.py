@@ -122,6 +122,27 @@ def _as_csr(
     return csr, out_ids
 
 
+def assemble_topk(qids, qi_idx, cand_idx, sims, k_eff: int, ids):
+    """Group flat (query, candidate, sim) triples per query, dedup
+    candidates (dormant-hit extras may repeat a fetched row) and return the
+    fp64-ranked top ``k_eff`` per query id.  One stable argsort over the
+    flat arrays instead of a per-query boolean mask — O(total·log total),
+    not O(nq·total)."""
+    out = {}
+    qi_idx = np.asarray(qi_idx)
+    order = np.argsort(qi_idx, kind="stable")
+    qs = qi_idx[order]
+    bounds = np.searchsorted(qs, np.arange(len(qids) + 1))
+    for qi, qid in enumerate(qids):
+        sel = order[bounds[qi] : bounds[qi + 1]]
+        rr, ss = np.asarray(cand_idx)[sel], np.asarray(sims)[sel]
+        uniq, first = np.unique(rr, return_index=True)
+        rr, ss = uniq, ss[first]
+        top = np.argsort(-ss, kind="stable")[:k_eff]
+        out[qid] = [(ids[int(rr[t])], float(ss[t])) for t in top]
+    return out
+
+
 def fetch_exact_topk(fetch, n_rows: int, k_eff: int, margin: float):
     """Grow the candidate fetch until it provably contains the true top-k.
 
@@ -844,6 +865,15 @@ class Engine:
         (df==1: no i≠j pair can use them) and return the filtered CSR.  The
         shadow CSR keeps EVERY entry, so the fp64 rescore — and thus the
         emitted pair set — is unaffected; only the device matmul K shrinks."""
+        # reset any previous build's archive FIRST: a rebuild whose corpus has
+        # no df==1 dims must not leave stale (_dorm_rows, _dormant_of_ext)
+        # pointing at rows of the old corpus (stale entries would feed
+        # out-of-range candidate rows into _dormant_hits)
+        self._dorm_rows = np.empty(0, np.int64)
+        self._dorm_dims = np.empty(0, np.int64)
+        self._dorm_vals = np.empty(0, np.float64)
+        self._dormant_of_ext = None
+        self.stats["dormant_dims"] = 0
         mapped = self.compact.cols_of(csr.indices) >= 0
         if mapped.all():
             return csr
@@ -992,17 +1022,7 @@ class Engine:
             shadow.indptr, shadow.indices, shadow.data, shadow.n_cols,
             csr.indptr, csr.indices, csr.data, qi_idx, cand_idx,
         )
-        out: Dict[str, List[Tuple[str, float]]] = {}
-        for qi, qid in enumerate(qids):
-            mask = qi_idx == qi
-            rr, ss = cand_idx[mask], sims[mask]
-            uniq, first = np.unique(rr, return_index=True)
-            rr, ss = uniq, ss[first]
-            order = np.argsort(-ss, kind="stable")[:k_eff]
-            out[qid] = [
-                (self.ids[int(rr[t])], float(ss[t])) for t in order
-            ]
-        return out
+        return assemble_topk(qids, qi_idx, cand_idx, sims, k_eff, self.ids)
 
     # ----------------------------------------------------------------- freeze
     def freeze(self) -> None:

@@ -227,6 +227,39 @@ def test_chunked_streaming_from_empty_with_dormant():
     assert eng.all_pairs(tau).pair_set() == bf(corpus, tau)
 
 
+def test_rebuild_clears_dormant_archive():
+    # regression: a rebuild whose corpus has no df==1 dims must not keep the
+    # previous build's archive (stale rows would corrupt topk candidates)
+    from apsim_tpu.vector.batch import CSRMatrix
+    from apsim_tpu.vector.sparse import Vectors
+
+    a = 1 / np.sqrt(2)
+    v = Vectors.sparse
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=16)
+    eng.build(_dormant_corpus())
+    assert eng.stats["dormant_dims"] >= 2
+    small = CSRMatrix.from_vectors(
+        [v(DIM, [5, 7], [a, a]), v(DIM, [5, 7], [a, a])], DIM
+    )
+    eng.build(small, ["x", "y"])
+    assert eng.stats["dormant_dims"] == 0
+    # query containing the OLD corpus's dormant dim: no stale candidate
+    res = eng.topk([("q", v(DIM, [100, 101], [a, a]))], 2)["q"]
+    assert all(r in ("x", "y") for r, _ in res)
+
+
+def test_chunked_frozen_empty_insert_indexes_nothing():
+    # frozen before anything was indexed: match-only, index stays empty
+    from apsim_tpu.vector.sparse import Vectors
+
+    a = 1 / np.sqrt(2)
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=16)
+    eng.freeze()
+    out = eng.insert([("p", Vectors.sparse(DIM, [1, 2], [a, a]))], tau=0.5)
+    assert out.output == {}
+    assert eng.n_rows == 0
+
+
 def test_chunked_freeze_external_match():
     rng = np.random.default_rng(5)
     corpus = random_sparse_corpus(rng, 80, DIM)

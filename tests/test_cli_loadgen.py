@@ -78,6 +78,20 @@ def test_cli_etl_build_join_topk(tmp_path, corpus_dir, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "inbox/1." in out and "inbox/2." in out
+    # dense + mesh from a CHECKPOINT (regression: flags were silently
+    # ignored on this path) and an out-of-core build
+    assert cli_main(
+        ["join", "--config", cfgfile, "--checkpoint", ckpt, "--tau", "0.9",
+         "--mesh-shape", "8"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "inbox/1." in out and "inbox/2." in out
+    assert cli_main(
+        ["build", "--config", cfgfile, "--store", store, "--table", "T",
+         "--chunked", "--checkpoint", str(tmp_path / "ckpt2")]
+    ) == 0
+    err = capsys.readouterr().err
+    assert "n_chunks" in err  # chunked stats prove the flavor was honored
 
 
 def test_loadgen_protocol(tmp_path):

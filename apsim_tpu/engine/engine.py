@@ -174,7 +174,7 @@ class Engine:
         setup_jax()
         self.cfg = config or AllPairsConfig()
         self.compact = CompactSpace(self.cfg.vector_dim, self.cfg.dim_bucket)
-        self.x = None  # device [row_cap, dim_cap]
+        self.x = None  # device [row_cap, dim_cap] (property: see below)
         self.n_rows = 0
         self.ids: List[str] = []
         self.id_to_row: Dict[str, int] = {}
@@ -209,6 +209,23 @@ class Engine:
         self._dormant_of_ext: np.ndarray | None = None
 
     # ------------------------------------------------------------------ sizes
+    @property
+    def x(self):
+        """The device index matrix."""
+        return self._x
+
+    @x.setter
+    def x(self, val):
+        # the bf16/int8 score copies are keyed by the identity of x; drop
+        # them eagerly on every reassignment so a replaced (grown, donated,
+        # or released) index never pins its derived HBM copies — without
+        # this, an engine that served one all_pairs and then streamed
+        # inserts held the stale copy (and the dead donated buffer's Python
+        # object) until the next all_pairs call
+        self._x = val
+        self._bf16_cache = None
+        self._int8_cache = None
+
     @property
     def row_cap(self) -> int:
         return 0 if self.x is None else int(self.x.shape[0])

@@ -466,7 +466,23 @@ class Engine:
                 i, j = pairs
         self.stats["candidates_scored"] += self.n_rows * self.n_rows
         with self.timer.section("rescore"):
-            return self._finalize_pairs(i, j, tau)
+            res = self._finalize_pairs(i, j, tau)
+        # adaptive int8 demotion: the quantization bound is a proven superset
+        # on ANY data, but if a corpus makes it admit vastly more candidates
+        # than the true result, the extraction/fetch/rescore tax outweighs
+        # the 2x MXU rate — fall back to bf16 (narrower margin) from the
+        # next call on
+        if getattr(self, "_used_int8", False) and len(i) > max(
+            16 * res.n_pairs, 1_000_000
+        ):
+            self._int8_off = True
+            from ..utils.logging import get_logger
+
+            get_logger().info(
+                "int8 bound admitted %d candidates for %d pairs; "
+                "demoting this engine to bf16 scoring", len(i), res.n_pairs,
+            )
+        return res
 
     def _pallas_ok(self) -> bool:
         """Use the Pallas upper-triangle kernel for all_pairs?  Auto mode:
@@ -517,9 +533,12 @@ class Engine:
         # int8 path: 2x MXU rate + half the operand DMA, per-pair
         # quantization bound in the epilogue (see pallas_score.py); gated on
         # the int32-accumulator safety bound D <= 127^2 * max_nnz
-        use_int8 = bool(self.cfg.pallas_int8) and self._max_row_nnz() < (
-            (1 << 30) // (127 * 127)
+        use_int8 = (
+            bool(self.cfg.pallas_int8)
+            and not getattr(self, "_int8_off", False)
+            and self._max_row_nnz() < ((1 << 30) // (127 * 127))
         )
+        self._used_int8 = use_int8
         if use_int8:
             cached = getattr(self, "_int8_cache", None)
             if cached is None or cached[0] is not self.x:

@@ -161,6 +161,19 @@ def native_pair_dots(
         return None
     a_rows = np.ascontiguousarray(a_rows, np.int64)
     b_rows = np.ascontiguousarray(b_rows, np.int64)
+    # the C loop indexes indptr[row + 1] unchecked — an out-of-range row id
+    # (an upstream bug, e.g. a leaked padded row) must raise here instead of
+    # reading past the arrays (observed as a segfault)
+    for rows, indptr, name in (
+        (a_rows, a_indptr, "a_rows"), (b_rows, b_indptr, "b_rows"),
+    ):
+        if rows.size and (
+            int(rows.min()) < 0 or int(rows.max()) >= len(indptr) - 1
+        ):
+            raise IndexError(
+                f"{name} out of range [0, {len(indptr) - 1}): "
+                f"min={int(rows.min())}, max={int(rows.max())}"
+            )
     out = np.empty(a_rows.size, dtype=np.float64)
     lib.apsim_pair_dots(
         np.ascontiguousarray(a_indptr, np.int64),

@@ -342,12 +342,22 @@ def _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn,
 @jax.jit
 def quantize_rows(x):
     """(q int8, aux f32 [3, rows]): per-row symmetric int8 quantization with
-    the bound ingredients (aux rows: α, α·L1(q), nnz)."""
+    the bound ingredients (aux rows: α, α·L1(q), nnz).
+
+    All-zero (padded/invalid) rows get α = 0, which zeroes BOTH their
+    rescaled score and their error bound — the epilogue's
+    ``s_hat + bound >= tau_eff`` test then excludes them exactly like the
+    bf16 path's ``tau_eff > 0`` rule.  (With the earlier α = 1 fallback a
+    padded row's bound was ``0.5·α_j·L1(q_j)`` ≈ the partner row's L1 ≫ tau,
+    so every padded×real pair leaked through as a "candidate" — on Enron
+    that was all 5.4M of them — and their out-of-range row ids crashed the
+    host rescore.)"""
     ax = jnp.abs(x)
     s = jnp.max(ax, axis=1)
-    alpha = jnp.where(s > 0, s / 127.0, 1.0).astype(jnp.float32)
+    alpha = jnp.where(s > 0, s / 127.0, 0.0).astype(jnp.float32)
+    div = jnp.where(s > 0, alpha, 1.0)
     q = jnp.clip(
-        jnp.round(x / alpha[:, None]), -127, 127
+        jnp.round(x / div[:, None]), -127, 127
     ).astype(jnp.int8)
     l1q = jnp.sum(jnp.abs(q).astype(jnp.float32), axis=1)
     nnz = jnp.sum((x != 0).astype(jnp.float32), axis=1)

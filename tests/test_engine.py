@@ -390,9 +390,37 @@ def test_dormant_topk_and_frozen_match():
 
 
 def test_pallas_int8_matches_oracle(corpus):
-    # opt-in int8 kernel: the per-pair quantization bound must keep the
+    # int8 kernel (default): the per-pair quantization bound must keep the
     # pair set exact (interpret mode off-TPU)
     eng = Engine(small_cfg(use_pallas="on", pallas_int8=True,
                            query_tile=256, row_bucket=256, dim_bucket=2048))
     eng.build(corpus)
     assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)
+
+
+def test_pallas_int8_excludes_padded_rows(corpus):
+    # regression: padded (all-zero) rows must have a ZERO error bound —
+    # with the old alpha=1 fallback every padded x real pair leaked through
+    # the epilogue (5.4M bogus candidates on Enron; out-of-range row ids
+    # then crashed the native rescore)
+    import jax.numpy as jnp
+
+    from apsim_tpu.ops import pallas_score as ps
+
+    eng = Engine(small_cfg(use_pallas="on", pallas_int8=True,
+                           query_tile=256, row_bucket=256, dim_bucket=2048))
+    eng.build(corpus)
+    assert eng.row_cap > corpus.n_rows  # padding actually present
+    q8, aux = ps.quantize_rows(eng.x)
+    tm = tn = 256
+    tk = eng.dim_cap
+    bi, bj = ps.upper_blocks_rect(eng.row_cap, tm, tn)
+    (rows, cols), packed = ps.allpairs_extract_pallas_int8(
+        q8, aux, jnp.asarray(bi), jnp.asarray(bj), eng._tau_eff(0.5),
+        cap=65536, tm=tm, tn=tn, tk=tk, interpret=True,
+    )
+    _, _, total, _, _ = ps.unpack_pallas_head(np.asarray(packed))
+    r = np.asarray(rows)[:total]
+    c = np.asarray(cols)[:total]
+    assert total < corpus.n_rows ** 2
+    assert r.max() < corpus.n_rows and c.max() < corpus.n_rows

@@ -82,6 +82,7 @@ class ChunkedAllPairs:
     _drop_unmapped = Engine._drop_unmapped
     _archive_dormant = Engine._archive_dormant
     _dormant_hits = Engine._dormant_hits
+    _stream_archive_singletons = Engine._stream_archive_singletons
 
     @property
     def compact(self) -> CompactSpace:
@@ -311,11 +312,12 @@ class ChunkedAllPairs:
             self.id_to_row[vid] = n0 + k
         self.n_rows = n0 + csr.n_rows
 
-        # map to compact cols (minting new dims — which may activate archived
-        # dormant entries), bucket by chunk, append
-        self._compact.extend(csr.indices)
+        # map to compact cols (minting columns for promoted dims only —
+        # fresh df==1 dims stay archived host-side), activate any archived
+        # partners, bucket by chunk, append
+        keep_csr = self._stream_archive_singletons(csr, n0)
         self._activate_dormant(csr.indices)
-        ccsr = self._compact.map_csr(csr, extend=False)
+        ccsr = self._compact.map_csr(keep_csr, extend=False)
         rows_of = n0 + np.repeat(
             np.arange(csr.n_rows, dtype=np.int64), np.diff(ccsr.indptr)
         )
@@ -375,6 +377,12 @@ class ChunkedAllPairs:
             return
         dims, idxs = uniq[sel], idxs[sel]
         cols = self._compact.cols_of(dims).astype(np.int64)
+        # this batch's fresh singletons are archived but still unmapped —
+        # only dims that just received a compact column activate
+        ok = cols >= 0
+        if not ok.any():
+            return
+        dims, idxs, cols = dims[ok], idxs[ok], cols[ok]
         self._append_ccoo(
             self._dorm_rows[idxs], cols, self._dorm_vals[idxs]
         )

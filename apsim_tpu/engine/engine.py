@@ -453,6 +453,7 @@ class Engine:
             with self.timer.section("score_extract"):
                 i, j = self._all_pairs_pallas(tau_eff, cap)
         else:
+            self._used_int8 = False  # XLA path: demotion check must not act
             with self.timer.section("score_extract"):
                 while True:
                     bufs, packed = score_ops.allpairs_extract(
@@ -686,9 +687,10 @@ class Engine:
             return _CompletedInsert(out) if defer else out
 
         n0 = self.n_rows
-        self._grow_for(csr)
+        keep_csr = self._stream_archive_singletons(csr, n0)
+        self._grow_for(csr, extend=False)
         self._activate_dormant(csr.indices)
-        compact_csr = self.compact.map_csr(csr, extend=False)
+        compact_csr = self.compact.map_csr(keep_csr, extend=False)
         # host bookkeeping first so the error margin (tau_eff) already covers
         # the batch's norms before any device scoring
         self.n_rows = n0 + csr.n_rows
@@ -805,8 +807,70 @@ class Engine:
         # "ones": the reference's stub map (all weights 1.0)
         return float(np.sum(vec.values)) >= tau
 
-    def _grow_for(self, csr: CSRMatrix) -> None:
-        self.compact.extend(csr.indices)
+    def _stream_archive_singletons(
+        self, csr: CSRMatrix, row_offset: int
+    ) -> CSRMatrix:
+        """Streaming analog of the build-time dormant tier: a brand-new dim
+        seen exactly ONCE (once in this batch, never before, not already
+        archived) cannot contribute to any i≠j pair yet, so its single entry
+        is archived host-side instead of minting a compact column — without
+        this, long streams inflate dim_cap far past the build path's
+        (Enron streamed end-to-end: K = 131072 vs 73728 built, ~1.8× extra
+        matmul/extract work on every later insert).  Dims appearing ≥2×
+        in the batch, or whose archived partner just arrived, are promoted
+        (extended; `_activate_dormant` then moves the archived entry onto
+        the device).  Returns the csr filtered to device-bound entries; the
+        caller's shadow append keeps every entry, so exactness is untouched.
+        """
+        if not self.cfg.dormant_dims:
+            self.compact.extend(csr.indices)
+            return csr
+        cols = self.compact.cols_of(csr.indices)
+        newm = cols < 0
+        if not newm.any():
+            return csr
+        if self._dormant_of_ext is None:
+            self._dormant_of_ext = np.full(
+                self.cfg.vector_dim, -1, np.int32
+            )
+        uniq, counts = np.unique(csr.indices[newm], return_counts=True)
+        in_archive = self._dormant_of_ext[uniq] >= 0
+        promote = uniq[(counts >= 2) | in_archive]
+        singles = uniq[(counts == 1) & ~in_archive]
+        if promote.size:
+            self.compact.extend(promote)
+        if singles.size == 0:
+            return csr
+        mark = np.zeros(self.cfg.vector_dim, bool)
+        mark[singles] = True
+        sel = mark[csr.indices]
+        row_of = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
+        arch_dims = csr.indices[sel].astype(np.int64)
+        base = self._dorm_rows.size
+        self._dorm_rows = np.concatenate(
+            [self._dorm_rows, (row_offset + row_of[sel]).astype(np.int64)]
+        )
+        self._dorm_dims = np.concatenate([self._dorm_dims, arch_dims])
+        self._dorm_vals = np.concatenate(
+            [self._dorm_vals, csr.data[sel].astype(np.float64)]
+        )
+        self._dormant_of_ext[arch_dims] = base + np.arange(
+            arch_dims.size, dtype=np.int32
+        )
+        self.stats["dormant_dims"] += int(arch_dims.size)
+        keep = ~sel
+        row_counts = np.zeros(csr.n_rows, np.int64)
+        np.add.at(row_counts, row_of[keep], 1)
+        indptr = np.zeros(csr.n_rows + 1, np.int64)
+        np.cumsum(row_counts, out=indptr[1:])
+        return CSRMatrix(
+            csr.n_rows, csr.n_cols, indptr, csr.indices[keep],
+            csr.data[keep],
+        )
+
+    def _grow_for(self, csr: CSRMatrix, extend: bool = True) -> None:
+        if extend:
+            self.compact.extend(csr.indices)
         need_rows = round_up(self.n_rows + csr.n_rows, self._row_quantum())
         new_row_cap = self.row_cap
         while new_row_cap < need_rows:
@@ -940,6 +1004,12 @@ class Engine:
             return
         dims, idxs = uniq[sel], idxs[sel]
         cols = self.compact.cols_of(dims).astype(np.int64)
+        # still-unmapped archived dims (this batch's fresh singletons) stay
+        # archived — only dims that just received a compact column activate
+        ok = cols >= 0
+        if not ok.any():
+            return
+        dims, idxs, cols = dims[ok], idxs[ok], cols[ok]
         rows = self._dorm_rows[idxs]
         vals = self._dorm_vals[idxs]
         from ..vector.batch import pow2_bucket

@@ -398,6 +398,44 @@ def test_pallas_int8_matches_oracle(corpus):
     assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)
 
 
+def test_streaming_singleton_dims_archived_then_promoted():
+    # a brand-new dim seen once stays OFF the device; when a later insert
+    # shares it, both entries must pair exactly (archive -> promote path)
+    a = 1 / np.sqrt(2)
+    v = Vectors.sparse
+    eng = Engine(small_cfg())
+    eng.build(
+        CSRMatrix_from([v(DIM, [5, 7], [a, a]), v(DIM, [5, 8], [a, a])])
+    )
+    n_active0 = eng.compact.n_active
+    out = eng.insert([("s1", v(DIM, [200, 201], [a, a]))], tau=0.4)
+    assert out.output.get("s1", {}) == {}
+    # both fresh dims were singletons: archived, no compact growth
+    assert eng.compact.n_active == n_active0
+    assert eng.stats["dormant_dims"] >= 2
+    out = eng.insert([("s2", v(DIM, [200, 300], [a, a]))], tau=0.4)
+    # dim 200 promoted: the archived s1 entry must activate and pair
+    assert out.output.get("s2", {}).get("s1") == pytest.approx(0.5)
+    assert eng.all_pairs(0.4).pair_set() == brute_force_pairs(
+        eng.shadow_csr(), 0.4, eng.ids
+    )
+    # dims appearing twice WITHIN one batch are promoted immediately
+    out = eng.insert(
+        [("t1", v(DIM, [250, 251], [a, a])), ("t2", v(DIM, [250, 252], [a, a]))],
+        tau=0.4,
+    )
+    got = {
+        (q, c) for q, sims in out.output.items() for c in sims
+    }
+    assert ("t1", "t2") in got and ("t2", "t1") in got
+
+
+def CSRMatrix_from(vecs):
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    return CSRMatrix.from_vectors(vecs, DIM)
+
+
 def test_pallas_int8_excludes_padded_rows(corpus):
     # regression: padded (all-zero) rows must have a ZERO error bound —
     # with the old alpha=1 fallback every padded x real pair leaked through

@@ -83,6 +83,7 @@ class ChunkedAllPairs:
     _archive_dormant = Engine._archive_dormant
     _dormant_hits = Engine._dormant_hits
     _stream_archive_singletons = Engine._stream_archive_singletons
+    _dorm_append = Engine._dorm_append
 
     @property
     def compact(self) -> CompactSpace:
@@ -419,10 +420,11 @@ class ChunkedAllPairs:
             shadow.indices[shadow.indptr[n0]:],
             shadow.data[shadow.indptr[n0]:],
         )
-        # build-via-insert: the batch IS the corpus, so its archived dormant
-        # dims (df==1) can only contribute to excluded self-pairs — dropping
-        # them from the query side is lossless (all other insert paths have
-        # every batch dim mapped by the preceding extend)
+        # unmapped query dims are always lossless to drop here: build-time
+        # dormant dims (df==1) and streaming-archived fresh singletons are
+        # each globally unique to ONE row, so they can only contribute to
+        # the excluded self-pair; any dim shared with another batch row was
+        # promoted by _stream_archive_singletons before this point
         sub = self._drop_unmapped(sub)
         ccsr = self._compact.map_csr(sub, extend=False)
         q_rows_cap = pow2_bucket(nq, 32)

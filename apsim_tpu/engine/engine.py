@@ -200,6 +200,10 @@ class Engine:
         from ..utils.logging import Timer
 
         self.timer = Timer()  # per-stage wall timings (stats["timings"])
+        # int8 scoring state: demoted-to-bf16 flag + whether the last
+        # all_pairs actually scored at int8 (drives the demotion check)
+        self._int8_off = False
+        self._used_int8 = False
         # dormant-dim archive: df==1 dims are kept OFF the device index (they
         # cannot contribute to any i != j pair) and their single (row, value)
         # entry lives here until an insert shares the dim (activation)
@@ -473,10 +477,9 @@ class Engine:
         # than the true result, the extraction/fetch/rescore tax outweighs
         # the 2x MXU rate — fall back to bf16 (narrower margin) from the
         # next call on
-        if getattr(self, "_used_int8", False) and len(i) > max(
-            16 * res.n_pairs, 1_000_000
-        ):
+        if self._used_int8 and len(i) > max(16 * res.n_pairs, 1_000_000):
             self._int8_off = True
+            self._int8_cache = None  # release the q8+aux HBM copies now
             from ..utils.logging import get_logger
 
             get_logger().info(
@@ -536,7 +539,7 @@ class Engine:
         # the int32-accumulator safety bound D <= 127^2 * max_nnz
         use_int8 = (
             bool(self.cfg.pallas_int8)
-            and not getattr(self, "_int8_off", False)
+            and not self._int8_off
             and self._max_row_nnz() < ((1 << 30) // (127 * 127))
         )
         self._used_int8 = use_int8
@@ -689,7 +692,9 @@ class Engine:
         n0 = self.n_rows
         keep_csr = self._stream_archive_singletons(csr, n0)
         self._grow_for(csr, extend=False)
-        self._activate_dormant(csr.indices)
+        # activation entries are COLLECTED so the fused path can scatter
+        # them in the same device call as the batch (saves one round trip)
+        act = self._activate_dormant(csr.indices, collect=True)
         compact_csr = self.compact.map_csr(keep_csr, extend=False)
         # host bookkeeping first so the error margin (tau_eff) already covers
         # the batch's norms before any device scoring
@@ -712,15 +717,34 @@ class Engine:
 
         single_tile = (self.n_rows - 1) // tile == n0 // tile
         if single_tile and csr.n_rows <= 4096:
-            # fused scatter+match: one device round trip per micro-batch
+            # fused scatter+match: one device round trip per micro-batch;
+            # flat COO (batch entries + activated dormant entries together)
+            # keeps H2D at O(nnz) — the padded [batch, max_row_nnz] layout
+            # this used before paid for the longest document on every row
             from ..vector.batch import pow2_bucket
+            import jax.numpy as jnp
 
-            batch = PaddedBatch.from_csr(
-                compact_csr, pad_dim=self.dim_cap,
-                rows=pow2_bucket(csr.n_rows, 32),
+            rows_b = n0 + np.repeat(
+                np.arange(csr.n_rows, dtype=np.int64),
+                np.diff(compact_csr.indptr),
             )
+            cols_b = compact_csr.indices.astype(np.int64)
+            vals_b = compact_csr.data
+            if act is not None:
+                rows_b = np.concatenate([act[0], rows_b])
+                cols_b = np.concatenate([act[1], cols_b])
+                vals_b = np.concatenate([act[2], vals_b])
+            ecap = pow2_bucket(max(rows_b.size, 1), 1024)
+            pad = ecap - rows_b.size
             self.x, bufs, packed = score_ops.insert_match_fused(
-                self.x, batch.dims, batch.vals, np.int32(n0),
+                self.x,
+                jnp.asarray(np.concatenate(
+                    [rows_b, np.full(pad, self.row_cap, np.int64)]
+                ).astype(np.int32)),
+                jnp.asarray(np.concatenate(
+                    [cols_b, np.zeros(pad, np.int64)]).astype(np.int32)),
+                jnp.asarray(np.concatenate(
+                    [vals_b, np.zeros(pad)]).astype(np.float32)),
                 np.int32(first_tile), np.int32(n0), tau_eff, tile, cap,
                 self.cfg.matmul_precision, grp,
             )
@@ -732,6 +756,8 @@ class Engine:
                 first_tile, tau_eff, tile, tau,
             )
             return pending if defer else pending.result()
+        if act is not None:
+            self._scatter_activation(act)
         self._scatter_rows(compact_csr, row_offset=n0)
         for q0 in range(first_tile, self.n_rows, tile):
             pairs = self._match_tile_retry(
@@ -846,13 +872,10 @@ class Engine:
         sel = mark[csr.indices]
         row_of = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
         arch_dims = csr.indices[sel].astype(np.int64)
-        base = self._dorm_rows.size
-        self._dorm_rows = np.concatenate(
-            [self._dorm_rows, (row_offset + row_of[sel]).astype(np.int64)]
-        )
-        self._dorm_dims = np.concatenate([self._dorm_dims, arch_dims])
-        self._dorm_vals = np.concatenate(
-            [self._dorm_vals, csr.data[sel].astype(np.float64)]
+        base = self._dorm_append(
+            (row_offset + row_of[sel]).astype(np.int64),
+            arch_dims,
+            csr.data[sel].astype(np.float64),
         )
         self._dormant_of_ext[arch_dims] = base + np.arange(
             arch_dims.size, dtype=np.int32
@@ -867,6 +890,34 @@ class Engine:
             csr.n_rows, csr.n_cols, indptr, csr.indices[keep],
             csr.data[keep],
         )
+
+    def _dorm_append(self, rows, dims, vals) -> int:
+        """Amortized append to the dormant archive (capacity-doubling
+        buffers, exposed as views — per-batch cost O(batch), not
+        O(archive)); returns the first new archive index."""
+        n0 = self._dorm_rows.size
+        need = n0 + rows.size
+        buf = getattr(self, "_dorm_buf", None)
+        if buf is None or need > buf[0].size:
+            cap = 1024
+            while cap < need:
+                cap *= 2
+            buf = (
+                np.empty(cap, np.int64),
+                np.empty(cap, np.int64),
+                np.empty(cap, np.float64),
+            )
+            buf[0][:n0] = self._dorm_rows
+            buf[1][:n0] = self._dorm_dims
+            buf[2][:n0] = self._dorm_vals
+            self._dorm_buf = buf
+        buf[0][n0:need] = rows
+        buf[1][n0:need] = dims
+        buf[2][n0:need] = vals
+        self._dorm_rows = buf[0][:need]
+        self._dorm_dims = buf[1][:need]
+        self._dorm_vals = buf[2][:need]
+        return n0
 
     def _grow_for(self, csr: CSRMatrix, extend: bool = True) -> None:
         if extend:
@@ -972,6 +1023,7 @@ class Engine:
         self._dorm_rows = np.empty(0, np.int64)
         self._dorm_dims = np.empty(0, np.int64)
         self._dorm_vals = np.empty(0, np.float64)
+        self._dorm_buf = None
         self._dormant_of_ext = None
         self.stats["dormant_dims"] = 0
         mapped = self.compact.cols_of(csr.indices) >= 0
@@ -990,28 +1042,40 @@ class Engine:
         self.stats["dormant_dims"] = int(self._dorm_dims.size)
         return self._drop_unmapped(csr)
 
-    def _activate_dormant(self, ext_dims: np.ndarray) -> None:
+    def _activate_dormant(self, ext_dims: np.ndarray, collect: bool = False):
         """Insert-time activation: dims of the incoming batch that were
-        dormant just received compact columns (``_grow_for``'s extend); their
-        archived entries must now live on the device so new×old pairs through
-        those dims score correctly."""
+        dormant just received compact columns; their archived entries must
+        now live on the device so new×old pairs through those dims score
+        correctly.  With ``collect=True`` the (rows, compact cols, vals)
+        arrays are RETURNED instead of scattered so the caller can fold them
+        into an already-planned device call (the fused insert) — saving one
+        dispatch round trip per micro-batch."""
         if self._dormant_of_ext is None:
-            return
+            return None
         uniq = np.unique(np.asarray(ext_dims))
         idxs = self._dormant_of_ext[uniq]
         sel = idxs >= 0
         if not sel.any():
-            return
+            return None
         dims, idxs = uniq[sel], idxs[sel]
         cols = self.compact.cols_of(dims).astype(np.int64)
         # still-unmapped archived dims (this batch's fresh singletons) stay
         # archived — only dims that just received a compact column activate
         ok = cols >= 0
         if not ok.any():
-            return
+            return None
         dims, idxs, cols = dims[ok], idxs[ok], cols[ok]
         rows = self._dorm_rows[idxs]
         vals = self._dorm_vals[idxs]
+        self._dormant_of_ext[dims] = -1
+        self.stats["dormant_dims"] -= int(dims.size)
+        if collect:
+            return rows, cols, vals
+        self._scatter_activation((rows, cols, vals))
+        return None
+
+    def _scatter_activation(self, act) -> None:
+        rows, cols, vals = act
         from ..vector.batch import pow2_bucket
 
         cap = pow2_bucket(rows.size, 256)
@@ -1024,8 +1088,6 @@ class Engine:
             np.concatenate([cols, np.zeros(pad, np.int64)]).astype(np.int32),
             np.concatenate([vals, np.zeros(pad)]).astype(np.float32),
         )
-        self._dormant_of_ext[dims] = -1
-        self.stats["dormant_dims"] -= int(dims.size)
 
     def _dormant_hits(self, csr: CSRMatrix) -> Tuple[np.ndarray, np.ndarray]:
         """External-query correction: unique (query_idx, index_row) pairs

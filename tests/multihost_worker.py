@@ -75,6 +75,19 @@ assert got == want, (len(got), len(want))
 out = eng.insert([("probe", vecs[0])], tau=0.5)
 assert "probe" in out.output and "0" in out.output["probe"], out.output
 
+if shard_axis == "dims":
+    # out-of-core engine over the same 2-process global mesh: chunk axis
+    # sharded across hosts, shard_map psum riding the distributed runtime
+    from apsim_tpu.parallel import MeshChunkedAllPairs  # noqa: E402
+
+    mce = MeshChunkedAllPairs(cfg, mesh=global_mesh(), chunk_dim=16)
+    mce.build(csr)
+    res_c = mce.all_pairs(0.5)
+    got_c = {(int(a), int(b)) for a, b in zip(res_c.i, res_c.j)}
+    assert got_c == want, ("chunked-mesh", len(got_c), len(want))
+    out_c = mce.insert([("probe_c", vecs[1])], tau=0.5)
+    assert "probe_c" in out_c.output and "1" in out_c.output["probe_c"]
+
 if is_coordinator():
     print(f"MULTIHOST_OK pairs={len(got)}", flush=True)
 jax.distributed.shutdown()

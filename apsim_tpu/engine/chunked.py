@@ -168,11 +168,11 @@ class ChunkedAllPairs:
             *self._ent, new_cap=new_cap, pad_row=self._pad_row()
         )
 
-    def _op_stripe(self, q0: int, tau_eff, super_tile: int, cap: int,
-                   grp: int):
+    def _op_stripe(self, q0: int, tau_eff, super_tile: int, caps):
+        cap, capb, cap0 = caps
         return chunked_ops.chunked_stripe_extract(
             *self._ent, self._counts_dev, np.int32(q0), tau_eff,
-            self.row_cap, self._chunk_width, super_tile, cap, grp,
+            self.row_cap, self._chunk_width, super_tile, cap, capb, cap0,
             self.cfg.matmul_precision,
         )
 
@@ -574,24 +574,42 @@ class ChunkedAllPairs:
                 np.empty(0, np.int64), np.empty(0, np.int64),
                 np.empty(0, np.float64), [],
             )
-        grp = int(self.cfg.extract_group)
         tau_eff = self._tau_eff(tau)
         super_tile = self._q_super()
         all_i: list = []
         all_j: list = []
+        from ..ops import pallas_score as ps
+
+        # per-level extraction caps, cached across stripes AND calls (the
+        # three-level bit-packed epilogue's deeper scans are sized by these)
+        caps = getattr(self, "_stripe_caps", None)
+        if caps is None:
+            c = pow2_bucket(int(self.cfg.extract_cap), 1024)
+            cb = max(c // ps.GROUP, 1024)
+            caps = (c, cb, max(cb // (ps.SUPER // ps.GROUP), 1024))
         # host loop over query stripes; a stripe wide enough to amortize the
-        # per-chunk slab scatter (the dominant cost of this mode)
+        # per-chunk slab scatter over many query columns
         for q0 in range(0, self.n_rows, super_tile):
-            cap = int(self.cfg.extract_cap)
             while True:
-                bufs, packed = self._op_stripe(q0, tau_eff, super_tile, cap,
-                                               grp)
-                pairs, needed = score_ops.consume_packed(
-                    bufs, np.asarray(packed), cap, grp
+                bufs, packed = self._op_stripe(q0, tau_eff, super_tile, caps)
+                rows_h, cols_h, total, groups, supers = (
+                    ps.unpack_pallas_head(np.asarray(packed))
                 )
-                if pairs is not None:
-                    break
-                cap = _next_cap(cap, needed)
+                if (
+                    total > caps[0] or groups > caps[1] or supers > caps[2]
+                ):
+                    caps = (
+                        pow2_bucket(max(total, caps[0]), 1024),
+                        pow2_bucket(max(groups, caps[1]), 1024),
+                        pow2_bucket(max(supers, caps[2]), 1024),
+                    )
+                    continue
+                break
+            self._stripe_caps = caps
+            if total <= rows_h.size:
+                pairs = (rows_h, cols_h)
+            else:
+                pairs = score_ops.decode_pairs(bufs, total)
             all_i.append(pairs[0])
             all_j.append(pairs[1])
         i = np.concatenate(all_i)

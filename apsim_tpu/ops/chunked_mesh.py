@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .chunked import _densify_chunk, join_epilogue, match_epilogue
+from .chunked import _densify_chunk, join_epilogue_bits, match_epilogue
 from .score import _precision
 
 __all__ = [
@@ -52,10 +52,11 @@ def _varying(x, axis: str):
 @functools.lru_cache(maxsize=None)
 def mesh_stripe_extract(
     mesh: Mesh, axis: str, row_cap: int, chunk_dim: int, super_tile: int,
-    cap: int, group: int, precision: str,
+    cap: int, capb: int, cap0: int, precision: str,
 ):
-    """Compiled fn: (ent..., counts, q0, tau_eff) -> (bufs, packed_head) for
-    one upper-triangle query stripe, chunk axis sharded over ``axis``."""
+    """Compiled fn: (ent..., counts, q0, tau_eff) ->
+    ((rows, cols), packed_pallas_head) for one upper-triangle query stripe,
+    chunk axis sharded over ``axis`` (three-level bit-packed extraction)."""
     prec = _precision(precision)
     sdt = _score_dtype(precision)
 
@@ -80,7 +81,7 @@ def mesh_stripe_extract(
         )
         s = jax.lax.psum(s, axis)
         s = jax.lax.optimization_barrier(s)
-        return join_epilogue(s, q0, tau_eff, cap, group)
+        return join_epilogue_bits(s, q0, tau_eff, cap, capb, cap0)
 
     fn = jax.shard_map(
         local,

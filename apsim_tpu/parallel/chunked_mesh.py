@@ -101,11 +101,11 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
         )
         self._ent = fn(*self._ent)
 
-    def _op_stripe(self, q0: int, tau_eff, super_tile: int, cap: int,
-                   grp: int):
+    def _op_stripe(self, q0: int, tau_eff, super_tile: int, caps):
+        cap, capb, cap0 = caps
         fn = cm_ops.mesh_stripe_extract(
             self.mesh, AXIS, self.row_cap, self._chunk_width, super_tile,
-            cap, grp, self.cfg.matmul_precision,
+            cap, capb, cap0, self.cfg.matmul_precision,
         )
         return fn(*self._ent, self._counts_dev, np.int32(q0), tau_eff)
 

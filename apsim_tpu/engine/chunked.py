@@ -126,11 +126,14 @@ class ChunkedAllPairs:
 
     def _q_super(self) -> int:
         """Stripe width: the widest power of two whose fp32 accumulator
-        (row_cap × stripe) stays under ~3 GB, clamped to the row capacity so
-        small corpora pay small programs (pow2 ⇒ it always divides row_cap)."""
+        (row_cap × stripe) stays under ~6 GB, clamped to the row capacity so
+        small corpora pay small programs (pow2 ⇒ it always divides row_cap).
+        Wide stripes amortize the per-chunk slab densify — the join's
+        second-largest cost after the matmul — over more query columns
+        (100k rows: 4096 → 25 densify passes, 8192 → 13)."""
         if self.super_tile is None:
             padded = round_up(max(self.n_rows, 1), 8192)
-            budget = (3 << 30) // (4 * padded)
+            budget = (6 << 30) // (4 * padded)
             st = 1024
             while st * 2 <= min(budget, 8192):
                 st *= 2

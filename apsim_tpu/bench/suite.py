@@ -107,12 +107,15 @@ def run_suite(
     emitted = 0
     emitted_set = set()
     t_batches: List[float] = []
+    rates: List[float] = []
     for s in range(0, n, stream_batch):
         e = min(s + stream_batch, n)
         batch = [(ids[i], csr.row(i)) for i in range(s, e)]
         t0 = time.time()
         out = eng_s.insert(batch, tau=tau)
-        t_batches.append(time.time() - t0)
+        dt = time.time() - t0
+        t_batches.append(dt)
+        rates.append((e - s) / dt)
         for q, sims in out.output.items():
             emitted += len(sims)
             for c in sims:
@@ -121,15 +124,15 @@ def run_suite(
     # `emitted >= n_pairs` would pass on spurious extra pairs
     stream_ok = emitted_set == batch_pairs.pair_set()
     t_total = float(sum(t_batches))
-    med = float(np.median(t_batches))
     report["streaming"] = {
         "batch_size": stream_batch,
         "vectors_per_sec": n / t_total,
         # the end-to-end average is dominated by capacity-ladder growth
         # batches (new shapes -> compile-cache executable loads over the
-        # remote link); the median batch is the steady-state rate
-        "median_batch_seconds": med,
-        "steady_vectors_per_sec": stream_batch / med,
+        # remote link); the median per-batch rate (actual batch sizes) is
+        # the steady-state figure
+        "median_batch_seconds": float(np.median(t_batches)),
+        "steady_vectors_per_sec": float(np.median(rates)),
         "seconds_total": t_total,
         "results_emitted": emitted,
         "equals_batch_join": stream_ok,

@@ -44,8 +44,9 @@ class ChunkedAllPairs:
         self.cfg = config or AllPairsConfig()
         self.chunk_dim = int(chunk_dim)
         # query-stripe width: wide stripes amortize the per-chunk slab
-        # scatter (100k rows: 4096 -> 55 s, 8192 -> 38 s); auto-sized at
-        # build time to a ~3 GB fp32 accumulator budget unless overridden
+        # densify (the join's second-largest cost after the matmul) over
+        # more query columns; auto-sized to a ~6 GB fp32 accumulator budget
+        # (re-evaluated as the corpus grows) unless overridden here
         self.super_tile = None if super_tile is None else int(super_tile)
         self._ent = None  # (rows2d, cols2d, vals2d) jnp [n_chunks, chunk_cap]
         self._counts = None  # np int64 [n_chunks] (host truth)
@@ -130,15 +131,23 @@ class ChunkedAllPairs:
         small corpora pay small programs (pow2 ⇒ it always divides row_cap).
         Wide stripes amortize the per-chunk slab densify — the join's
         second-largest cost after the matmul — over more query columns
-        (100k rows: 4096 → 25 densify passes, 8192 → 13)."""
-        if self.super_tile is None:
-            padded = round_up(max(self.n_rows, 1), 8192)
+        (100k rows: 4096 → 25 densify passes, 8192 → 13).  The auto choice
+        is RE-EVALUATED whenever the padded row count changes: a width
+        cached at build size would blow the accumulator budget after enough
+        streaming growth (e.g. 8192 picked at 100k rows is an 8.3 GB
+        accumulator at 250k)."""
+        if self.super_tile is not None:
+            return min(self.super_tile, self.row_cap)
+        padded = round_up(max(self.n_rows, 1), 8192)
+        cached = getattr(self, "_auto_super", None)
+        if cached is None or cached[1] != padded:
             budget = (6 << 30) // (4 * padded)
             st = 1024
             while st * 2 <= min(budget, 8192):
                 st *= 2
-            self.super_tile = st
-        return min(self.super_tile, self.row_cap)
+            cached = (st, padded)
+            self._auto_super = cached
+        return min(cached[0], self.row_cap)
 
     # ---------------------------------------------------------------- op hooks
     # Device-facing seams: the mesh-sharded subclass
@@ -226,6 +235,7 @@ class ChunkedAllPairs:
         self._ent = self._place_ent(rows2d, cols2d, vals2d)
         self._counts = counts
         self._counts_dev = self._place_counts(counts)
+        self._stripe_caps = None  # new corpus: forget grown extraction caps
         # margin bookkeeping (same policy as the dense engine)
         norms = csr.row_norms()
         self._max_norm = float(norms.max()) if norms.size else 0.0
@@ -390,6 +400,9 @@ class ChunkedAllPairs:
         self._append_ccoo(
             self._dorm_rows[idxs], cols, self._dorm_vals[idxs]
         )
+        # clear the marks only after the device append went through (a
+        # failure above leaves the entries archived — recoverable; see
+        # Engine._activate_dormant)
         self._dormant_of_ext[dims] = -1
         self.stats["dormant_dims"] -= int(dims.size)
 
@@ -591,7 +604,8 @@ class ChunkedAllPairs:
             cb = max(c // ps.GROUP, 1024)
             caps = (c, cb, max(cb // (ps.SUPER // ps.GROUP), 1024))
         # host loop over query stripes; a stripe wide enough to amortize the
-        # per-chunk slab scatter over many query columns
+        # per-chunk slab densify over many query columns
+        seen = (0, 0, 0)  # per-call maxima for post-loop cap tightening
         for q0 in range(0, self.n_rows, super_tile):
             while True:
                 bufs, packed = self._op_stripe(q0, tau_eff, super_tile, caps)
@@ -608,13 +622,24 @@ class ChunkedAllPairs:
                     )
                     continue
                 break
-            self._stripe_caps = caps
+            seen = tuple(
+                max(a, b) for a, b in zip(seen, (total, groups, supers))
+            )
             if total <= rows_h.size:
                 pairs = (rows_h, cols_h)
             else:
                 pairs = score_ops.decode_pairs(bufs, total)
             all_i.append(pairs[0])
             all_j.append(pairs[1])
+        # tighten toward the observed per-stripe maxima with the same 8x
+        # hysteresis as the dense Pallas path: one low-tau spike must not
+        # permanently inflate every later stripe's scan domains
+        tight = tuple(
+            pow2_bucket(max(v + (v >> 2), 1024), 1024) for v in seen
+        )
+        self._stripe_caps = tuple(
+            t if t * 8 <= c else c for t, c in zip(tight, caps)
+        )
         i = np.concatenate(all_i)
         j = np.concatenate(all_j)
         shadow = self._shadow.view()

@@ -748,6 +748,8 @@ class Engine:
                 np.int32(first_tile), np.int32(n0), tau_eff, tile, cap,
                 self.cfg.matmul_precision, grp,
             )
+            if act is not None:
+                self._commit_activation(act)
             self.stats["candidates_scored"] += self.n_rows * min(
                 tile, self.n_rows - first_tile
             )
@@ -758,6 +760,7 @@ class Engine:
             return pending if defer else pending.result()
         if act is not None:
             self._scatter_activation(act)
+            self._commit_activation(act)
         self._scatter_rows(compact_csr, row_offset=n0)
         for q0 in range(first_tile, self.n_rows, tile):
             pairs = self._match_tile_retry(
@@ -1067,15 +1070,27 @@ class Engine:
         dims, idxs, cols = dims[ok], idxs[ok], cols[ok]
         rows = self._dorm_rows[idxs]
         vals = self._dorm_vals[idxs]
-        self._dormant_of_ext[dims] = -1
-        self.stats["dormant_dims"] -= int(dims.size)
+        # NOTE: the archive marks are NOT cleared here — the caller commits
+        # them (``_commit_activation``) after the device call that scatters
+        # the entries succeeds.  Clearing first would silently lose the
+        # entries if anything raises in between; the opposite failure mode
+        # (entries scattered but still marked → a later activation adds them
+        # again) only inflates device scores, which the margin/rescore
+        # contract absorbs as a superset.
+        act = (rows, cols, vals, dims)
         if collect:
-            return rows, cols, vals
-        self._scatter_activation((rows, cols, vals))
+            return act
+        self._scatter_activation(act)
+        self._commit_activation(act)
         return None
 
+    def _commit_activation(self, act) -> None:
+        dims = act[3]
+        self._dormant_of_ext[dims] = -1
+        self.stats["dormant_dims"] -= int(dims.size)
+
     def _scatter_activation(self, act) -> None:
-        rows, cols, vals = act
+        rows, cols, vals = act[0], act[1], act[2]
         from ..vector.batch import pow2_bucket
 
         cap = pow2_bucket(rows.size, 256)

@@ -158,25 +158,14 @@ def join_epilogue_bits(
     Returns ``((rows, cols), packed_pallas_head)`` — note the PALLAS head
     layout (``unpack_pallas_head``), not ``_pack_head``'s.
     """
-    from .pallas_score import GROUP, SUPER, _compact_bits
+    from .pallas_score import _compact_bits, bitpack_mask
 
     row_cap, tile = s.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     mi = ((s >= tau_eff) & (rows < cols)).astype(jnp.int32)
-    w = jnp.left_shift(
-        1,
-        jax.lax.broadcasted_iota(
-            jnp.int32, (row_cap // GROUP, GROUP, tile), 1
-        ),
-    )
-    gbi = jnp.sum(mi.reshape(row_cap // GROUP, GROUP, tile) * w, axis=1)
+    gbi, g_any, g64i = bitpack_mask(mi)
     gb = gbi.astype(jnp.uint8)[None]
-    g_any = jnp.minimum(gbi, 1)
-    g64i = jnp.minimum(
-        jnp.sum(g_any.reshape(row_cap // SUPER, SUPER // GROUP, tile), axis=1),
-        1,
-    )
     g64 = g64i.astype(jnp.uint8)[None]
     cnt = (
         jnp.zeros((1, 8, 128), jnp.int32)

@@ -81,6 +81,26 @@ def upper_blocks_rect(
     return bi[keep].astype(np.int32), bj[keep].astype(np.int32)
 
 
+def bitpack_mask(mi):
+    """Shared bit-pack hierarchy over an int32 0/1 hit mask ``mi [tm, tn]``:
+    returns ``(gbi, g_any, g64i)`` — group bytes (bit o = row g·GROUP+o),
+    group any-hit, and 64-row super any-hit, all int32.  Used by both Pallas
+    kernel epilogues AND the XLA chunked stripe epilogue
+    (``ops/chunked.py:join_epilogue_bits``) so the packing layout has one
+    definition."""
+    tm, tn = mi.shape
+    w = jnp.left_shift(
+        1,
+        jax.lax.broadcasted_iota(jnp.int32, (tm // GROUP, GROUP, tn), 1),
+    )
+    gbi = jnp.sum(mi.reshape(tm // GROUP, GROUP, tn) * w, axis=1)
+    g_any = jnp.minimum(gbi, 1)
+    g64i = jnp.minimum(
+        jnp.sum(g_any.reshape(tm // SUPER, SUPER // GROUP, tn), axis=1), 1
+    )
+    return gbi, g_any, g64i
+
+
 def _kernel(bi_ref, bj_ref, tau_ref, x_ref, q_ref, gb_ref, g64_ref, cnt_ref,
             acc_ref):
     k = pl.program_id(1)
@@ -112,19 +132,8 @@ def _kernel(bi_ref, bj_ref, tau_ref, x_ref, q_ref, gb_ref, g64_ref, cnt_ref,
         # arithmetic masking throughout: i1-vector relayouts can fail to
         # compile in Mosaic (observed on v5e), so hits become int32 0/1
         mi = (m & (rows < cols)).astype(jnp.int32)  # [tm, tn]
-        # bit-pack each 8-row group into one byte: bit o = row g*8+o
-        w = jnp.left_shift(
-            1,
-            jax.lax.broadcasted_iota(jnp.int32, (tm // GROUP, GROUP, tn), 1),
-        )
-        gbi = jnp.sum(
-            mi.reshape(tm // GROUP, GROUP, tn) * w, axis=1
-        )  # int32 [tm/8, tn], values 0..255
+        gbi, g_any, g64i = bitpack_mask(mi)
         gb_ref[0] = gbi.astype(jnp.uint8)
-        g_any = jnp.minimum(gbi, 1)
-        g64i = jnp.minimum(
-            jnp.sum(g_any.reshape(tm // SUPER, SUPER // GROUP, tn), axis=1), 1
-        )
         g64_ref[0] = g64i.astype(jnp.uint8)
         n_pairs = jnp.sum(mi)
         n_groups = jnp.sum(g_any)
@@ -403,16 +412,8 @@ def _kernel_int8(bi_ref, bj_ref, tau_ref, x_ref, q_ref, auxi_ref, auxj_ref,
             jnp.int32, (tm, tn), 1
         )
         mi = (m & (rows < cols)).astype(jnp.int32)
-        w = jnp.left_shift(
-            1,
-            jax.lax.broadcasted_iota(jnp.int32, (tm // GROUP, GROUP, tn), 1),
-        )
-        gbi = jnp.sum(mi.reshape(tm // GROUP, GROUP, tn) * w, axis=1)
+        gbi, g_any, g64i = bitpack_mask(mi)
         gb_ref[0] = gbi.astype(jnp.uint8)
-        g_any = jnp.minimum(gbi, 1)
-        g64i = jnp.minimum(
-            jnp.sum(g_any.reshape(tm // SUPER, SUPER // GROUP, tn), axis=1), 1
-        )
         g64_ref[0] = g64i.astype(jnp.uint8)
         n_pairs = jnp.sum(mi)
         n_groups = jnp.sum(g_any)

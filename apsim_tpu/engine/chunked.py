@@ -180,8 +180,47 @@ class ChunkedAllPairs:
             *self._ent, new_cap=new_cap, pad_row=self._pad_row()
         )
 
+    # int8 stripes: MEASURED DEAD-END on this hardware, kept as an opt-in
+    # (set the attribute True). Unlike the dense engine's Pallas int8 kernel
+    # (2x and now the default), the XLA-lowered int8 scatter-set + int8 dot
+    # run SLOWER than bf16 slabs: 100k-row join 15.0 s vs 9.4 s, exact
+    # parity both ways — XLA does not hit the native int8 MXU/scatter path
+    # the Mosaic kernel gets. Instances also self-demote when the
+    # int32-accumulator safety gate trips.
+    _int8_stripes = False
+
+    def _int8_slabs(self):
+        """Cached (q2d int8, aux) for int8 stripe scoring, quantized on
+        device from the CURRENT entry buffers (cache keyed by the immutable
+        values array — any append invalidates it automatically); returns
+        None when int8 stripes are disabled or unsafe."""
+        if not (self._int8_stripes and self.cfg.pallas_int8):
+            return None
+        key = self._ent[2]
+        cached = getattr(self, "_q8_cache", None)
+        if cached is not None and cached[0] is key:
+            return cached[1]
+        q2d, aux, max_nnz = chunked_ops.quantize_chunk_entries(
+            self._ent[0], self._ent[2], self.row_cap
+        )
+        if int(max_nnz) >= (1 << 30) // (127 * 127):
+            self._int8_stripes = False  # shadow the class flag
+            self._q8_cache = None
+            return None
+        out = (q2d, aux)
+        self._q8_cache = (key, out)
+        return out
+
     def _op_stripe(self, q0: int, tau_eff, super_tile: int, caps):
         cap, capb, cap0 = caps
+        q8 = self._int8_slabs()
+        if q8 is not None:
+            q2d, aux = q8
+            return chunked_ops.chunked_stripe_extract_int8(
+                self._ent[0], self._ent[1], q2d, self._counts_dev, aux,
+                np.int32(q0), tau_eff, self.row_cap, self._chunk_width,
+                super_tile, cap, capb, cap0,
+            )
         return chunked_ops.chunked_stripe_extract(
             *self._ent, self._counts_dev, np.int32(q0), tau_eff,
             self.row_cap, self._chunk_width, super_tile, cap, capb, cap0,

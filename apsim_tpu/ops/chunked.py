@@ -241,6 +241,108 @@ def chunked_stripe_extract(
     return join_epilogue_bits(s, q0, tau_eff, cap, capb, cap0)
 
 
+@functools.partial(jax.jit, static_argnames=("row_cap",))
+def quantize_chunk_entries(rows2d, vals2d, row_cap: int):
+    """Device-side per-row symmetric int8 quantization of chunk entries.
+
+    One pass over the entry buffers: per-row ``α = max|v|/127`` via
+    scatter-max (padded slots carry an out-of-bounds row → dropped), then
+    ``q = round(v/α)`` stored back in the [n_chunks, chunk_cap] layout, plus
+    the per-pair bound ingredients ``aux = [α, α·L1(q), nnz]`` (fp32
+    [3, row_cap]) and the max device-row nnz (int32 accumulator safety
+    gate).  α covers DEVICE-resident entries only, which is exactly what the
+    bound must bound — dormant-archived values never enter the device dot.
+    All-zero rows get α = 0 ⇒ zero score and zero bound (the padded-row
+    lesson from the dense int8 path)."""
+    flat_r = rows2d.reshape(-1)
+    flat_v = vals2d.reshape(-1)
+    absv = jnp.abs(flat_v)
+    mx = jnp.zeros((row_cap,), jnp.float32).at[flat_r].max(absv, mode="drop")
+    alpha = jnp.where(mx > 0, mx / 127.0, 0.0)
+    safe_r = jnp.minimum(flat_r, row_cap - 1)
+    div = jnp.where(alpha[safe_r] > 0, alpha[safe_r], 1.0)
+    q = jnp.clip(jnp.round(flat_v / div), -127, 127).astype(jnp.int8)
+    l1q = jnp.zeros((row_cap,), jnp.float32).at[flat_r].add(
+        jnp.abs(q).astype(jnp.float32), mode="drop"
+    )
+    nnz = jnp.zeros((row_cap,), jnp.float32).at[flat_r].add(
+        (flat_v != 0).astype(jnp.float32), mode="drop"
+    )
+    aux = jnp.stack([alpha, alpha * l1q, nnz])
+    return q.reshape(rows2d.shape), aux, jnp.max(nnz).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "row_cap", "chunk_dim", "super_tile", "cap", "capb", "cap0",
+    ),
+)
+def chunked_stripe_extract_int8(
+    rows2d, cols2d, q2d, counts, aux, q0, tau_eff,
+    row_cap: int, chunk_dim: int, super_tile: int, cap: int,
+    capb: int = 0, cap0: int = 0,
+):
+    """int8 variant of ``chunked_stripe_extract``: int8 slabs, int32
+    accumulation (EXACT — no fp rounding in the dot), per-pair quantization
+    bound in the epilogue (same proof as the dense int8 kernel:
+    ``|x_i·x_j − α_iα_j D| ≤ 0.5(α_j b_i + α_i b_j) +
+    0.25 α_iα_j min(n_i, n_j)``), then the shared bit-packed compaction.
+    ~2× the bf16 MXU rate on the join's dominant matmul."""
+    from .pallas_score import GROUP, SUPER
+
+    capb = capb or max(cap // GROUP, 1024)
+    cap0 = cap0 or max(capb // (SUPER // GROUP), 1024)
+    n_chunks = rows2d.shape[0]
+
+    def chunk_body(c, acc):
+        slab = _densify_chunk(
+            rows2d, cols2d, q2d, counts, c, row_cap, chunk_dim, jnp.int8
+        )
+        q = jax.lax.dynamic_slice(slab, (q0, 0), (super_tile, chunk_dim))
+        return acc + jax.lax.dot_general(
+            slab, q,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    d = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        jnp.zeros((row_cap, super_tile), jnp.int32),
+    )
+    d = jax.lax.optimization_barrier(d)
+    ai = aux[0][:, None]
+    bi_b = aux[1][:, None]
+    ni = aux[2][:, None]
+    aj = jax.lax.dynamic_slice(aux[0], (q0,), (super_tile,))[None, :]
+    bj_b = jax.lax.dynamic_slice(aux[1], (q0,), (super_tile,))[None, :]
+    nj = jax.lax.dynamic_slice(aux[2], (q0,), (super_tile,))[None, :]
+    s_hat = d.astype(jnp.float32) * (ai * aj)
+    bound = (
+        0.5 * (aj * bi_b + ai * bj_b)
+        + 0.25 * (ai * aj) * jnp.minimum(ni, nj)
+    )
+    from .pallas_score import _compact_bits, bitpack_mask
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    cols = q0 + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    mi = (((s_hat + bound) >= tau_eff) & (rows < cols)).astype(jnp.int32)
+    gbi, g_any, g64i = bitpack_mask(mi)
+    gb = gbi.astype(jnp.uint8)[None]
+    g64 = g64i.astype(jnp.uint8)[None]
+    cnt = (
+        jnp.zeros((1, 8, 128), jnp.int32)
+        .at[0, 0, 0].set(jnp.sum(mi, dtype=jnp.int32))
+        .at[0, 0, 1].set(jnp.sum(g_any, dtype=jnp.int32))
+        .at[0, 0, 2].set(jnp.sum(g64i, dtype=jnp.int32))
+    )
+    bi = jnp.zeros((1,), jnp.int32)
+    bj = jnp.full((1,), q0 // super_tile, jnp.int32)
+    return _compact_bits(
+        gb, g64, cnt, bi, bj, cap, capb, cap0, row_cap, super_tile
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -41,6 +41,9 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
     visible devices (``config.mesh_shape`` may pin a smaller 1-D mesh).
     """
 
+    # the shard_map stripe ops are bf16-only (no int8 wiring yet)
+    _int8_stripes = False
+
     def __init__(
         self,
         config: AllPairsConfig | None = None,

@@ -97,6 +97,28 @@ def test_chunked_overflow_retry(corpus):
     assert len(got) > 8
 
 
+def test_chunked_int8_stripes_opt_in_matches(corpus):
+    # opt-in int8 slabs (measured slower than bf16 under XLA on this
+    # hardware, kept for parity coverage): must engage when asked and emit
+    # the identical exact pair set
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=128)
+    eng._int8_stripes = True
+    eng.build(corpus)
+    got = eng.all_pairs(0.4).pair_set()
+    assert eng._int8_slabs() is not None  # engaged
+    off = ChunkedAllPairs(small_cfg(), chunk_dim=128)
+    off.build(corpus)
+    assert off._int8_slabs() is None  # default: bf16 slabs
+    assert off.all_pairs(0.4).pair_set() == got == brute_force_pairs(
+        corpus, 0.4
+    )
+    # appends invalidate the quantized cache (keyed by array identity)
+    key_before = eng._q8_cache[0]
+    eng.insert([("zz", corpus.row(0))], tau=0.9)
+    eng.all_pairs(0.4)
+    assert eng._q8_cache[0] is not key_before
+
+
 def test_chunked_streaming_equals_batch():
     # stream the corpus in micro-batches: emitted pair set must equal the
     # fp64 brute-force join, with intra-batch pairs surfacing symmetrically

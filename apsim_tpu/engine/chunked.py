@@ -12,8 +12,12 @@ capability at out-of-core scale): entries live in fixed-capacity per-chunk
 device buffers with capacity-doubling growth; an insert is one donated
 scatter-append plus a chunked cross-match of the batch against the full
 index (index-before-query, so intra-batch pairs surface symmetrically —
-SURVEY.md fine-print #2).  Dense-engine parity gaps that remain: no admission
-pruning (max-weight bounds live on the dense path), no dormant-dim tier.
+SURVEY.md fine-print #2).  Round 2b adds the dormant-dim tier (build +
+streaming, shared with the dense engine), cross-flavor checkpointing, the
+full serving surface, and the three-level bit-packed stripe extraction.
+The one dense-engine parity gap that remains: no admission pruning
+(max-weight bounds live on the dense path; skipping an upper-bound prune
+cannot change the emitted pair set).
 """
 
 from __future__ import annotations

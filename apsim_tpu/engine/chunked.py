@@ -33,7 +33,7 @@ from ..ops import chunked as chunked_ops
 from ..ops import rescore as rescore_ops
 from ..ops import score as score_ops
 from ..utils.jaxsetup import setup_jax
-from ..utils.logging import Timer, get_logger
+from ..utils.logging import Timer
 from ..vector.batch import CSRMatrix, GrowableCSR, pow2_bucket, round_up
 from .engine import Engine, _as_csr, _next_cap
 from .output import PairResult, SimilarityOutput
@@ -72,6 +72,7 @@ class ChunkedAllPairs:
             "pairs_emitted": 0,
             "insert_batches": 0,
             "dormant_dims": 0,
+            "vectors_dropped_admission": 0,
         }
         self.timer = Timer()
         # dormant-dim archive (same tier as the dense engine: df==1 dims stay
@@ -100,14 +101,12 @@ class ChunkedAllPairs:
             np.empty(0, np.int32), np.empty(0, np.float64),
         )
 
-    def set_max_weight_map(self, weights: np.ndarray) -> None:
-        """Admission pruning lives on the dense engine only; the chunked
-        engine indexes everything (the bound-based drop is an optimization —
-        skipping it cannot change the emitted pair set, EntryProxyActor
-        admission semantics stay a no-op superset)."""
-        get_logger().warning(
-            "chunked engine has no admission pruning; max-weight map ignored"
-        )
+    # admission pruning shared with the dense engine (EntryProxyActor.scala
+    # :81-93 semantics): the bound only reads max_weights / the static map —
+    # both maintained identically here — so the same config gives the same
+    # admitted corpus across engine flavors
+    set_max_weight_map = Engine.set_max_weight_map
+    _admit = Engine._admit
 
     # ------------------------------------------------------------------ sizes
     @property
@@ -282,6 +281,7 @@ class ChunkedAllPairs:
         # margin bookkeeping (same policy as the dense engine)
         norms = csr.row_norms()
         self._max_norm = float(norms.max()) if norms.size else 0.0
+        np.maximum.at(self.max_weights, csr.indices, csr.data)
         self.stats["vectors_indexed"] += csr.n_rows
         return {
             "n_rows": self.n_rows,
@@ -333,8 +333,12 @@ class ChunkedAllPairs:
         tau = self.cfg.similarity_threshold if tau is None else float(tau)
         filtered = []
         for vid, vec in vectors:
-            if not bulk and self.cfg.index_threshold > 0:
-                vec = vec.filter_values_above(self.cfg.index_threshold)
+            if not bulk:
+                if self.cfg.index_threshold > 0:
+                    vec = vec.filter_values_above(self.cfg.index_threshold)
+                if not self._admit(vec, tau):
+                    self.stats["vectors_dropped_admission"] += 1
+                    continue
             filtered.append((vid, vec))
         if not filtered:
             out = SimilarityOutput({}, time.time())
@@ -363,6 +367,7 @@ class ChunkedAllPairs:
         norms = csr.row_norms()
         if norms.size:
             self._max_norm = max(self._max_norm, float(norms.max()))
+        np.maximum.at(self.max_weights, csr.indices, csr.data)
         self._shadow.append(csr)
         self.ids.extend(new_ids)
         for k, vid in enumerate(new_ids):
@@ -602,15 +607,19 @@ class ChunkedAllPairs:
         """Rebuild this (empty) engine from a checkpoint (any flavor)."""
         if self.n_rows:
             raise RuntimeError("restore() on a non-empty engine")
-        csr, ids, _, _ = Engine.read_checkpoint(path)
+        csr, ids, max_weights, _ = Engine.read_checkpoint(path)
         if csr.n_rows:
             self.build(csr, ids)
+        # merge the stored maxima (may record admission-dropped vectors) with
+        # the build-recomputed corpus maxima — same policy as Engine.restore
+        self.max_weights = np.maximum(self.max_weights, max_weights)
+        Engine._restore_static_map(self, path)
 
     @classmethod
     def load(
         cls, path: str, config: AllPairsConfig | None = None, **kw
     ) -> "ChunkedAllPairs":
-        csr, ids, _, ckpt_cfg = Engine.read_checkpoint(path)
+        csr, ids, max_weights, ckpt_cfg = Engine.read_checkpoint(path)
         cfg = config or AllPairsConfig().replace(
             vector_dim=int(ckpt_cfg["vector_dim"]),
             similarity_threshold=float(ckpt_cfg["similarity_threshold"]),
@@ -619,6 +628,8 @@ class ChunkedAllPairs:
         eng = cls(cfg, **kw)
         if csr.n_rows:
             eng.build(csr, ids)
+        eng.max_weights = np.maximum(eng.max_weights, max_weights)
+        Engine._restore_static_map(eng, path)
         return eng
 
     # -------------------------------------------------------------- all_pairs

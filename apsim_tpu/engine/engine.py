@@ -1287,7 +1287,11 @@ class Engine:
         csr, ids, max_weights, _ = Engine.read_checkpoint(path)
         if csr.n_rows:
             self.build(csr, ids)
-        self.max_weights = max_weights
+        # merge, don't overwrite: build() recomputed maxima from the corpus
+        # (covers checkpoints written before maxima were maintained on every
+        # flavor), while the stored map may additionally record admission-
+        # dropped vectors' weights — the running-bound contract needs both
+        self.max_weights = np.maximum(self.max_weights, max_weights)
         Engine._restore_static_map(self, path)
 
     @staticmethod
@@ -1307,6 +1311,6 @@ class Engine:
         eng = cls(cfg)
         if csr.n_rows:
             eng.build(csr, ids)
-        eng.max_weights = max_weights
+        eng.max_weights = np.maximum(eng.max_weights, max_weights)
         cls._restore_static_map(eng, path)
         return eng

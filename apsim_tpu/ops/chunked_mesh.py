@@ -249,4 +249,7 @@ def mesh_grow_entry_cap(
         out_specs=(P(axis, None), P(axis, None), P(axis, None)),
         check_vma=False,
     )
-    return jax.jit(fn)
+    # donation matters most here: growth happens at the out-of-core engine's
+    # peak-HBM moment, and without it each device transiently holds the old
+    # AND doubled entry slabs (single-device grow_entry_cap donates too)
+    return jax.jit(fn, donate_argnums=(0, 1, 2))

@@ -80,30 +80,15 @@ def main() -> None:
     log(f"steady: {steady:.3f}s median of {times} -> "
         f"{engine_rate/1e6:.1f}M decided pairs/s, {res.n_pairs} pairs")
 
-    # sanity: exact pair parity on a prefix vs fp64 brute force
-    m = min(n, 1500)
-    from apsim_tpu.vector.batch import CSRMatrix
-    sub = CSRMatrix(
-        m, csr.n_cols, csr.indptr[: m + 1],
-        csr.indices[: int(csr.indptr[m])], csr.data[: int(csr.indptr[m])],
-    )
-    active = np.unique(sub.indices)
-    remap = np.full(csr.n_cols, -1, np.int64)
-    remap[active] = np.arange(active.size)
-    dense = np.zeros((m, active.size))
-    for r in range(m):
-        s, e = int(sub.indptr[r]), int(sub.indptr[r + 1])
-        dense[r, remap[sub.indices[s:e]]] = sub.data[s:e]
-    S = dense @ dense.T
-    oi, oj = np.nonzero(np.triu(S >= TAU, k=1))
-    want = set(zip(oi.tolist(), oj.tolist()))
-    got = {
-        (int(a), int(b))
-        for a, b in zip(res.i, res.j)
-        if a < m and b < m
-    }
+    # exactness gate: FULL-corpus fp64 oracle (sparse spGEMM, ~22 s) — every
+    # emitted pair and every absent pair checked over all n rows, not a prefix
+    from apsim_tpu.bench.suite import _oracle_pairs
+
+    want, _ = _oracle_pairs(csr, TAU)
+    got = {(int(a), int(b)) for a, b in zip(res.i, res.j)}
     parity = got == want
-    log(f"parity on {m}-doc prefix: {parity} ({len(got)} vs {len(want)})")
+    log(f"parity on FULL {n}-doc corpus: {parity} "
+        f"({len(got)} vs {len(want)})")
     if not parity:
         log("PARITY FAILURE — benchmark invalid")
 

@@ -114,10 +114,39 @@ def test_index_threshold_filter():
     assert eng2.shadow_csr().row(0).nnz == 2
 
 
-def test_admission_pruning_ones():
+def _engine_flavors():
+    """All four engine flavors under one factory signature (cfg) -> engine.
+    Admission semantics must be IDENTICAL across them: the same config
+    admits the same corpus everywhere (VERDICT r2 gap #1)."""
+    from apsim_tpu.engine.chunked import ChunkedAllPairs
+    from apsim_tpu.parallel import MeshEngine, make_mesh
+    from apsim_tpu.parallel.chunked_mesh import MeshChunkedAllPairs
+
+    return [
+        pytest.param(lambda cfg: Engine(cfg), id="dense"),
+        pytest.param(
+            lambda cfg: MeshEngine(
+                cfg.replace(shard_axis="dims"), mesh=make_mesh(2)
+            ),
+            id="mesh",
+        ),
+        pytest.param(
+            lambda cfg: ChunkedAllPairs(cfg, chunk_dim=64), id="chunked"
+        ),
+        pytest.param(
+            lambda cfg: MeshChunkedAllPairs(
+                cfg, mesh=make_mesh(2), chunk_dim=64
+            ),
+            id="chunked-mesh",
+        ),
+    ]
+
+
+@pytest.mark.parametrize("make", _engine_flavors())
+def test_admission_pruning_ones(make):
     # the reference's all-1.0 stub: sum(values) >= tau admits
     # (EntryProxyActor.scala:51-57,81-93)
-    eng = Engine(small_cfg(admission="ones"))
+    eng = make(small_cfg(admission="ones"))
     weak = Vectors.sparse(DIM, [0], [0.3])
     strong = Vectors.sparse(DIM, [0], [0.9])
     eng.insert([("w", weak), ("s", strong)], tau=0.5)
@@ -125,11 +154,12 @@ def test_admission_pruning_ones():
     assert eng.stats["vectors_dropped_admission"] == 1
 
 
-def test_admission_real_running(corpus):
+@pytest.mark.parametrize("make", _engine_flavors())
+def test_admission_real_running(corpus, make):
     # normalized corpus: the self-inclusive running bound admits everything
     # (ub >= ||v||^2 = 1 >= tau), so nothing is lost
     tau = 0.6
-    eng = Engine(small_cfg(admission="real"))
+    eng = make(small_cfg(admission="real"))
     for s in range(0, corpus.n_rows, 31):
         e = min(s + 31, corpus.n_rows)
         eng.insert([(str(i), corpus.row(i)) for i in range(s, e)], tau=tau)
@@ -137,11 +167,12 @@ def test_admission_real_running(corpus):
     assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
 
 
-def test_admission_real_static_map(corpus):
+@pytest.mark.parametrize("make", _engine_flavors())
+def test_admission_real_static_map(corpus, make):
     # precomputed corpus maxima: pruning is exactly lossless AND actually
     # prunes sub-threshold vectors
     tau = 0.6
-    eng = Engine(small_cfg(admission="real"))
+    eng = make(small_cfg(admission="real"))
     eng.set_max_weight_map(corpus.max_weights())
     weak = Vectors.sparse(DIM, [0, 1], [1e-4, 1e-4])  # cannot reach tau
     for s in range(0, corpus.n_rows, 31):
@@ -150,6 +181,7 @@ def test_admission_real_static_map(corpus):
     eng.insert([("weak", weak)], tau=tau)
     assert "weak" not in eng.ids  # pruned by the corpus bound
     assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+    assert eng.stats["vectors_dropped_admission"] == 1
 
 
 def test_small_extract_cap_streaming(corpus):

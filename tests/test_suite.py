@@ -13,11 +13,11 @@ def test_suite_small():
     csr = random_sparse_corpus(rng, 96, 300)
     ids = [str(i) for i in range(csr.n_rows)]
     report = run_suite(
-        csr, ids, taus=(0.5, 0.7), oracle_limit=96,
+        csr, ids, taus=(0.5, 0.7),
         stream_batch=17, topk_queries=8, mesh=True,
     )
     for tau, entry in report["threshold_sweep"].items():
-        assert entry["parity_prefix"], tau
+        assert entry["parity_full"], tau
     assert report["streaming"]["equals_batch_join"]
     assert report["topk"]["self_match_rate"] == 1.0
     assert report["mesh"]["matches_single_device"]

@@ -197,10 +197,26 @@ def cmd_client(args) -> int:
 
 def cmd_bench(args) -> int:
     from .bench.loadgen import LoadGenerator
+    from .config import load_config
     from .etl.ccweb import load_ccweb_file
     from .etl.store import VectorStore
     from .serve import ClientConnection
 
+    # the reference reads the whole benchmark block from config
+    # (LoadGenerator.scala:92-98); CLI flags override the config values
+    cfg = load_config(*(args.config or []))
+    total = (
+        cfg.bench_total_message_count
+        if args.total_message_count is None else args.total_message_count
+    )
+    children = (
+        cfg.bench_children_num
+        if args.children_num is None else args.children_num
+    )
+    batching = (
+        cfg.bench_write_batching_ms
+        if args.write_batching_ms is None else args.write_batching_ms
+    )
     if args.ccweb:
         vectors = load_ccweb_file(args.ccweb)
     else:
@@ -210,9 +226,13 @@ def cmd_bench(args) -> int:
     gen = LoadGenerator(
         cc,
         vectors,
-        total_message_count=args.total_message_count,
-        children_num=args.children_num,
-        write_batching_ms=args.write_batching_ms,
+        total_message_count=total,
+        children_num=children,
+        write_batching_ms=batching,
+        # expDuration bounds the experiment phase (LoadGenerator.scala:19,
+        # :161-169 — ReceiveTimeout ends the run); here it caps the wait for
+        # outstanding first-result latencies
+        timeout_s=cfg.bench_exp_duration_ms / 1000.0,
     )
     print(json.dumps(gen.run()))
     cc.close()
@@ -283,13 +303,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_client)
 
     sp = sub.add_parser("bench")
+    sp.add_argument("--config", action="append",
+                    help="JSON config (layered); bench_* keys set defaults")
     sp.add_argument("--remote", action="append", required=True)
     sp.add_argument("--ccweb", default=None)
     sp.add_argument("--store", default=None)
     sp.add_argument("--table", default="SMALL_DATA")
-    sp.add_argument("--total-message-count", type=int, default=50)
-    sp.add_argument("--children-num", type=int, default=1)
-    sp.add_argument("--write-batching-ms", type=int, default=50)
+    sp.add_argument("--total-message-count", type=int, default=None)
+    sp.add_argument("--children-num", type=int, default=None)
+    sp.add_argument("--write-batching-ms", type=int, default=None)
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser(

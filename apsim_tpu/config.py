@@ -61,10 +61,25 @@ class AllPairsConfig:
     vector_dim: int = 1 << 20          # conf/app.conf:6
     similarity_threshold: float = 0.7  # conf/app.conf:15
     index_threshold: float = 0.0       # streaming component filter
-    max_shard_num: int = 10            # conf/app.conf:12 (dim shards)
-    max_entry_num: int = 10            # app_server_template.conf
-    max_io_workers: int = 10           # conf/app.conf:11
-    max_index_workers: int = 10        # conf/app.conf:10
+    # Accepted-but-collapsed reference keys.  The actor topology they
+    # configured does not exist on a TPU slice; they are kept so reference
+    # config files load unchanged, with these fates (docs/CONFIG.md):
+    max_shard_num: int = 10            # conf/app.conf:12 — COLLAPSED into
+                                       # mesh_shape: the dim-shard count is
+                                       # the device-mesh size, not a free knob
+    max_entry_num: int = 10            # app_server_template.conf — COLLAPSED:
+                                       # entity placement (shardId %
+                                       # maxEntryNum) has no analog; the index
+                                       # lives on the mesh, not on entities
+    max_io_workers: int = 10           # conf/app.conf:11 — READ: second-level
+                                       # bulk-load split (the EntryProxy
+                                       # re-split, EntryProxyActor.scala:64);
+                                       # sets ingest micro-batch granularity
+    max_index_workers: int = 10        # conf/app.conf:10 — COLLAPSED: the
+                                       # intra-node dim % maxIndexEntryActorNum
+                                       # split folds into the same device
+                                       # mesh axis (SURVEY.md §2 parallelism
+                                       # table, row 2)
     io_trigger_period_ms: int = 10     # conf/app.conf:9 (micro-batch flush)
     output_io_duration_ms: int = 0     # 0 => immediate emission
     run_mode: str = "DEBUG"            # conf/app.conf:16

@@ -158,11 +158,18 @@ class SimilarityServer:
                     )
             except (FileNotFoundError, ValueError):
                 pass
-        for s, e in split_load_range(start_row, end_row, self.cfg.io_range_num):
-            csr, ids = self.store.load_range(table, s, e)
-            batch = [(ids[i], csr.row(i)) for i in range(csr.n_rows)]
-            if batch:
-                self._queue.put((True, batch))
+        # two-level split, like the reference: the client-side ioRangeNum
+        # split (Client.scala:49-59) then the entry-side re-split into
+        # maxIOEntryActorNum sub-ranges (EntryProxyActor.scala:59-79) —
+        # here the second level sets the ingest micro-batch granularity
+        for s0, e0 in split_load_range(
+            start_row, end_row, self.cfg.io_range_num
+        ):
+            for s, e in split_load_range(s0, e0, self.cfg.max_io_workers):
+                csr, ids = self.store.load_range(table, s, e)
+                batch = [(ids[i], csr.row(i)) for i in range(csr.n_rows)]
+                if batch:
+                    self._queue.put((True, batch))
 
     def flush(self) -> None:
         """Drain the ingest queue synchronously (one IOTrigger turn),

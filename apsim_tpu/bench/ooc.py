@@ -1,0 +1,129 @@
+"""Out-of-core (chunked) benchmark: build + all-pairs join + streaming at
+row counts beyond the dense-index HBM ceiling.
+
+Measures the ChunkedAllPairs panel join (the Pallas block-panel path) and
+optionally cross-checks its pair set against the XLA stripe path (exact
+parity — both feed the same fp64 host rescore).  Reports HBM high-water
+when the platform exposes memory stats, substantiating the engine's
+rows-per-chip claim.
+
+Usage:  python -m apsim_tpu.bench.ooc [n_rows ...] [--stripes] [--stream N]
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def _hbm_stats() -> Dict:
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return {
+            k: int(v)
+            for k, v in stats.items()
+            if k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+        }
+    except Exception:
+        return {}
+
+
+def run_ooc(
+    n_rows: int,
+    tau: float = 0.8,
+    compare_stripes: bool = False,
+    stream_rows: int = 0,
+    chunk_dim: int = 2048,
+) -> Dict:
+    from ..config import AllPairsConfig
+    from ..engine.chunked import ChunkedAllPairs
+    from .scale import synthetic_corpus
+
+    t0 = time.time()
+    csr = synthetic_corpus(n_rows)
+    gen_s = time.time() - t0
+    decided = n_rows * (n_rows - 1) / 2
+
+    eng = ChunkedAllPairs(AllPairsConfig(), chunk_dim=chunk_dim)
+    t0 = time.time()
+    st = eng.build(csr)
+    build_s = time.time() - t0
+
+    report: Dict = {
+        "n_rows": n_rows,
+        "nnz": int(csr.indptr[-1]),
+        "gen_seconds": gen_s,
+        "build_seconds": build_s,
+        "n_chunks": st["n_chunks"],
+        "panel_geom": eng._panel_geom(),
+        "panel_path": eng._panel_ok(),
+    }
+
+    eng.all_pairs(tau)  # warm (compile; default caps)
+    eng.all_pairs(tau)  # warm tight-cap shapes
+    t0 = time.time()
+    res = eng.all_pairs(tau)
+    join_s = time.time() - t0
+    report["join_seconds"] = join_s
+    report["pairs"] = res.n_pairs
+    report["decided_pairs_per_sec"] = decided / join_s
+    report["hbm"] = _hbm_stats()
+
+    if compare_stripes:
+        eng._use_panels = False
+        eng.all_pairs(tau)
+        eng.all_pairs(tau)
+        t0 = time.time()
+        res_s = eng.all_pairs(tau)
+        report["stripe_join_seconds"] = time.time() - t0
+        report["stripe_parity"] = res_s.pair_set() == res.pair_set()
+        eng._use_panels = True
+
+    if stream_rows > 0:
+        extra = synthetic_corpus(stream_rows, seed=99)
+        batch = [(f"s{i}", extra.row(i)) for i in range(extra.n_rows)]
+        times = []
+        bs = 256
+        for s in range(0, len(batch), bs):
+            t0 = time.time()
+            eng.insert(batch[s : s + bs], tau=tau)
+            times.append(time.time() - t0)
+        report["stream"] = {
+            "rows": stream_rows,
+            "batch": bs,
+            "median_batch_seconds": float(np.median(times)),
+            "steady_vectors_per_sec": bs / float(np.median(times)),
+        }
+        report["hbm_after_stream"] = _hbm_stats()
+    return report
+
+
+def main() -> None:
+    import sys
+
+    args = [a for a in sys.argv[1:]]
+    stripes = "--stripes" in args
+    stream = 0
+    if "--stream" in args:
+        k = args.index("--stream")
+        stream = int(args[k + 1])
+        del args[k : k + 2]
+    sizes = [int(a) for a in args if not a.startswith("-")] or [100_000]
+    out = {}
+    for n in sizes:
+        out[str(n)] = run_ooc(
+            n, compare_stripes=stripes, stream_rows=stream
+        )
+        json.dump(out[str(n)], sys.stderr, indent=1)
+        print(file=sys.stderr, flush=True)
+    json.dump(out, sys.stdout, indent=2)
+    print()
+
+
+if __name__ == "__main__":
+    main()

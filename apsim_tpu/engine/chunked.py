@@ -43,10 +43,13 @@ __all__ = ["ChunkedAllPairs"]
 
 class ChunkedAllPairs:
     def __init__(self, config: AllPairsConfig | None = None,
-                 chunk_dim: int = 2048, super_tile: int | None = None):
+                 chunk_dim: int = 2048, super_tile: int | None = None,
+                 panel_rows: int | None = None):
         setup_jax()
         self.cfg = config or AllPairsConfig()
         self.chunk_dim = int(chunk_dim)
+        # panel-join row-block override (tests / tuning); None = auto
+        self.panel_rows = None if panel_rows is None else int(panel_rows)
         # query-stripe width: wide stripes amortize the per-chunk slab
         # densify (the join's second-largest cost after the matmul) over
         # more query columns; auto-sized to a ~6 GB fp32 accumulator budget
@@ -278,6 +281,7 @@ class ChunkedAllPairs:
         self._counts = counts
         self._counts_dev = self._place_counts(counts)
         self._stripe_caps = None  # new corpus: forget grown extraction caps
+        self._panel_caps = None
         # margin bookkeeping (same policy as the dense engine)
         norms = csr.row_norms()
         self._max_norm = float(norms.max()) if norms.size else 0.0
@@ -632,6 +636,268 @@ class ChunkedAllPairs:
         Engine._restore_static_map(eng, path)
         return eng
 
+    # ------------------------------------------------------- panel join (v3)
+    # Block-panel Pallas path: row panels densified once from a row-sorted
+    # int8 COO, every panel pair scored by the cross-block int8 Mosaic kernel
+    # (ops/panel.py).  ~an order of magnitude over the XLA stripe path at
+    # 100k rows; stripes remain the fallback (mesh-sharded entries, int8
+    # safety-gate trips, unsupported geometry).
+
+    _use_panels = True  # class-level opt-out (mesh subclass disables)
+
+    def _panel_ok(self) -> bool:
+        if not (self._use_panels and self.cfg.pallas_int8):
+            return False
+        if self.cfg.use_pallas == "off":
+            return False
+        import jax
+
+        if self.cfg.use_pallas != "on" and jax.default_backend() != "tpu":
+            return False
+        return self._panel_geom() is not None
+
+    def _panel_geom(self):
+        """(rb, tm, tn, tk, n_panels, d_cap) or None when no kernel geometry
+        fits.  ``rb`` minimizes a simple cost model: padded-MXU work
+        (padding rows multiply zeros, quadratically) vs per-panel-pair
+        overhead (compaction + head slot)."""
+        gkey = (self.n_rows, self._n_chunks, self._chunk_width)
+        cached = getattr(self, "_panel_geom_cache", None)
+        if cached is not None and cached[0] == gkey:
+            return cached[1]
+        d_cap = self._n_chunks * self._chunk_width
+        tm = tn = tk = None
+        if d_cap % 2048 == 0:
+            tm, tn, tk = 1024, 512, 2048
+        else:
+            for t in (1024, 512, 256, 128, 64):
+                if d_cap % t == 0:
+                    tm, tn, tk = 64, 64, t
+                    break
+        geom = None
+        if tm is not None and self.panel_rows is not None:
+            rb = self.panel_rows
+            if rb % tm == 0 and rb % tn == 0:
+                padded = round_up(max(self.n_rows, 1), rb)
+                geom = (rb, tm, tn, tk, padded // rb, d_cap)
+        elif tm is not None:
+            budget_rows = max(tm, (1536 << 20) // max(d_cap, 1))
+            best = None
+            rb = tm
+            while rb <= budget_rows:
+                padded = round_up(max(self.n_rows, 1), rb)
+                np_ = padded // rb
+                pairs = np_ * (np_ + 1) // 2
+                cost = (
+                    padded * padded / 2 * d_cap / 390e12 + pairs * 8e-3
+                )
+                if best is None or cost < best[0]:
+                    best = (cost, rb, padded)
+                rb *= 2
+            if best is not None:
+                _, rb, padded = best
+                geom = (rb, tm, tn, tk, padded // rb, d_cap)
+        self._panel_geom_cache = (gkey, geom)
+        return geom
+
+    def _panel_state(self):
+        """Cached per-join device state: row-sorted int8 COO + per-panel
+        starts + padded aux.  Keyed by the immutable values array (any
+        append invalidates) AND the geometry (n_rows growth re-sorts).
+        None when the int32-accumulator safety gate trips."""
+        geom = self._panel_geom()
+        if geom is None:
+            return None
+        rb, tm, tn, tk, n_panels, d_cap = geom
+        key = (self._ent[2], rb)
+        cached = getattr(self, "_panel_state_cache", None)
+        # identity compare: the values array may be a DELETED donated buffer
+        # after an insert — any value comparison on it would throw
+        if (
+            cached is not None
+            and cached[0][0] is key[0]
+            and cached[0][1] == key[1]
+        ):
+            return cached[1]
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import panel as panel_ops
+
+        q2d, aux, max_nnz = chunked_ops.quantize_chunk_entries(
+            self._ent[0], self._ent[2], self.row_cap
+        )
+        if int(max_nnz) >= (1 << 30) // (127 * 127):
+            state = None
+        else:
+            r_s, gc_s, q_s, pcounts = panel_ops.sort_entries_by_row(
+                self._ent[0], self._ent[1], q2d, self._counts_dev,
+                rb, n_panels,
+            )
+            pc = np.asarray(pcounts)[:n_panels].astype(np.int64)
+            starts = np.zeros(n_panels + 1, np.int64)
+            np.cumsum(pc, out=starts[1:])
+            p_cap = pow2_bucket(max(int(pc.max()) if pc.size else 1, 1), 1024)
+            padded = n_panels * rb
+            aux_p = aux
+            if padded != aux.shape[1]:
+                aux_p = (
+                    jnp.pad(aux, ((0, 0), (0, padded - aux.shape[1])))
+                    if padded > aux.shape[1] else aux[:, :padded]
+                )
+            aux_of = [
+                jnp.asarray(
+                    jax.lax.dynamic_slice(aux_p, (0, p * rb), (3, rb))
+                )
+                for p in range(n_panels)
+            ]
+            state = {
+                "geom": geom,
+                "r_s": r_s, "gc_s": gc_s, "q_s": q_s,
+                "starts": starts, "p_cap": p_cap, "aux_of": aux_of,
+            }
+        self._panel_state_cache = (key, state)
+        return state
+
+    def _build_slab(self, state, p: int):
+        from ..ops import panel as panel_ops
+
+        rb, tm, tn, tk, n_panels, d_cap = state["geom"]
+        return panel_ops.build_panel_slab(
+            state["r_s"], state["gc_s"], state["q_s"],
+            np.int32(state["starts"][p]), np.int32(p * rb),
+            rb, d_cap, state["p_cap"],
+        )
+
+    def _all_pairs_panel(self, tau_eff):
+        """Panel-pair sweep; returns (rows, cols) candidate arrays or None
+        (caller falls back to the stripe path)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import panel as panel_ops
+        from ..ops import pallas_score as ps
+
+        state = self._panel_state()
+        if state is None:
+            return None
+        rb, tm, tn, tk, n_panels, d_cap = state["geom"]
+        interpret = jax.default_backend() != "tpu"
+        pack = n_panels * rb <= 65536
+        diag = panel_ops.diag_grid(rb, tm, tn)
+        off = panel_ops.full_grid(rb, rb, tm, tn)
+        diag = (jnp.asarray(diag[0]), jnp.asarray(diag[1]))
+        off = (jnp.asarray(off[0]), jnp.asarray(off[1]))
+        caps = getattr(self, "_panel_caps", None)
+        if caps is None:
+            c = pow2_bucket(int(self.cfg.extract_cap), 1024)
+            cb = max(c // ps.GROUP, 1024)
+            caps = (c, cb, max(cb // (ps.SUPER // ps.GROUP), 1024))
+
+        slab_bytes = rb * d_cap
+        keep_all = n_panels * slab_bytes <= (6 << 30)
+
+        def run_pair(xi, xj, pi, pj, cps):
+            bi, bj = diag if pi == pj else off
+            return panel_ops.panel_pair_extract_int8(
+                xi, xj, state["aux_of"][pi], state["aux_of"][pj],
+                bi, bj, jnp.int32(pi * rb), jnp.int32(pj * rb), tau_eff,
+                cps[0], cps[1], cps[2], tm, tn, tk, interpret, pack,
+            )
+
+        slabs: dict = {}  # keep_all mode: panel -> resident slab
+
+        def slab(p):
+            if p not in slabs:
+                slabs[p] = self._build_slab(state, p)
+            return slabs[p]
+
+        pending = []  # (pi, pj, bufs, head-or-device-packed)
+        seen = (0, 0, 0)
+        for pi in range(n_panels):
+            xi = slab(pi) if keep_all else self._build_slab(state, pi)
+            for pj in range(pi, n_panels):
+                xj = (
+                    xi if pj == pi
+                    else slab(pj) if keep_all
+                    else self._build_slab(state, pj)
+                )
+                bufs, packed = run_pair(xi, xj, pi, pj, caps)
+                if keep_all:
+                    pending.append([pi, pj, bufs, packed])
+                else:
+                    # rolling mode: consume the head now so at most two
+                    # slabs (xi, xj) are ever in flight
+                    bufs, head, caps, got = self._panel_settle(
+                        run_pair, xi, xj, pi, pj, bufs, packed, caps
+                    )
+                    seen = tuple(max(a, b) for a, b in zip(seen, got))
+                    pending.append([pi, pj, bufs, head])
+        del slabs
+
+        if keep_all:
+            # ONE stacked head fetch for the whole sweep (the per-call D2H
+            # round trip here is ~28 ms; 28 panel pairs would pay ~0.8 s)
+            heads = np.asarray(jnp.stack([p[3] for p in pending]))
+            for entry, head in zip(pending, heads):
+                pi, pj = entry[0], entry[1]
+                _, _, total, groups, supers = ps.unpack_pallas_head(head)
+                if total > caps[0] or groups > caps[1] or supers > caps[2]:
+                    caps = (
+                        pow2_bucket(max(total, caps[0]), 1024),
+                        pow2_bucket(max(groups, caps[1]), 1024),
+                        pow2_bucket(max(supers, caps[2]), 1024),
+                    )
+                    xi = self._build_slab(state, pi)
+                    xj = xi if pj == pi else self._build_slab(state, pj)
+                    bufs, packed = run_pair(xi, xj, pi, pj, caps)
+                    head = np.asarray(packed)
+                    _, _, total, groups, supers = ps.unpack_pallas_head(head)
+                    entry[2] = bufs
+                entry[3] = head
+                seen = tuple(
+                    max(a, b)
+                    for a, b in zip(seen, (total, groups, supers))
+                )
+
+        all_i, all_j = [], []
+        for pi, pj, bufs, head in pending:
+            rows_h, cols_h, total, _, _ = ps.unpack_pallas_head(head)
+            if total <= rows_h.size:
+                all_i.append(rows_h[:total])
+                all_j.append(cols_h[:total])
+            else:
+                dec = score_ops.decode_pairs(bufs, total)
+                all_i.append(dec[0])
+                all_j.append(dec[1])
+        tight = tuple(
+            pow2_bucket(max(v + (v >> 2), 1024), 1024) for v in seen
+        )
+        self._panel_caps = tuple(
+            t if t * 8 <= c else c for t, c in zip(tight, caps)
+        )
+        if not all_i:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(all_i), np.concatenate(all_j)
+
+    def _panel_settle(self, run_pair, xi, xj, pi, pj, bufs, packed, caps):
+        """Immediate-fetch settle of one pair (rolling-slab mode), growing
+        caps on overflow; returns (bufs, packed, caps, (total, groups,
+        supers))."""
+        from ..ops import pallas_score as ps
+
+        while True:
+            head = np.asarray(packed)
+            _, _, total, groups, supers = ps.unpack_pallas_head(head)
+            if total <= caps[0] and groups <= caps[1] and supers <= caps[2]:
+                return bufs, head, caps, (total, groups, supers)
+            caps = (
+                pow2_bucket(max(total, caps[0]), 1024),
+                pow2_bucket(max(groups, caps[1]), 1024),
+                pow2_bucket(max(supers, caps[2]), 1024),
+            )
+            bufs, packed = run_pair(xi, xj, pi, pj, caps)
+
     # -------------------------------------------------------------- all_pairs
     def all_pairs(self, tau: float | None = None) -> PairResult:
         with self.timer.section("all_pairs"):
@@ -645,6 +911,10 @@ class ChunkedAllPairs:
                 np.empty(0, np.float64), [],
             )
         tau_eff = self._tau_eff(tau)
+        if self._panel_ok():
+            pairs = self._all_pairs_panel(tau_eff)
+            if pairs is not None:
+                return self._rescore_pairs(pairs[0], pairs[1], tau)
         super_tile = self._q_super()
         all_i: list = []
         all_j: list = []
@@ -694,14 +964,23 @@ class ChunkedAllPairs:
         self._stripe_caps = tuple(
             t if t * 8 <= c else c for t, c in zip(tight, caps)
         )
-        i = np.concatenate(all_i)
-        j = np.concatenate(all_j)
+        return self._rescore_pairs(
+            np.concatenate(all_i), np.concatenate(all_j), tau
+        )
+
+    def _rescore_pairs(self, i, j, tau: float) -> PairResult:
+        """Host fp64 rescore of device candidates — the step that makes the
+        emitted pair set exact regardless of which device path found them."""
+        i = np.asarray(i, np.int64)
+        j = np.asarray(j, np.int64)
+        self.stats["candidates_scored"] += int(i.size)
         shadow = self._shadow.view()
         sims = rescore_ops.pair_dots(
             shadow.indptr, shadow.indices, shadow.data,
             i, j, shadow.n_cols,
         )
         keep = sims >= tau
+        self.stats["pairs_emitted"] += int(keep.sum())
         return PairResult(i[keep], j[keep], sims[keep], list(self.ids))
 
     # ------------------------------------------------------------------- topk

@@ -1,0 +1,111 @@
+"""Rows-sharded mesh fast path: the int8 Pallas join under ``shard_map``.
+
+Round 2 left every multi-device layout on the XLA rectangle path
+(`engine._pallas_ok` required a single device), so per-chip throughput on a
+slice was far below the single-chip Pallas headline.  With ``shard_axis=
+"rows"`` the fix is natural: each device owns a contiguous row block of the
+index, so the global upper-triangle block schedule PARTITIONS by the row
+block — device d runs the cross-block kernel (``ops/panel.py``) over the
+blocks whose rows it owns, against an all-gathered int8 copy of the full
+index.  No psum is needed (rows sharding contracts nothing across devices);
+the only collective is one int8 ``all_gather`` (half the bytes of bf16)
+whose cost rides ICI.
+
+Per-device schedules have unequal lengths (device 0's rows pair with every
+later row; the last device's only with themselves), so they are padded to a
+common length with ``valid=0`` blocks that the kernel epilogue blanks.
+
+Exactness: identical contract to the single-chip kernel — int8 scores plus
+the per-pair quantization bound form a proven candidate superset at
+``tau_eff``; the host fp64 rescore decides the final set.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .pallas_score import _compact_bits
+from .panel import panel_score_bits_int8
+
+__all__ = ["rows_schedule", "mesh_rows_extract_int8"]
+
+
+def rows_schedule(row_cap: int, n_dev: int, tm: int, tn: int):
+    """Per-device block schedules ``(bi, bj, valid) [n_dev, max_blocks]``:
+    device d's blocks are the (bi local to its row block, bj global) tiles
+    containing some strict-upper pair, padded to the longest device's
+    count with ``valid=0``."""
+    b_rows = row_cap // n_dev
+    per: list = []
+    for d in range(n_dev):
+        row0 = d * b_rows
+        bi, bj = np.meshgrid(
+            np.arange(b_rows // tm), np.arange(row_cap // tn), indexing="ij"
+        )
+        keep = (row0 + bi * tm) < ((bj + 1) * tn - 1)
+        per.append((bi[keep], bj[keep]))
+    mx = max(b[0].size for b in per)
+    bi_a = np.zeros((n_dev, mx), np.int32)
+    bj_a = np.zeros((n_dev, mx), np.int32)
+    va_a = np.zeros((n_dev, mx), np.int32)
+    for d, (bi, bj) in enumerate(per):
+        bi_a[d, : bi.size] = bi
+        bj_a[d, : bj.size] = bj
+        va_a[d, : bi.size] = 1
+    return bi_a, bj_a, va_a
+
+
+@functools.lru_cache(maxsize=None)
+def mesh_rows_extract_int8(
+    mesh: Mesh, axis: str, row_cap: int, dim_cap: int,
+    cap: int, capb: int, cap0: int,
+    tm: int, tn: int, tk: int, interpret: bool, pack: bool,
+):
+    """Compiled fn: (x, bi, bj, valid, tau_eff) -> (rows, cols, heads), all
+    stacked ``[n_dev, ...]`` — the full upper-triangle join, one kernel
+    launch per device over its own schedule."""
+    n_dev = int(mesh.devices.size)
+    b_rows = row_cap // n_dev
+
+    def local(x_local, bi_d, bj_d, valid_d, tau_eff):
+        # per-row int8 quantization is row-local under rows sharding
+        ax = jnp.abs(x_local)
+        s = jnp.max(ax, axis=1)
+        alpha = jnp.where(s > 0, s / 127.0, 0.0).astype(jnp.float32)
+        div = jnp.where(s > 0, alpha, 1.0)
+        q = jnp.clip(
+            jnp.round(x_local / div[:, None]), -127, 127
+        ).astype(jnp.int8)
+        l1q = jnp.sum(jnp.abs(q).astype(jnp.float32), axis=1)
+        nnz = jnp.sum((x_local != 0).astype(jnp.float32), axis=1)
+        aux = jnp.stack([alpha, alpha * l1q, nnz])  # [3, b_rows]
+        qg = jax.lax.all_gather(q, axis, axis=0, tiled=True)  # [row_cap, D]
+        auxg = jax.lax.all_gather(aux, axis, axis=1, tiled=True)
+        row0 = (jax.lax.axis_index(axis) * b_rows).astype(jnp.int32)
+        off = jnp.stack([row0, jnp.int32(0)])
+        bi = bi_d.reshape(-1)
+        bj = bj_d.reshape(-1)
+        valid = valid_d.reshape(-1)
+        gb, g64, cnt = panel_score_bits_int8(
+            q, qg, aux, auxg, bi, bj, off, tau_eff, tm, tn, tk,
+            interpret, valid,
+        )
+        (row, col), head = _compact_bits(
+            gb, g64, cnt, bi + row0 // tm, bj, cap, capb, cap0, tm, tn, pack
+        )
+        return row[None], col[None], head[None]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        check_vma=False,  # per-device schedules ARE device-varying
+    )
+    return jax.jit(fn)

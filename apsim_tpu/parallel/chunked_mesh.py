@@ -43,6 +43,9 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
 
     # the shard_map stripe ops are bf16-only (no int8 wiring yet)
     _int8_stripes = False
+    # the panel path assumes single-device entry buffers (row-sort + panel
+    # slabs are not shard_map'd); mesh joins take the stripe path
+    _use_panels = False
 
     def __init__(
         self,

@@ -123,6 +123,120 @@ class MeshEngine(Engine):
     def _place(self, x):
         return jax.device_put(x, self.x_sharding)
 
+    # ----------------------------------------------- rows-sharded fast path
+    # Round 2's gap #3: every multi-device layout fell back to the XLA
+    # rectangle path.  With rows sharding, the upper-triangle block schedule
+    # partitions by row block, so each device runs the int8 Pallas kernel
+    # over its own blocks against one all-gathered int8 index copy
+    # (ops/mesh_pallas.py) — no psum, collectives ride ICI.
+
+    def _mesh_rows_geom(self):
+        """(tm, tn, tk, interpret) when the rows-sharded kernel geometry
+        fits the current capacities, else None."""
+        if self.cfg.shard_axis != "rows" or self.x is None:
+            return None
+        n = self.n_shards
+        if self.row_cap % n:
+            return None
+        b_rows = self.row_cap // n
+        interpret = jax.default_backend() != "tpu"
+        for tm, tn, tk in (((1024, 512, 2048),) if not interpret
+                           else ((1024, 512, 2048), (64, 64, 64))):
+            if (
+                b_rows % tm == 0
+                and self.row_cap % tn == 0
+                and self.dim_cap % tk == 0
+            ):
+                return tm, tn, tk, interpret
+        return None
+
+    def _pallas_ok(self) -> bool:
+        if self.x is not None and len(self.x.devices()) == 1:
+            return super()._pallas_ok()
+        mode = self.cfg.use_pallas
+        if mode == "off" or self.x is None:
+            return False
+        if mode != "on" and jax.default_backend() != "tpu":
+            return False
+        if not (
+            self.cfg.pallas_int8
+            and not getattr(self, "_int8_off", False)
+            and self._max_row_nnz() < ((1 << 30) // (127 * 127))
+            and self.cfg.matmul_precision != "highest"
+        ):
+            return False
+        return self._mesh_rows_geom() is not None
+
+    def _all_pairs_pallas(self, tau_eff, cap: int):
+        if self.x is not None and len(self.x.devices()) == 1:
+            return super()._all_pairs_pallas(tau_eff, cap)
+        return self._all_pairs_pallas_rows(tau_eff, cap)
+
+    def _all_pairs_pallas_rows(self, tau_eff, cap: int):
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+
+        from ..ops import mesh_pallas
+        from ..ops import pallas_score as ps
+        from ..ops import score as score_ops
+        from ..vector.batch import pow2_bucket
+
+        self._used_int8 = True
+        tm, tn, tk, interpret = self._mesh_rows_geom()
+        n = self.n_shards
+        bi, bj, va = mesh_pallas.rows_schedule(self.row_cap, n, tm, tn)
+        sh = NamedSharding(self.mesh, P(AXIS, None))
+        bi_d = jax.device_put(jnp.asarray(bi), sh)
+        bj_d = jax.device_put(jnp.asarray(bj), sh)
+        va_d = jax.device_put(jnp.asarray(va), sh)
+        caps = getattr(self, "_mesh_caps", None)
+        if caps is None:
+            c = pow2_bucket(cap, 1024)
+            cb = max(c // ps.GROUP, 1024)
+            caps = (c, cb, max(cb // (ps.SUPER // ps.GROUP), 1024))
+        pack = self.row_cap <= 65536
+        while True:
+            fn = mesh_pallas.mesh_rows_extract_int8(
+                self.mesh, AXIS, self.row_cap, self.dim_cap, *caps,
+                tm, tn, tk, interpret, pack,
+            )
+            rows, cols, heads = fn(self.x, bi_d, bj_d, va_d, tau_eff)
+            heads_np = np.asarray(heads)
+            parsed = [
+                ps.unpack_pallas_head(heads_np[d]) for d in range(n)
+            ]
+            mx = tuple(
+                max(p[k] for p in parsed) for k in (2, 3, 4)
+            )
+            if mx[0] > caps[0] or mx[1] > caps[1] or mx[2] > caps[2]:
+                caps = (
+                    pow2_bucket(max(mx[0], caps[0]), 1024),
+                    pow2_bucket(max(mx[1], caps[1]), 1024),
+                    pow2_bucket(max(mx[2], caps[2]), 1024),
+                )
+                continue
+            break
+        tight = tuple(
+            pow2_bucket(max(v + (v >> 2), 1024), 1024) for v in mx
+        )
+        self._mesh_caps = tuple(
+            t if t * 8 <= c else c for t, c in zip(tight, caps)
+        )
+        all_i, all_j = [], []
+        for d, (rows_h, cols_h, total, _, _) in enumerate(parsed):
+            if total == 0:
+                continue
+            if total <= rows_h.size:
+                all_i.append(rows_h[:total])
+                all_j.append(cols_h[:total])
+            else:
+                dec = score_ops.decode_pairs((rows[d], cols[d]), total)
+                all_i.append(dec[0])
+                all_j.append(dec[1])
+        if not all_i:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(all_i), np.concatenate(all_j)
+
     def shard_layout(self) -> dict:
         """Introspection: which compact-dim (or row) block each device owns —
         the moral equivalent of the reference's shard→entry routing table

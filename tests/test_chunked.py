@@ -38,6 +38,50 @@ def test_chunked_matches_oracle(corpus):
         assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
 
 
+def test_chunked_panel_path_matches_oracle(corpus):
+    """Block-panel Pallas join (interpret mode off-TPU): multi-panel sweep
+    with off-diagonal pairs, exact parity, cache invalidation on insert."""
+    eng = ChunkedAllPairs(
+        small_cfg(use_pallas="on"), chunk_dim=128, panel_rows=64
+    )
+    eng.build(corpus)
+    assert eng._panel_ok()
+    geom = eng._panel_geom()
+    assert geom[4] >= 2  # n_panels: actually exercises off-diagonal pairs
+    for tau in (0.3, 0.6):
+        assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+    # streaming insert invalidates the sorted-COO cache; join stays exact
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    extra = [(f"x{i}", corpus.row(i)) for i in range(3)]
+    eng.insert(extra, tau=0.6)
+    got = eng.all_pairs(0.6).pair_set()
+    vecs = [corpus.row(i) for i in range(corpus.n_rows)] + [
+        corpus.row(i) for i in range(3)
+    ]
+    allcsr = CSRMatrix.from_vectors(vecs, DIM)
+    ids = [str(i) for i in range(corpus.n_rows)] + [f"x{i}" for i in range(3)]
+    assert got == brute_force_pairs(allcsr, 0.6, ids)
+
+
+def test_chunked_panel_single_panel(corpus):
+    # auto geometry on a small corpus: one panel, diagonal schedule only
+    eng = ChunkedAllPairs(small_cfg(use_pallas="on"), chunk_dim=128)
+    eng.build(corpus)
+    assert eng._panel_ok()
+    assert eng.all_pairs(0.4).pair_set() == brute_force_pairs(corpus, 0.4)
+
+
+def test_chunked_panel_tiny_caps(corpus):
+    # overflow-retry protocol: caps far below the candidate count
+    eng = ChunkedAllPairs(
+        small_cfg(use_pallas="on", extract_cap=1024), chunk_dim=128,
+        panel_rows=64,
+    )
+    eng.build(corpus)
+    assert eng.all_pairs(0.2).pair_set() == brute_force_pairs(corpus, 0.2)
+
+
 def test_chunked_matches_dense_engine(corpus):
     from apsim_tpu import Engine
 

@@ -32,6 +32,42 @@ def mesh8():
     return make_mesh(8)
 
 
+def test_mesh_rows_pallas_fast_path(corpus, mesh8):
+    """Rows-sharded Pallas join under shard_map (interpret off-TPU): the
+    per-shard kernel path — each device scores its own row-block schedule
+    against the all-gathered int8 index — with exact parity."""
+    eng = MeshEngine(
+        mesh_cfg("rows", use_pallas="on", row_bucket=512), mesh=mesh8
+    )
+    eng.build(corpus)
+    assert eng.x.sharding.num_devices == 8
+    assert eng._pallas_ok() and eng._mesh_rows_geom() is not None
+    for tau in (0.4, 0.7):
+        assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+    # streaming insert keeps the fast path exact
+    out = eng.insert([("z0", corpus.row(0))], tau=0.6)
+    assert out.output  # duplicate of row 0 must match
+    assert eng._pallas_ok()
+    got = eng.all_pairs(0.6).pair_set()
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    vecs = [corpus.row(i) for i in range(corpus.n_rows)] + [corpus.row(0)]
+    ids = [str(i) for i in range(corpus.n_rows)] + ["z0"]
+    allcsr = CSRMatrix.from_vectors(vecs, DIM)
+    assert got == brute_force_pairs(allcsr, 0.6, ids)
+
+
+def test_mesh_rows_pallas_tiny_caps(corpus, mesh8):
+    # overflow-retry across the stacked per-device heads
+    eng = MeshEngine(
+        mesh_cfg("rows", use_pallas="on", row_bucket=512, extract_cap=1024),
+        mesh=mesh8,
+    )
+    eng.build(corpus)
+    assert eng._pallas_ok()
+    assert eng.all_pairs(0.2).pair_set() == brute_force_pairs(corpus, 0.2)
+
+
 @pytest.mark.parametrize("axis", ["dims", "rows"])
 def test_mesh_all_pairs_parity(corpus, mesh8, axis):
     eng = MeshEngine(mesh_cfg(axis), mesh=mesh8)

@@ -311,6 +311,16 @@ def chunked_stripe_extract_int8(
         jnp.zeros((row_cap, super_tile), jnp.int32),
     )
     d = jax.lax.optimization_barrier(d)
+    return int8_join_epilogue(d, aux, q0, tau_eff, cap, capb, cap0)
+
+
+def int8_join_epilogue(d, aux, q0, tau_eff, cap: int, capb: int, cap0: int):
+    """Shared int8 stripe epilogue: rescale the EXACT int32 dot stripe,
+    apply the per-pair quantization bound + strict-upper mask, bit-pack and
+    compact.  Used by the single-device int8 stripe AND the mesh-sharded one
+    (where ``d`` arrives as a psum of per-device partial int32 dots — the
+    sum is exact, so the bound proof is unchanged)."""
+    row_cap, super_tile = d.shape
     ai = aux[0][:, None]
     bi_b = aux[1][:, None]
     ni = aux[2][:, None]

@@ -27,11 +27,18 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .chunked import _densify_chunk, join_epilogue_bits, match_epilogue
+from .chunked import (
+    _densify_chunk,
+    int8_join_epilogue,
+    join_epilogue_bits,
+    match_epilogue,
+)
 from .score import _precision
 
 __all__ = [
     "mesh_stripe_extract",
+    "mesh_stripe_extract_int8",
+    "mesh_quantize_chunk_entries",
     "mesh_match_extract",
     "mesh_topk",
     "mesh_append_entries",
@@ -88,6 +95,92 @@ def mesh_stripe_extract(
         mesh=mesh,
         in_specs=(
             P(axis, None), P(axis, None), P(axis, None), P(axis), P(), P(),
+        ),
+        out_specs=((P(), P()), P()),
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def mesh_quantize_chunk_entries(mesh: Mesh, axis: str, row_cap: int):
+    """Compiled fn: (rows2d, vals2d) -> (q2d, aux, max_nnz) — per-row int8
+    quantization of the SHARDED entry buffers.  A device only sees its own
+    chunks (a row's dims are split across devices), so the per-row maxima /
+    L1 / nnz are assembled with pmax/psum before quantizing locally; ``aux``
+    comes out replicated, ``q2d`` stays chunk-sharded.  Same α = 0 rule for
+    empty rows as the single-device path."""
+
+    def local(rows2d, vals2d):
+        flat_r = rows2d.reshape(-1)
+        flat_v = vals2d.reshape(-1)
+        absv = jnp.abs(flat_v)
+        mx = jnp.zeros((row_cap,), jnp.float32).at[flat_r].max(
+            absv, mode="drop"
+        )
+        mx = jax.lax.pmax(mx, axis)
+        alpha = jnp.where(mx > 0, mx / 127.0, 0.0)
+        safe_r = jnp.minimum(flat_r, row_cap - 1)
+        div = jnp.where(alpha[safe_r] > 0, alpha[safe_r], 1.0)
+        q = jnp.clip(jnp.round(flat_v / div), -127, 127).astype(jnp.int8)
+        l1q = jnp.zeros((row_cap,), jnp.float32).at[flat_r].add(
+            jnp.abs(q).astype(jnp.float32), mode="drop"
+        )
+        l1q = jax.lax.psum(l1q, axis)
+        nnz = jnp.zeros((row_cap,), jnp.float32).at[flat_r].add(
+            (flat_v != 0).astype(jnp.float32), mode="drop"
+        )
+        nnz = jax.lax.psum(nnz, axis)
+        aux = jnp.stack([alpha, alpha * l1q, nnz])
+        return q.reshape(rows2d.shape), aux, jnp.max(nnz).astype(jnp.int32)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def mesh_stripe_extract_int8(
+    mesh: Mesh, axis: str, row_cap: int, chunk_dim: int, super_tile: int,
+    cap: int, capb: int, cap0: int,
+):
+    """int8 variant of ``mesh_stripe_extract``: per-device int8 slabs and
+    EXACT int32 partial dots, psum'd over ICI, then the shared per-pair
+    quantization-bound epilogue (``chunked.int8_join_epilogue``) replicated.
+    The int32 psum is exact, so the bound proof carries over unchanged."""
+
+    def local(rows2d, cols2d, q2d, counts, aux, q0, tau_eff):
+        n_local = rows2d.shape[0]
+
+        def chunk_body(c, acc):
+            slab = _densify_chunk(
+                rows2d, cols2d, q2d, counts, c, row_cap, chunk_dim, jnp.int8
+            )
+            q = jax.lax.dynamic_slice(slab, (q0, 0), (super_tile, chunk_dim))
+            return acc + jax.lax.dot_general(
+                slab, q,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        d = jax.lax.fori_loop(
+            0, n_local, chunk_body,
+            _varying(jnp.zeros((row_cap, super_tile), jnp.int32), axis),
+        )
+        d = jax.lax.psum(d, axis)
+        d = jax.lax.optimization_barrier(d)
+        return int8_join_epilogue(d, aux, q0, tau_eff, cap, capb, cap0)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis, None), P(axis, None), P(axis), P(),
+            P(), P(),
         ),
         out_specs=((P(), P()), P()),
     )

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .pallas_score import _compact_bits
-from .panel import panel_score_bits_int8
+from .panel import panel_score_bits_int8, panel_score_bits_int8_ref
 
 __all__ = ["rows_schedule", "mesh_rows_extract_int8"]
 
@@ -91,10 +91,17 @@ def mesh_rows_extract_int8(
         bi = bi_d.reshape(-1)
         bj = bj_d.reshape(-1)
         valid = valid_d.reshape(-1)
-        gb, g64, cnt = panel_score_bits_int8(
-            q, qg, aux, auxg, bi, bj, off, tau_eff, tm, tn, tk,
-            interpret, valid,
-        )
+        if interpret:
+            # Mosaic's TPU interpreter inside a multi-device shard_map
+            # hangs on the CPU backend; tests emulate the kernel in XLA
+            gb, g64, cnt = panel_score_bits_int8_ref(
+                q, qg, aux, auxg, bi, bj, off, tau_eff, tm, tn, valid
+            )
+        else:
+            gb, g64, cnt = panel_score_bits_int8(
+                q, qg, aux, auxg, bi, bj, off, tau_eff, tm, tn, tk,
+                interpret, valid,
+            )
         (row, col), head = _compact_bits(
             gb, g64, cnt, bi + row0 // tm, bj, cap, capb, cap0, tm, tn, pack
         )

@@ -176,6 +176,59 @@ def _kernel_int8_cross(bi_ref, bj_ref, valid_ref, off_ref, tau_ref, x_ref,
         )
 
 
+def panel_score_bits_int8_ref(
+    xi, xj, auxi, auxj, bi, bj, off, tau_eff,
+    tm: int, tn: int, valid=None,
+):
+    """Pure-XLA reference of the cross kernel (same gb/g64/cnt contract).
+
+    Used off-TPU under ``shard_map`` — the Mosaic TPU interpreter inside a
+    multi-device shard_map program effectively hangs on the CPU backend, so
+    mesh tests exercise the shard_map plumbing (schedules, gather, offsets,
+    compaction) against this emulation while the kernel itself is covered
+    by the single-device interpret tests."""
+    n_blocks = bi.shape[0]
+    if valid is None:
+        valid = jnp.ones((n_blocks,), jnp.int32)
+    s_full = jax.lax.dot_general(
+        xi, xj,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    def one_block(b_i, b_j, v):
+        d = jax.lax.dynamic_slice(s_full, (b_i * tm, b_j * tn), (tm, tn))
+        ai = jax.lax.dynamic_slice(auxi, (0, b_i * tm), (3, tm))
+        aj = jax.lax.dynamic_slice(auxj, (0, b_j * tn), (3, tn))
+        s_hat = d.astype(jnp.float32) * (ai[0][:, None] * aj[0][None, :])
+        bound = (
+            0.5 * (aj[0][None, :] * ai[1][:, None]
+                   + ai[0][:, None] * aj[1][None, :])
+            + 0.25 * (ai[0][:, None] * aj[0][None, :])
+            * jnp.minimum(ai[2][:, None], aj[2][None, :])
+        )
+        m = (s_hat + bound) >= tau_eff
+        rows = off[0] + b_i * tm + jax.lax.broadcasted_iota(
+            jnp.int32, (tm, tn), 0
+        )
+        cols = off[1] + b_j * tn + jax.lax.broadcasted_iota(
+            jnp.int32, (tm, tn), 1
+        )
+        mi = (m & (rows < cols)).astype(jnp.int32) * v
+        gbi, g_any, g64i = bitpack_mask(mi)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        cnt = jnp.where(
+            lane == 0,
+            jnp.sum(mi),
+            jnp.where(
+                lane == 1, jnp.sum(g_any), jnp.where(lane == 2, jnp.sum(g64i), 0)
+            ),
+        )
+        return gbi.astype(jnp.uint8), g64i.astype(jnp.uint8), cnt
+
+    return jax.vmap(one_block)(bi, bj, valid)
+
+
 @functools.partial(
     jax.jit, static_argnames=("tm", "tn", "tk", "interpret")
 )

@@ -41,7 +41,12 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
     visible devices (``config.mesh_shape`` may pin a smaller 1-D mesh).
     """
 
-    # the shard_map stripe ops are bf16-only (no int8 wiring yet)
+    # int8 stripes are WIRED for the mesh (mesh_quantize_chunk_entries +
+    # mesh_stripe_extract_int8, exact int32 psum) but stay opt-in, same as
+    # the single-device engine: the XLA-lowered int8 scatter/dot measured
+    # SLOWER than bf16 slabs on v5e (15.0 s vs 9.4 s at 100k rows) — only
+    # Mosaic kernels reach the native int8 path.  Set the attribute True to
+    # enable (parity is exact either way).
     _int8_stripes = False
     # the panel path assumes single-device entry buffers (row-sort + panel
     # slabs are not shard_map'd); mesh joins take the stripe path
@@ -107,8 +112,42 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
         )
         self._ent = fn(*self._ent)
 
+    def _int8_slabs(self):
+        """Mesh analog of ChunkedAllPairs._int8_slabs: per-row maxima and
+        bound ingredients assembled across the chunk shards (pmax/psum);
+        q2d stays chunk-sharded, aux replicated.  Cached by the immutable
+        values array; None when disabled or the int32 gate trips."""
+        if not (self._int8_stripes and self.cfg.pallas_int8):
+            return None
+        key = self._ent[2]
+        cached = getattr(self, "_q8_cache", None)
+        if cached is not None and cached[0] is key:
+            return cached[1]
+        fn = cm_ops.mesh_quantize_chunk_entries(
+            self.mesh, AXIS, self.row_cap
+        )
+        q2d, aux, max_nnz = fn(self._ent[0], self._ent[2])
+        if int(max_nnz) >= (1 << 30) // (127 * 127):
+            self._int8_stripes = False  # shadow the class flag
+            self._q8_cache = None
+            return None
+        out = (q2d, aux)
+        self._q8_cache = (key, out)
+        return out
+
     def _op_stripe(self, q0: int, tau_eff, super_tile: int, caps):
         cap, capb, cap0 = caps
+        q8 = self._int8_slabs()
+        if q8 is not None:
+            q2d, aux = q8
+            fn = cm_ops.mesh_stripe_extract_int8(
+                self.mesh, AXIS, self.row_cap, self._chunk_width, super_tile,
+                cap, capb, cap0,
+            )
+            return fn(
+                self._ent[0], self._ent[1], q2d, self._counts_dev, aux,
+                np.int32(q0), tau_eff,
+            )
         fn = cm_ops.mesh_stripe_extract(
             self.mesh, AXIS, self.row_cap, self._chunk_width, super_tile,
             cap, capb, cap0, self.cfg.matmul_precision,

@@ -37,6 +37,18 @@ def test_mesh_chunked_matches_oracle(corpus, mesh):
         assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
 
 
+def test_mesh_chunked_int8_stripes_opt_in_matches(corpus, mesh):
+    """Mesh int8 stripes: per-row quantization assembled across chunk
+    shards (pmax/psum), exact int32 partial-dot psum, per-pair bound
+    epilogue — same pair set as the bf16 stripe path."""
+    eng = MeshChunkedAllPairs(small_cfg(), mesh=mesh, chunk_dim=32)
+    eng._int8_stripes = True
+    eng.build(corpus)
+    assert eng._int8_slabs() is not None  # gate passed, cache primed
+    for tau in (0.4, 0.7):
+        assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+
+
 def test_mesh_chunked_entries_actually_sharded(corpus, mesh):
     eng = MeshChunkedAllPairs(small_cfg(), mesh=mesh, chunk_dim=32)
     eng.build(corpus)

@@ -1,0 +1,197 @@
+"""Multi-host serving: a replicated op log in front of the SPMD engine.
+
+The reference routes client inserts through a cluster-aware round-robin
+router (SimilaritySearchService.scala:28-32) onto independent actor state.
+A ``jax.distributed`` mesh is NOT independent state: every device op on a
+global-mesh array is a collective program that all host processes must
+enter in the same order with the same operands.  So multi-host serving is a
+replicated state machine:
+
+  - the COORDINATOR (process 0) runs the public ``RpcServer`` and wraps its
+    engine in :class:`OpLogLeader` — every state-bearing or collective-
+    entering engine call (insert / all_pairs / topk / freeze / …) is first
+    shipped as one JSON line to every follower, then executed locally;
+  - each FOLLOWER runs :func:`follow`, replaying the log against its own
+    engine replica — the replay IS the matching collective entry, so the
+    global mesh advances in lockstep.  The TCP log gives total order, the
+    jit'd collectives give the barrier.
+
+Deferred-insert pipelining is disabled under replication: a leader-side
+``PendingInsert`` would issue its overflow-retry device call at
+``result()`` time while followers issue it inline, reordering collectives
+across processes (deadlock).  Inserts complete synchronously instead.
+
+Followers need no dial-back channel: queries are answered by the leader
+(results already live there), mirroring the reference's single
+``outputActor`` sink (conf/app_server_template.conf:8).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+from typing import List
+
+from ..engine.engine import _CompletedInsert
+from .rpc import vectors_to_wire, wire_to_vectors
+
+__all__ = ["OpLogLeader", "follow"]
+
+
+class OpLogLeader:
+    """Engine wrapper: ships every replicated op to followers, then runs it.
+
+    Duck-types the engine surface ``SimilarityServer`` uses; everything not
+    explicitly wrapped (stats, ids, cfg, save, …) delegates to the inner
+    engine — those are host-local reads or leader-only persistence.
+    """
+
+    REPLICATED = (
+        "insert", "all_pairs", "topk", "freeze", "unfreeze",
+        "set_max_weight_map", "build",
+    )
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 n_followers: int = 1):
+        self.engine = engine
+        self._lock = threading.Lock()
+        self._srv = socket.create_server((host, port))
+        self.host, self.port = self._srv.getsockname()[:2]
+        self._conns: List[socket.socket] = []
+        self._files = []
+        self._n = n_followers
+
+    def wait_followers(self) -> None:
+        """Block until every follower has dialed in (seed-node join)."""
+        while len(self._conns) < self._n:
+            c, _ = self._srv.accept()
+            self._conns.append(c)
+            self._files.append(c.makefile("w", encoding="utf-8"))
+
+    def _ship(self, op: dict) -> None:
+        line = json.dumps(op)
+        for f in self._files:
+            f.write(line + "\n")
+            f.flush()
+
+    # ------------------------------------------------------- replicated ops
+    def build(self, vectors, ids=None):
+        import numpy as np
+
+        from ..engine.engine import _as_csr
+
+        csr, out_ids = _as_csr(vectors, ids, self.engine.cfg.vector_dim)
+        with self._lock:
+            self._ship({
+                "op": "build",
+                "indptr": np.asarray(csr.indptr).tolist(),
+                "indices": np.asarray(csr.indices).tolist(),
+                "data": np.asarray(csr.data).tolist(),
+                "ids": list(out_ids),
+            })
+            return self.engine.build(csr, out_ids)
+
+    def insert(self, vectors, tau=None, bulk=False, defer=False):
+        with self._lock:
+            self._ship({
+                "op": "insert",
+                "vectors": vectors_to_wire(vectors),
+                "tau": tau,
+                "bulk": bulk,
+            })
+            out = self.engine.insert(vectors, tau=tau, bulk=bulk)
+        # synchronous under replication (see module docstring); keep the
+        # defer-shaped return so the server's pipelining code runs unchanged
+        return _CompletedInsert(out) if defer else out
+
+    def all_pairs(self, tau=None):
+        with self._lock:
+            self._ship({"op": "all_pairs", "tau": tau})
+            return self.engine.all_pairs(tau)
+
+    def topk(self, queries, k: int):
+        with self._lock:
+            self._ship({
+                "op": "topk", "queries": vectors_to_wire(queries), "k": k,
+            })
+            return self.engine.topk(queries, k)
+
+    def freeze(self) -> None:
+        with self._lock:
+            self._ship({"op": "freeze"})
+            self.engine.freeze()
+
+    def unfreeze(self) -> None:
+        with self._lock:
+            self._ship({"op": "unfreeze"})
+            self.engine.unfreeze()
+
+    def set_max_weight_map(self, weights) -> None:
+        import numpy as np
+
+        with self._lock:
+            self._ship({
+                "op": "set_max_weight_map",
+                "weights": np.asarray(weights).tolist(),
+            })
+            self.engine.set_max_weight_map(weights)
+
+    def close(self) -> None:
+        """End the log: followers' replay loops return."""
+        with self._lock:
+            self._ship({"op": "shutdown"})
+        for f in self._files:
+            f.close()
+        for c in self._conns:
+            c.close()
+        self._srv.close()
+
+    def __getattr__(self, name):
+        return getattr(self.engine, name)
+
+
+def follow(engine, leader_host: str, leader_port: int) -> int:
+    """Follower replay loop: apply the leader's op log to ``engine`` until
+    shutdown; returns the number of ops replayed.  Every replicated op
+    enters the same global-mesh collectives the leader's execution does —
+    this call IS the follower's participation in the SPMD programs."""
+    import numpy as np
+
+    from ..vector.batch import CSRMatrix
+
+    sock = socket.create_connection((leader_host, leader_port))
+    n_ops = 0
+    with sock, sock.makefile("r", encoding="utf-8") as f:
+        for line in f:
+            msg = json.loads(line)
+            op = msg["op"]
+            if op == "shutdown":
+                break
+            n_ops += 1
+            if op == "build":
+                csr = CSRMatrix(
+                    len(msg["indptr"]) - 1, engine.cfg.vector_dim,
+                    np.asarray(msg["indptr"], np.int64),
+                    np.asarray(msg["indices"], np.int32),
+                    np.asarray(msg["data"], np.float64),
+                )
+                engine.build(csr, msg["ids"])
+            elif op == "insert":
+                engine.insert(
+                    wire_to_vectors(msg["vectors"]),
+                    tau=msg["tau"], bulk=msg["bulk"],
+                )
+            elif op == "all_pairs":
+                engine.all_pairs(msg["tau"])
+            elif op == "topk":
+                engine.topk(wire_to_vectors(msg["queries"]), msg["k"])
+            elif op == "freeze":
+                engine.freeze()
+            elif op == "unfreeze":
+                engine.unfreeze()
+            elif op == "set_max_weight_map":
+                engine.set_max_weight_map(
+                    np.asarray(msg["weights"], np.float64)
+                )
+    return n_ops

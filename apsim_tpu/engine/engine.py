@@ -589,9 +589,9 @@ class Engine:
                 pallas_score.unpack_pallas_head(np.asarray(packed))
             )
             eff_capb = capb or max(cap // pallas_score.GROUP, 1024)
-            eff_cap0 = cap0 or max(
-                eff_capb // (pallas_score.SUPER // pallas_score.GROUP), 1024
-            )
+            eff_cap0 = cap0 or eff_capb  # generous: avoids a first-call
+            # overflow retry (an extra cold executable); tightening shrinks
+            # it to the observed counts from call 2 on
             if total > cap or groups > eff_capb or supers > eff_cap0:
                 cap = pow2_bucket(max(total, cap), 1024)
                 capb = pow2_bucket(max(groups, eff_capb), 1024)

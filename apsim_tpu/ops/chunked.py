@@ -216,7 +216,9 @@ def chunked_stripe_extract(
     from .pallas_score import GROUP, SUPER
 
     capb = capb or max(cap // GROUP, 1024)
-    cap0 = cap0 or max(capb // (SUPER // GROUP), 1024)
+    cap0 = cap0 or capb  # level-0 cap only sizes a tiny gather; a
+    # generous default avoids a first-call overflow retry (a whole extra
+    # executable compile cold -- VERDICT r2 cold-start item)
     n_chunks = rows2d.shape[0]
     prec = _precision(precision)
     sdt = jnp.float32 if precision == "highest" else jnp.bfloat16
@@ -292,7 +294,9 @@ def chunked_stripe_extract_int8(
     from .pallas_score import GROUP, SUPER
 
     capb = capb or max(cap // GROUP, 1024)
-    cap0 = cap0 or max(capb // (SUPER // GROUP), 1024)
+    cap0 = cap0 or capb  # level-0 cap only sizes a tiny gather; a
+    # generous default avoids a first-call overflow retry (a whole extra
+    # executable compile cold -- VERDICT r2 cold-start item)
     n_chunks = rows2d.shape[0]
 
     def chunk_body(c, acc):

@@ -271,7 +271,9 @@ def allpairs_extract_pallas(
     capacity (entries past a cap are dropped, counts stay exact).
     """
     capb = capb or max(cap // GROUP, 1024)
-    cap0 = cap0 or max(capb // (SUPER // GROUP), 1024)
+    cap0 = cap0 or capb  # generous default: cap0 only sizes the level-1
+    # gather domain (cap0 x 8 elements); undersizing it costs a whole
+    # overflow-retry executable on the first cold call
     gb, g64, cnt = pallas_score_bits(
         x.astype(jnp.bfloat16), bi, bj, tau_eff, tm, tn, tk, interpret
     )
@@ -488,7 +490,9 @@ def allpairs_extract_pallas_int8(
     """int8 variant of ``allpairs_extract_pallas``: same ((row, col), head)
     contract, per-pair quantization bound fused into the epilogue."""
     capb = capb or max(cap // GROUP, 1024)
-    cap0 = cap0 or max(capb // (SUPER // GROUP), 1024)
+    cap0 = cap0 or capb  # generous default: cap0 only sizes the level-1
+    # gather domain (cap0 x 8 elements); undersizing it costs a whole
+    # overflow-retry executable on the first cold call
     gb, g64, cnt = pallas_score_bits_int8(
         xq, aux, bi, bj, tau_eff, tm, tn, tk, interpret
     )

@@ -193,7 +193,7 @@ class MeshEngine(Engine):
         if caps is None:
             c = pow2_bucket(cap, 1024)
             cb = max(c // ps.GROUP, 1024)
-            caps = (c, cb, max(cb // (ps.SUPER // ps.GROUP), 1024))
+            caps = (c, cb, cb)  # generous cap0 default: see pallas_score
         pack = self.row_cap <= 65536
         while True:
             fn = mesh_pallas.mesh_rows_extract_int8(

@@ -739,7 +739,14 @@ class ChunkedAllPairs:
             pc = np.asarray(pcounts)[:n_panels].astype(np.int64)
             starts = np.zeros(n_panels + 1, np.int64)
             np.cumsum(pc, out=starts[1:])
-            p_cap = pow2_bucket(max(int(pc.max()) if pc.size else 1, 1), 1024)
+            # clamp to the flat entry-array length: a non-pow2 n_chunks can
+            # make the pow2 bucket exceed it, and dynamic_slice sizes must
+            # not outgrow the operand (max panel count <= flat always)
+            flat = int(np.prod(self._ent[0].shape))
+            p_cap = min(
+                pow2_bucket(max(int(pc.max()) if pc.size else 1, 1), 1024),
+                flat,
+            )
             padded = n_panels * rb
             aux_p = aux
             if padded != aux.shape[1]:

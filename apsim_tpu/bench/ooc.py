@@ -39,6 +39,7 @@ def run_ooc(
     compare_stripes: bool = False,
     stream_rows: int = 0,
     chunk_dim: int = 2048,
+    panel_rows: int | None = None,
 ) -> Dict:
     from ..config import AllPairsConfig
     from ..engine.chunked import ChunkedAllPairs
@@ -49,7 +50,9 @@ def run_ooc(
     gen_s = time.time() - t0
     decided = n_rows * (n_rows - 1) / 2
 
-    eng = ChunkedAllPairs(AllPairsConfig(), chunk_dim=chunk_dim)
+    eng = ChunkedAllPairs(
+        AllPairsConfig(), chunk_dim=chunk_dim, panel_rows=panel_rows
+    )
     t0 = time.time()
     st = eng.build(csr)
     build_s = time.time() - t0

@@ -690,8 +690,15 @@ class ChunkedAllPairs:
                 padded = round_up(max(self.n_rows, 1), rb)
                 np_ = padded // rb
                 pairs = np_ * (np_ + 1) // 2
+                # per-pair overhead calibrated on v5e (round 3): ~1 ms when
+                # all slabs stay resident (stacked single head fetch),
+                # ~30 ms in rolling mode (per-pair sync fetch bounds the
+                # in-flight slab memory).  Measured at 100k: rb=8192 1.37 s
+                # vs rb=16384 1.50 s vs rb=32768 3.0 s.
+                keep_all = np_ * rb * d_cap <= (6 << 30)
+                per_pair = 1e-3 if keep_all else 30e-3
                 cost = (
-                    padded * padded / 2 * d_cap / 390e12 + pairs * 8e-3
+                    padded * padded / 2 * d_cap / 390e12 + pairs * per_pair
                 )
                 if best is None or cost < best[0]:
                     best = (cost, rb, padded)

@@ -59,6 +59,8 @@ __all__ = [
 
 GROUP = 8  # rows per bit-packed byte (fixed: the uint8 width)
 SUPER = 64  # rows per level-0 super-group (8 group bytes)
+SUPER2 = 512  # rows per pre-level cell (XLA-reduced from g64 at compaction
+              # time — not a kernel output; see _compact_bits)
 
 HEAD_PALLAS = 32768  # pairs carried inline in the packed head (one fetch)
 
@@ -290,15 +292,54 @@ def _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn,
     supers = jnp.sum(cnt[:, 0, 2])
     # ---- level 0: hit super-groups (64 rows) over the whole structure
     per0 = (tm // SUPER) * tn
-    (b0,) = jnp.nonzero(
-        (g64 != 0).reshape(-1), size=cap0, fill_value=n_blocks * per0
-    )
-    v0 = b0 < n_blocks * per0
-    b0c = jnp.where(v0, b0, 0)
-    p0 = (b0c // per0).astype(jnp.int32)
-    rem0 = b0c % per0
-    s0 = (rem0 // tn).astype(jnp.int32)  # super index within block
-    c0 = (rem0 % tn).astype(jnp.int32)  # column within block
+    if (tm // SUPER) % (SUPER2 // SUPER) == 0:
+        # pre-level: reduce g64 to 512-row any-hit cells first.  The
+        # reduce is bandwidth-cheap (one pass over g64), while jnp.nonzero
+        # costs ~9 ns/element — so scanning the 8× smaller g512 domain and
+        # gathering the g64 bytes under its hits (≤ cap0 of them: hit-512s
+        # ≤ hit supers, so cap0 bounds both and the overflow contract is
+        # unchanged) removes the largest corpus-sized scan.  At 100k rows
+        # the level-0 scan was ~0.9 s of the 2.3 s panel join; at 500k it
+        # would have been ~19 s.
+        r8 = SUPER2 // SUPER
+        per00 = (tm // SUPER2) * tn
+        g512 = jnp.max(
+            g64.reshape(n_blocks, tm // SUPER2, r8, tn), axis=2
+        )
+        (b00,) = jnp.nonzero(
+            (g512 != 0).reshape(-1), size=cap0,
+            fill_value=n_blocks * per00,
+        )
+        v00 = b00 < n_blocks * per00
+        b00c = jnp.where(v00, b00, 0)
+        p00 = (b00c // per00).astype(jnp.int32)
+        rem00 = b00c % per00
+        s00 = (rem00 // tn).astype(jnp.int32)
+        c00 = (rem00 % tn).astype(jnp.int32)
+        bytes00 = g64.reshape(n_blocks, tm // SUPER2, r8, tn)[
+            p00, s00, :, c00
+        ]  # [cap0, r8]
+        bytes00 = jnp.where(v00[:, None], bytes00, 0)
+        (f0,) = jnp.nonzero(
+            (bytes00 != 0).reshape(-1), size=cap0, fill_value=cap0 * r8
+        )
+        v0 = f0 < cap0 * r8
+        f0c = jnp.where(v0, f0, 0)
+        slot00 = (f0c // r8).astype(jnp.int32)
+        o00 = (f0c % r8).astype(jnp.int32)
+        p0 = p00[slot00]
+        s0 = s00[slot00] * r8 + o00  # super index within block
+        c0 = c00[slot00]  # column within block
+    else:
+        (b0,) = jnp.nonzero(
+            (g64 != 0).reshape(-1), size=cap0, fill_value=n_blocks * per0
+        )
+        v0 = b0 < n_blocks * per0
+        b0c = jnp.where(v0, b0, 0)
+        p0 = (b0c // per0).astype(jnp.int32)
+        rem0 = b0c % per0
+        s0 = (rem0 // tn).astype(jnp.int32)  # super index within block
+        c0 = (rem0 % tn).astype(jnp.int32)  # column within block
     # ---- level 1: hit group bytes within each hit super (8 bytes each)
     gb4 = gb.reshape(n_blocks, tm // SUPER, SUPER // GROUP, tn)
     bytes0 = gb4[p0, s0, :, c0]  # [cap0, 8] uint8

@@ -77,6 +77,9 @@ class OpLogLeader:
 
     # ------------------------------------------------------- replicated ops
     def build(self, vectors, ids=None):
+        # JSON-encoded CSR: fine for serving bootstraps (the steady path is
+        # streaming inserts); bulk-load TB-scale corpora through a shared
+        # VectorStore + load_data on every process instead
         import numpy as np
 
         from ..engine.engine import _as_csr

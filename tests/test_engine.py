@@ -468,6 +468,37 @@ def CSRMatrix_from(vecs):
     return CSRMatrix.from_vectors(vecs, DIM)
 
 
+def test_compact_bits_prelevel_matches_oracle(corpus):
+    """tm=512 activates the SUPER2 pre-level in _compact_bits (the XLA
+    g512 reduce + 8x smaller nonzero); pair set must stay exact."""
+    import jax.numpy as jnp
+
+    from apsim_tpu.ops import pallas_score as ps
+
+    eng = Engine(small_cfg(use_pallas="off", query_tile=512,
+                           row_bucket=512, dim_bucket=2048))
+    eng.build(corpus)
+    assert eng.row_cap % 512 == 0
+    assert (512 // ps.SUPER) % (ps.SUPER2 // ps.SUPER) == 0
+    q8, aux = ps.quantize_rows(eng.x)
+    tm = tn = 512
+    bi, bj = ps.upper_blocks_rect(eng.row_cap, tm, tn)
+    (rows, cols), packed = ps.allpairs_extract_pallas_int8(
+        q8, aux, jnp.asarray(bi), jnp.asarray(bj), np.float32(0.45),
+        cap=65536, tm=tm, tn=tn, tk=eng.dim_cap, interpret=True,
+    )
+    _, _, total, _, _ = ps.unpack_pallas_head(np.asarray(packed))
+    got = set(
+        zip(np.asarray(rows)[:total].tolist(),
+            np.asarray(cols)[:total].tolist())
+    )
+    # candidates must be a superset of the true pair set at tau=0.5
+    # (int8 bound admits at tau_eff=0.45), and every true pair present
+    want = brute_force_pairs(corpus, 0.5)
+    want_idx = {tuple(sorted((int(a), int(b)))) for a, b in want}
+    assert want_idx <= got
+
+
 def test_pallas_int8_excludes_padded_rows(corpus):
     # regression: padded (all-zero) rows must have a ZERO error bound —
     # with the old alpha=1 fallback every padded x real pair leaked through

@@ -785,6 +785,41 @@ class ChunkedAllPairs:
             rb, d_cap, state["p_cap"],
         )
 
+    def _panel_schedules(self, state):
+        """(diag, off) block schedules as device arrays, cached on state."""
+        import jax.numpy as jnp
+
+        from ..ops import panel as panel_ops
+
+        if "schedules" not in state:
+            rb, tm, tn, _, _, _ = state["geom"]
+            diag = panel_ops.diag_grid(rb, tm, tn)
+            off = panel_ops.full_grid(rb, rb, tm, tn)
+            state["schedules"] = (
+                (jnp.asarray(diag[0]), jnp.asarray(diag[1])),
+                (jnp.asarray(off[0]), jnp.asarray(off[1])),
+            )
+        return state["schedules"]
+
+    def _op_panel_pair(self, state, xi, xj, pi, pj, tau_eff, caps, pack):
+        """One panel pair through the single-device cross kernel (the mesh
+        subclass reroutes this through shard_map: sharded slabs, per-device
+        partial dot, int32 psum, replicated epilogue)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import panel as panel_ops
+
+        rb, tm, tn, tk, n_panels, d_cap = state["geom"]
+        diag, off = self._panel_schedules(state)
+        bi, bj = diag if pi == pj else off
+        return panel_ops.panel_pair_extract_int8(
+            xi, xj, state["aux_of"][pi], state["aux_of"][pj],
+            bi, bj, jnp.int32(pi * rb), jnp.int32(pj * rb), tau_eff,
+            caps[0], caps[1], caps[2], tm, tn, tk,
+            jax.default_backend() != "tpu", pack,
+        )
+
     def _all_pairs_panel(self, tau_eff):
         """Panel-pair sweep; returns (rows, cols) candidate arrays or None
         (caller falls back to the stripe path)."""
@@ -798,12 +833,7 @@ class ChunkedAllPairs:
         if state is None:
             return None
         rb, tm, tn, tk, n_panels, d_cap = state["geom"]
-        interpret = jax.default_backend() != "tpu"
         pack = n_panels * rb <= 65536
-        diag = panel_ops.diag_grid(rb, tm, tn)
-        off = panel_ops.full_grid(rb, rb, tm, tn)
-        diag = (jnp.asarray(diag[0]), jnp.asarray(diag[1]))
-        off = (jnp.asarray(off[0]), jnp.asarray(off[1]))
         caps = getattr(self, "_panel_caps", None)
         if caps is None:
             c = pow2_bucket(int(self.cfg.extract_cap), 1024)
@@ -814,11 +844,8 @@ class ChunkedAllPairs:
         keep_all = n_panels * slab_bytes <= (6 << 30)
 
         def run_pair(xi, xj, pi, pj, cps):
-            bi, bj = diag if pi == pj else off
-            return panel_ops.panel_pair_extract_int8(
-                xi, xj, state["aux_of"][pi], state["aux_of"][pj],
-                bi, bj, jnp.int32(pi * rb), jnp.int32(pj * rb), tau_eff,
-                cps[0], cps[1], cps[2], tm, tn, tk, interpret, pack,
+            return self._op_panel_pair(
+                state, xi, xj, pi, pj, tau_eff, cps, pack
             )
 
         slabs: dict = {}  # keep_all mode: panel -> resident slab

@@ -48,9 +48,10 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
     # Mosaic kernels reach the native int8 path.  Set the attribute True to
     # enable (parity is exact either way).
     _int8_stripes = False
-    # the panel path assumes single-device entry buffers (row-sort + panel
-    # slabs are not shard_map'd); mesh joins take the stripe path
-    _use_panels = False
+    # the block-panel join runs SHARDED here (ops/panel_mesh.py): per-device
+    # column-sharded slabs, Mosaic int8 partial dots, exact int32 psum,
+    # replicated epilogue — the stripe path stays the fallback
+    _use_panels = True
 
     def __init__(
         self,
@@ -58,6 +59,7 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
         mesh: Mesh | None = None,
         chunk_dim: int = 2048,
         super_tile: int | None = None,
+        panel_rows: int | None = None,
     ):
         config = config or AllPairsConfig()
         if mesh is None:
@@ -70,7 +72,7 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
         self.n_shards = int(mesh.devices.size)
         self.ent_sharding = NamedSharding(mesh, P(AXIS, None))
         self.cnt_sharding = NamedSharding(mesh, P(AXIS))
-        super().__init__(config, chunk_dim, super_tile)
+        super().__init__(config, chunk_dim, super_tile, panel_rows)
 
     # ------------------------------------------------------------ placement
     def _round_chunks(self, n: int) -> int:
@@ -170,6 +172,149 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
             kf, "highest",
         )
         return fn(*self._ent, self._counts_dev, *q, np.int32(self.n_rows))
+
+    # -------------------------------------------------- mesh panel join (v3)
+    def _panel_geom(self):
+        """Mesh variant: the Mosaic matmul runs per device on
+        ``[rb, d_local]`` slabs, so tile divisibility is against d_local
+        and the slab budget is per-device."""
+        gkey = (self.n_rows, self._n_chunks, self._chunk_width, "mesh")
+        cached = getattr(self, "_panel_geom_cache", None)
+        if cached is not None and cached[0] == gkey:
+            return cached[1]
+        from ..vector.batch import round_up
+
+        d_cap = self._n_chunks * self._chunk_width
+        d_local = d_cap // self.n_shards
+        tk = None
+        for t in (2048, 1024, 512, 256, 128, 64, 32):
+            if d_local % t == 0:
+                tk = t
+                break
+        geom = None
+        if tk is not None:
+            if self.panel_rows is not None:
+                rb = self.panel_rows
+                padded = round_up(max(self.n_rows, 1), rb)
+                geom = (rb, min(512, rb), min(512, rb), tk,
+                        padded // rb, d_cap)
+            else:
+                budget_rows = max(64, (1536 << 20) // max(d_local, 1))
+                best = None
+                rb = 512
+                while rb <= budget_rows:
+                    padded = round_up(max(self.n_rows, 1), rb)
+                    np_ = padded // rb
+                    pairs = np_ * (np_ + 1) // 2
+                    keep_all = np_ * rb * d_local <= (6 << 30)
+                    per_pair = 1e-3 if keep_all else 30e-3
+                    cost = (
+                        padded * padded / 2 * d_cap / 390e12
+                        + pairs * per_pair
+                    )
+                    if best is None or cost < best[0]:
+                        best = (cost, rb, padded)
+                    rb *= 2
+                if best is not None:
+                    _, rb, padded = best
+                    geom = (rb, 512, 512, tk, padded // rb, d_cap)
+        self._panel_geom_cache = (gkey, geom)
+        return geom
+
+    def _panel_state(self):
+        geom = self._panel_geom()
+        if geom is None:
+            return None
+        rb, tm, tn, tk, n_panels, d_cap = geom
+        key = (self._ent[2], rb)
+        cached = getattr(self, "_panel_state_cache", None)
+        if (
+            cached is not None
+            and cached[0][0] is key[0]
+            and cached[0][1] == key[1]
+        ):
+            return cached[1]
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import panel_mesh
+        from ..vector.batch import pow2_bucket
+
+        fn = panel_mesh.mesh_panel_state(
+            self.mesh, AXIS, self.row_cap, rb, n_panels
+        )
+        r_s, c_s, q_s, aux, pcounts, max_nnz = fn(
+            self._ent[0], self._ent[1], self._ent[2], self._counts_dev
+        )
+        if int(max_nnz) >= (1 << 30) // (127 * 127):
+            state = None
+        else:
+            pc = np.asarray(pcounts)[:, :n_panels].astype(np.int64)
+            starts2d = np.zeros((self.n_shards, n_panels), np.int64)
+            np.cumsum(pc[:, :-1], axis=1, out=starts2d[:, 1:])
+            flat_local = (
+                self._n_chunks // self.n_shards
+            ) * self._chunk_cap
+            p_cap = min(
+                pow2_bucket(max(int(pc.max()) if pc.size else 1, 1), 1024),
+                flat_local,
+            )
+            padded = n_panels * rb
+            aux_p = aux
+            if padded != aux.shape[1]:
+                aux_p = (
+                    jnp.pad(aux, ((0, 0), (0, padded - aux.shape[1])))
+                    if padded > aux.shape[1] else aux[:, :padded]
+                )
+            aux_of = [
+                jnp.asarray(
+                    jax.lax.dynamic_slice(aux_p, (0, p * rb), (3, rb))
+                )
+                for p in range(n_panels)
+            ]
+            state = {
+                "geom": geom,
+                "r_s": r_s, "c_s": c_s, "q_s": q_s,
+                "starts2d": starts2d, "p_cap": p_cap, "aux_of": aux_of,
+                "d_local": d_cap // self.n_shards,
+            }
+        self._panel_state_cache = (key, state)
+        return state
+
+    def _build_slab(self, state, p: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+
+        from ..ops import panel_mesh
+
+        rb = state["geom"][0]
+        fn = panel_mesh.mesh_build_panel_slab(
+            self.mesh, AXIS, rb, state["d_local"], state["p_cap"]
+        )
+        start = jax.device_put(
+            jnp.asarray(state["starts2d"][:, p].astype(np.int32)),
+            NamedSharding(self.mesh, P(AXIS)),
+        )
+        return fn(
+            state["r_s"], state["c_s"], state["q_s"], start, np.int32(p * rb)
+        )
+
+    def _op_panel_pair(self, state, xi, xj, pi, pj, tau_eff, caps, pack):
+        import jax
+
+        from ..ops import panel_mesh
+
+        rb, tm, tn, tk, n_panels, d_cap = state["geom"]
+        fn = panel_mesh.mesh_panel_pair(
+            self.mesh, AXIS, rb, state["d_local"],
+            caps[0], caps[1], caps[2], tm, tn, tk,
+            jax.default_backend() != "tpu", pack,
+        )
+        return fn(
+            xi, xj, state["aux_of"][pi], state["aux_of"][pj],
+            np.int32(pi * rb), np.int32(pj * rb), tau_eff,
+        )
 
     # ---------------------------------------------------------- introspection
     def shard_layout(self) -> dict:

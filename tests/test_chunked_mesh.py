@@ -37,6 +37,42 @@ def test_mesh_chunked_matches_oracle(corpus, mesh):
         assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
 
 
+def test_mesh_chunked_panel_path_matches_oracle(corpus, mesh):
+    """Sharded block-panel join: per-device column-sharded slabs, partial
+    int8 dots (XLA-emulated off-TPU), exact int32 psum, replicated
+    epilogue — multi-panel sweep with exact parity + insert invalidation."""
+    eng = MeshChunkedAllPairs(
+        small_cfg(use_pallas="on"), mesh=mesh, chunk_dim=32, panel_rows=64
+    )
+    eng.build(corpus)
+    assert eng._panel_ok()
+    assert eng._panel_geom()[4] >= 2  # off-diagonal pairs exercised
+    for tau in (0.3, 0.6):
+        assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+    # streaming insert invalidates the sharded sorted-COO state
+    extra = [(f"x{i}", corpus.row(i)) for i in range(3)]
+    eng.insert(extra, tau=0.6)
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    vecs = [corpus.row(i) for i in range(corpus.n_rows)] + [
+        corpus.row(i) for i in range(3)
+    ]
+    ids = [str(i) for i in range(corpus.n_rows)] + [f"x{i}" for i in range(3)]
+    allcsr = CSRMatrix.from_vectors(vecs, DIM)
+    assert eng.all_pairs(0.6).pair_set() == brute_force_pairs(
+        allcsr, 0.6, ids
+    )
+
+
+def test_mesh_chunked_panel_tiny_caps(corpus, mesh):
+    eng = MeshChunkedAllPairs(
+        small_cfg(use_pallas="on", extract_cap=1024), mesh=mesh,
+        chunk_dim=32, panel_rows=64,
+    )
+    eng.build(corpus)
+    assert eng.all_pairs(0.2).pair_set() == brute_force_pairs(corpus, 0.2)
+
+
 def test_mesh_chunked_int8_stripes_opt_in_matches(corpus, mesh):
     """Mesh int8 stripes: per-row quantization assembled across chunk
     shards (pmax/psum), exact int32 partial-dot psum, per-pair bound

@@ -855,8 +855,50 @@ class ChunkedAllPairs:
                 slabs[p] = self._build_slab(state, p)
             return slabs[p]
 
-        pending = []  # (pi, pj, bufs, head-or-device-packed)
+        # Windowed dispatch: heads are fetched in ONE stacked D2H transfer
+        # per window (~28 ms fixed round trip each — per-pair syncing cost
+        # ~4 s of the 500k join).  The window bounds in-flight slab memory
+        # in rolling mode: a window spans one I-row, so it references at
+        # most window+1 distinct slabs; keep_all mode uses one window for
+        # the whole sweep (slabs are resident anyway).
+        pending = []  # (pi, pj, bufs, head)
         seen = (0, 0, 0)
+        win: list = []  # (pi, pj, xi, xj, bufs, packed)
+        win_cap = (
+            n_panels * (n_panels + 1) // 2 + 1 if keep_all
+            else max(1, int((3 << 30) // max(slab_bytes, 1)))
+        )
+
+        def flush_window():
+            nonlocal caps, seen
+            if not win:
+                return
+            if len(win) > 1:
+                heads = np.asarray(jnp.stack([w[5] for w in win]))
+            else:
+                heads = [np.asarray(win[0][5])]
+            for (pi, pj, xi, xj, bufs, _), head in zip(win, heads):
+                _, _, total, groups, supers = ps.unpack_pallas_head(head)
+                while (
+                    total > caps[0] or groups > caps[1] or supers > caps[2]
+                ):
+                    caps = (
+                        pow2_bucket(max(total, caps[0]), 1024),
+                        pow2_bucket(max(groups, caps[1]), 1024),
+                        pow2_bucket(max(supers, caps[2]), 1024),
+                    )
+                    bufs, packed = run_pair(xi, xj, pi, pj, caps)
+                    head = np.asarray(packed)
+                    _, _, total, groups, supers = ps.unpack_pallas_head(
+                        head
+                    )
+                seen = tuple(
+                    max(a, b)
+                    for a, b in zip(seen, (total, groups, supers))
+                )
+                pending.append((pi, pj, bufs, head))
+            win.clear()
+
         for pi in range(n_panels):
             xi = slab(pi) if keep_all else self._build_slab(state, pi)
             for pj in range(pi, n_panels):
@@ -866,42 +908,13 @@ class ChunkedAllPairs:
                     else self._build_slab(state, pj)
                 )
                 bufs, packed = run_pair(xi, xj, pi, pj, caps)
-                if keep_all:
-                    pending.append([pi, pj, bufs, packed])
-                else:
-                    # rolling mode: consume the head now so at most two
-                    # slabs (xi, xj) are ever in flight
-                    bufs, head, caps, got = self._panel_settle(
-                        run_pair, xi, xj, pi, pj, bufs, packed, caps
-                    )
-                    seen = tuple(max(a, b) for a, b in zip(seen, got))
-                    pending.append([pi, pj, bufs, head])
+                win.append((pi, pj, xi, xj, bufs, packed))
+                if len(win) >= win_cap:
+                    flush_window()
+            if not keep_all:
+                flush_window()  # xi retires with its row
+        flush_window()
         del slabs
-
-        if keep_all:
-            # ONE stacked head fetch for the whole sweep (the per-call D2H
-            # round trip here is ~28 ms; 28 panel pairs would pay ~0.8 s)
-            heads = np.asarray(jnp.stack([p[3] for p in pending]))
-            for entry, head in zip(pending, heads):
-                pi, pj = entry[0], entry[1]
-                _, _, total, groups, supers = ps.unpack_pallas_head(head)
-                if total > caps[0] or groups > caps[1] or supers > caps[2]:
-                    caps = (
-                        pow2_bucket(max(total, caps[0]), 1024),
-                        pow2_bucket(max(groups, caps[1]), 1024),
-                        pow2_bucket(max(supers, caps[2]), 1024),
-                    )
-                    xi = self._build_slab(state, pi)
-                    xj = xi if pj == pi else self._build_slab(state, pj)
-                    bufs, packed = run_pair(xi, xj, pi, pj, caps)
-                    head = np.asarray(packed)
-                    _, _, total, groups, supers = ps.unpack_pallas_head(head)
-                    entry[2] = bufs
-                entry[3] = head
-                seen = tuple(
-                    max(a, b)
-                    for a, b in zip(seen, (total, groups, supers))
-                )
 
         all_i, all_j = [], []
         for pi, pj, bufs, head in pending:
@@ -922,24 +935,6 @@ class ChunkedAllPairs:
         if not all_i:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(all_i), np.concatenate(all_j)
-
-    def _panel_settle(self, run_pair, xi, xj, pi, pj, bufs, packed, caps):
-        """Immediate-fetch settle of one pair (rolling-slab mode), growing
-        caps on overflow; returns (bufs, packed, caps, (total, groups,
-        supers))."""
-        from ..ops import pallas_score as ps
-
-        while True:
-            head = np.asarray(packed)
-            _, _, total, groups, supers = ps.unpack_pallas_head(head)
-            if total <= caps[0] and groups <= caps[1] and supers <= caps[2]:
-                return bufs, head, caps, (total, groups, supers)
-            caps = (
-                pow2_bucket(max(total, caps[0]), 1024),
-                pow2_bucket(max(groups, caps[1]), 1024),
-                pow2_bucket(max(supers, caps[2]), 1024),
-            )
-            bufs, packed = run_pair(xi, xj, pi, pj, caps)
 
     # -------------------------------------------------------------- all_pairs
     def all_pairs(self, tau: float | None = None) -> PairResult:

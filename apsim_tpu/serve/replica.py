@@ -72,8 +72,25 @@ class OpLogLeader:
     def _ship(self, op: dict) -> None:
         line = json.dumps(op)
         for f in self._files:
-            f.write(line + "\n")
-            f.flush()
+            try:
+                f.write(line + "\n")
+                f.flush()
+            except OSError as e:
+                # Failure story (SURVEY §5 A3): losing a follower is fatal
+                # for the CURRENT mesh — jax.distributed collectives cannot
+                # proceed minus a process, so executing this op would hang
+                # every surviving host.  Fail fast BEFORE entering the
+                # collective, with the recovery path spelled out (the server
+                # auto-checkpoints; state is rebuildable on a fresh
+                # cluster).  The reference's Akka failure detector could
+                # only down the node — its in-memory index died with it
+                # (SURVEY.md §5: unreplicated state lost on relocation).
+                raise RuntimeError(
+                    "op-log follower lost mid-stream; a jax.distributed "
+                    "mesh cannot continue without it. Restart the cluster "
+                    "and restore from the latest checkpoint "
+                    "(checkpoint_dir), then replay ingest."
+                ) from e
 
     # ------------------------------------------------------- replicated ops
     def build(self, vectors, ids=None):

@@ -68,6 +68,28 @@ def test_two_process_cluster(shard_axis):
     assert "MULTIHOST_OK" in outs[0], outs[0][-3000:]
 
 
+def test_leader_fails_fast_on_dead_follower():
+    """Losing a follower must raise BEFORE entering a collective (which
+    would hang every surviving host), with the recovery path in the
+    message — the multi-host failure story (SURVEY §5 A3)."""
+    import socket as socklib
+
+    from apsim_tpu.serve.replica import OpLogLeader
+
+    class DummyEngine:
+        def freeze(self):
+            pass
+
+    leader = OpLogLeader(DummyEngine(), port=0, n_followers=1)
+    client = socklib.create_connection((leader.host, leader.port))
+    leader.wait_followers()
+    client.close()
+    leader.freeze()  # may land in the dead socket's buffer
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        for _ in range(64):  # broken pipe surfaces within a few writes
+            leader.freeze()
+
+
 def test_two_process_serve_end_to_end():
     """RPC ingest -> replicated op log -> 2-process global mesh -> pair set
     equals the fp64 oracle (the composition VERDICT r2 called unproven:

@@ -84,6 +84,37 @@ def test_fuzz_extended(seed):
     assert eng.all_pairs(tau).pair_set() == want
 
 
+@pytest.mark.parametrize("seed", [555, 666])
+def test_fuzz_chunked_panel(seed):
+    """Block-panel path under random configs/panel sizes (use_pallas='on'
+    forces the interpret-mode kernel off-TPU), including a streamed tail
+    that invalidates the sorted-COO cache mid-run."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(60, 200))
+    csr = random_sparse_corpus(rng, n, DIM, nnz_lo=2, nnz_hi=25)
+    tau = float(rng.choice([0.3, 0.5]))
+    cfg = random_cfg(rng).replace(use_pallas="on", matmul_precision="default")
+    eng = ChunkedAllPairs(
+        cfg, chunk_dim=int(rng.choice([64, 128])),
+        panel_rows=int(rng.choice([64, 128])),
+    )
+    cut = n - int(rng.integers(1, 20))
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    head = CSRMatrix(
+        cut, csr.n_cols, csr.indptr[: cut + 1],
+        csr.indices[: int(csr.indptr[cut])],
+        csr.data[: int(csr.indptr[cut])],
+    )
+    eng.build(head)
+    assert eng._panel_ok(), seed
+    assert eng.all_pairs(tau).pair_set() == brute_force_pairs(head, tau)
+    eng.insert([(str(i), csr.row(i)) for i in range(cut, n)], tau=tau)
+    assert eng.all_pairs(tau).pair_set() == brute_force_pairs(csr, tau), (
+        seed, cfg,
+    )
+
+
 @pytest.mark.parametrize("seed", [111, 222])
 def test_fuzz_chunked(seed):
     rng = np.random.default_rng(seed)

@@ -823,10 +823,8 @@ class ChunkedAllPairs:
     def _all_pairs_panel(self, tau_eff):
         """Panel-pair sweep; returns (rows, cols) candidate arrays or None
         (caller falls back to the stripe path)."""
-        import jax
         import jax.numpy as jnp
 
-        from ..ops import panel as panel_ops
         from ..ops import pallas_score as ps
 
         state = self._panel_state()

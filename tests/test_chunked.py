@@ -72,6 +72,27 @@ def test_chunked_panel_single_panel(corpus):
     assert eng.all_pairs(0.4).pair_set() == brute_force_pairs(corpus, 0.4)
 
 
+def test_chunked_panel_all_dormant_corpus():
+    """Every dim df==1 -> ZERO device entries; the panel path must still
+    run (empty slabs, 0 pairs), and a later duplicate insert must activate
+    the archived dims and surface the pair through the panel rejoin."""
+    from apsim_tpu.vector.sparse import Vectors
+
+    cfg = AllPairsConfig(vector_dim=300, query_tile=64, row_bucket=64,
+                         dim_bucket=64, use_pallas="on")
+    eng = ChunkedAllPairs(cfg, chunk_dim=64, panel_rows=64)
+    eng.build([
+        (f"v{i}", Vectors.sparse(300, [i * 3, i * 3 + 1], [0.6, 0.8]))
+        for i in range(40)
+    ])
+    assert eng.all_pairs(0.5).n_pairs == 0
+    out = eng.insert(
+        [("dup", Vectors.sparse(300, [0, 1], [0.6, 0.8]))], tau=0.5
+    )
+    assert "dup" in out.output and "v0" in out.output["dup"]
+    assert eng.all_pairs(0.5).n_pairs == 1
+
+
 def test_chunked_panel_tiny_caps(corpus):
     # overflow-retry protocol: caps far below the candidate count
     eng = ChunkedAllPairs(

@@ -18,8 +18,9 @@ full serving surface, and the three-level bit-packed stripe extraction.
 Round 3 adds max-weight ADMISSION PRUNING (shared with the dense engine, so
 one config admits the same corpus on every flavor) and the BLOCK-PANEL
 Pallas join (``ops/panel.py``): row-sorted int8 COO → per-panel slabs →
-cross-block Mosaic kernel per panel pair — 9.2 s → 2.31 s at 100k rows,
-with the XLA stripe path kept as the fallback.
+cross-block Mosaic kernel per panel pair — 9.2 s → 1.37 s at 100k rows
+(3.66 B decided pairs/s; 500 k rows in 34 s) — with the XLA stripe path
+kept as the fallback.
 """
 
 from __future__ import annotations
@@ -309,6 +310,10 @@ class ChunkedAllPairs:
         m *= max(self._max_norm * self._max_norm, 1.0)
         return np.float32(max(tau - m, score_ops.MIN_TAU_EFF))
 
+    # profiling hook shared with the dense engine (profile_dir config ->
+    # jax.profiler trace around every all_pairs/insert)
+    _maybe_trace = Engine._maybe_trace
+
     # ----------------------------------------------------------------- insert
     def insert(
         self,
@@ -317,7 +322,7 @@ class ChunkedAllPairs:
         bulk: bool = False,
         defer: bool = False,
     ):
-        with self.timer.section("insert"):
+        with self._maybe_trace(), self.timer.section("insert"):
             return self._insert_impl(vectors, tau, bulk, defer)
 
     def _insert_impl(
@@ -936,7 +941,7 @@ class ChunkedAllPairs:
 
     # -------------------------------------------------------------- all_pairs
     def all_pairs(self, tau: float | None = None) -> PairResult:
-        with self.timer.section("all_pairs"):
+        with self._maybe_trace(), self.timer.section("all_pairs"):
             return self._all_pairs_impl(tau)
 
     def _all_pairs_impl(self, tau: float | None = None) -> PairResult:

@@ -62,17 +62,14 @@ def _int8_matmul(xi, xj, tm: int, tn: int, tk: int):
     the native-int8 MXU path XLA's lowering misses."""
     m, d = xi.shape
     n = xj.shape[0]
-    grid_spec = pl.GridSpec(
+    return pl.pallas_call(
+        _mm_kernel,
         grid=(m // tm, n // tn, d // tk),
         in_specs=[
             pl.BlockSpec((tm, tk), lambda i, j, k: (i, k)),
             pl.BlockSpec((tn, tk), lambda i, j, k: (j, k)),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
-    )
-    return pl.pallas_call(
-        _mm_kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
     )(xi, xj)

@@ -53,7 +53,7 @@ class OpLogLeader:
     )
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 n_followers: int = 1):
+                 n_followers: int = 1, auth_token: str = ""):
         self.engine = engine
         self._lock = threading.Lock()
         self._srv = socket.create_server((host, port))
@@ -61,11 +61,25 @@ class OpLogLeader:
         self._conns: List[socket.socket] = []
         self._files = []
         self._n = n_followers
+        # same shared-secret story as the RPC surface (config.auth_token):
+        # the op log carries the whole corpus, so an unauthenticated join
+        # would leak it AND let a rogue process stall the mesh
+        self._token = auth_token
 
     def wait_followers(self) -> None:
-        """Block until every follower has dialed in (seed-node join)."""
+        """Block until every follower has dialed in (seed-node join),
+        verifying the shared secret first when one is configured."""
         while len(self._conns) < self._n:
             c, _ = self._srv.accept()
+            if self._token:
+                r = c.makefile("r", encoding="utf-8")
+                try:
+                    hello = json.loads(r.readline())
+                except (ValueError, OSError):
+                    hello = {}
+                if hello.get("token") != self._token:
+                    c.close()
+                    continue
             self._conns.append(c)
             self._files.append(c.makefile("w", encoding="utf-8"))
 
@@ -171,7 +185,8 @@ class OpLogLeader:
         return getattr(self.engine, name)
 
 
-def follow(engine, leader_host: str, leader_port: int) -> int:
+def follow(engine, leader_host: str, leader_port: int,
+           auth_token: str = "") -> int:
     """Follower replay loop: apply the leader's op log to ``engine`` until
     shutdown; returns the number of ops replayed.  Every replicated op
     enters the same global-mesh collectives the leader's execution does —
@@ -181,6 +196,10 @@ def follow(engine, leader_host: str, leader_port: int) -> int:
     from ..vector.batch import CSRMatrix
 
     sock = socket.create_connection((leader_host, leader_port))
+    if auth_token:
+        sock.sendall(
+            (json.dumps({"token": auth_token}) + "\n").encode("utf-8")
+        )
     n_ops = 0
     with sock, sock.makefile("r", encoding="utf-8") as f:
         for line in f:

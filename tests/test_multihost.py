@@ -68,6 +68,51 @@ def test_two_process_cluster(shard_axis):
     assert "MULTIHOST_OK" in outs[0], outs[0][-3000:]
 
 
+def test_oplog_auth_token_gate():
+    """The replication socket honors the shared secret: a wrong token is
+    rejected, the right one joins (same story as the RPC auth_token)."""
+    import socket as socklib
+    import threading
+
+    from apsim_tpu.serve.replica import OpLogLeader, follow
+
+    class DummyEngine:
+        def freeze(self):
+            pass
+
+    leader = OpLogLeader(DummyEngine(), port=0, n_followers=1,
+                         auth_token="s3cret")
+    accepted = threading.Event()
+
+    def acceptor():
+        leader.wait_followers()
+        accepted.set()
+
+    t = threading.Thread(target=acceptor, daemon=True)
+    t.start()
+    bad = socklib.create_connection((leader.host, leader.port))
+    bad.sendall(b'{"token": "wrong"}\n')
+    assert not accepted.wait(0.5)  # rejected, still waiting
+
+    class F:
+        def freeze(self):
+            self.froze = True
+
+    eng = F()
+    done = []
+
+    def follower():
+        done.append(follow(eng, leader.host, leader.port, "s3cret"))
+
+    ft = threading.Thread(target=follower, daemon=True)
+    ft.start()
+    assert accepted.wait(5)
+    leader.freeze()
+    leader.close()
+    ft.join(5)
+    assert done == [1] and getattr(eng, "froze", False)
+
+
 def test_leader_fails_fast_on_dead_follower():
     """Losing a follower must raise BEFORE entering a collective (which
     would hang every surviving host), with the recovery path in the

@@ -154,6 +154,7 @@ def cmd_topk(args) -> int:
 def cmd_serve(args) -> int:
     from .engine.engine import Engine
     from .etl.store import VectorStore
+    from .parallel import init_multihost, is_coordinator
     from .serve import RpcServer, SimilarityServer
 
     cfg = _load_cfg(args)
@@ -162,16 +163,58 @@ def cmd_serve(args) -> int:
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_interval_s=args.checkpoint_interval,
         )
+    # multi-host: join the jax.distributed cluster first (no-op unless
+    # JAX_COORDINATOR_ADDRESS is set — the seed-node analog); the global
+    # mesh then spans every process's devices.  setup_jax first so the
+    # APSIM_PLATFORM override lands before the first backend touch.
+    from .utils.jaxsetup import setup_jax
+
+    setup_jax()
+    init_multihost()
+    import jax
+
+    multi = jax.process_count() > 1
     cfg, use_mesh = _mesh_cfg(args, cfg)
     store = (
         VectorStore(args.store, run_mode=cfg.run_mode)
         if args.store else None
     )
     cls = _engine_cls(args, use_mesh)
-    # plain dense: let the server construct (and checkpoint-load) the engine;
-    # other flavors are caller-provided and restored by the server if a
-    # checkpoint exists
-    engine = None if cls is Engine else cls(cfg)
+    leader = None
+    if multi:
+        if not args.replicate:
+            raise SystemExit(
+                "multi-host serving needs --replicate HOST:PORT (the "
+                "coordinator's op-log address)"
+            )
+        host, port = args.replicate.rsplit(":", 1)
+        engine = cls(cfg)  # every process builds its replica over the
+        # global mesh; device ops run in lockstep via the op log
+        if not is_coordinator():
+            from .serve.replica import follow
+
+            print("follower: replaying op log", flush=True)
+            n = follow(engine, host, int(port), cfg.auth_token)
+            print(f"follower: leader closed after {n} ops", flush=True)
+            return 0
+        from .serve.replica import OpLogLeader
+
+        leader = OpLogLeader(
+            engine, host=host, port=int(port),
+            n_followers=jax.process_count() - 1,
+            auth_token=cfg.auth_token,
+        )
+        print(
+            f"op log on {leader.host}:{leader.port}; waiting for "
+            f"{jax.process_count() - 1} follower(s)", flush=True,
+        )
+        leader.wait_followers()
+        engine = leader
+    else:
+        # plain dense: let the server construct (and checkpoint-load) the
+        # engine; other flavors are caller-provided and restored by the
+        # server if a checkpoint exists
+        engine = None if cls is Engine else cls(cfg)
     sim = SimilarityServer(engine, cfg, store=store)
     rpc = RpcServer(sim, host=args.host, port=args.port).start()
     print(f"serving on {rpc.host}:{rpc.port}", flush=True)
@@ -183,6 +226,8 @@ def cmd_serve(args) -> int:
         pass
     finally:
         rpc.close()
+        if leader is not None:
+            leader.close()
     return 0
 
 
@@ -295,6 +340,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="auto-checkpoint/restore the index here")
     sp.add_argument("--checkpoint-interval", type=float, default=60.0,
                     dest="checkpoint_interval")
+    sp.add_argument("--replicate", default=None,
+                    help="multi-host: op-log address HOST:PORT (set "
+                         "JAX_COORDINATOR_ADDRESS etc. to join the "
+                         "cluster; coordinator serves, others follow)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("client")

@@ -41,6 +41,10 @@ def init_multihost(
     )
     if coordinator_address is None:
         return  # single-host: nothing to join
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     kwargs = {}
     if num_processes is not None:
         kwargs["num_processes"] = num_processes

@@ -161,15 +161,67 @@ class OpLogLeader:
             self._ship({"op": "unfreeze"})
             self.engine.unfreeze()
 
-    def set_max_weight_map(self, weights) -> None:
+    @staticmethod
+    def _sparse_weights(weights):
         import numpy as np
 
+        w = np.asarray(weights, dtype=np.float64)
+        (idx,) = np.nonzero(w)
+        return {
+            "size": int(w.size),
+            "idx": idx.tolist(),
+            "val": w[idx].tolist(),
+        }
+
+    def set_max_weight_map(self, weights) -> None:
         with self._lock:
+            # sparse encoding: the map covers vector_dim (2^20) but only
+            # active dims are nonzero — dense JSON would be ~8 MB per call
             self._ship({
                 "op": "set_max_weight_map",
-                "weights": np.asarray(weights).tolist(),
+                **self._sparse_weights(weights),
             })
             self.engine.set_max_weight_map(weights)
+
+    def restore(self, path: str) -> None:
+        """Leader-side checkpoint restore: followers may not share the
+        filesystem, so the checkpoint is read HOST-ONLY, shipped as a build
+        op, and only then built locally — shipping first matters, because
+        the build enters global-mesh collectives that block until every
+        follower replays the same op."""
+        import numpy as np
+
+        from ..engine.engine import Engine
+
+        csr, ids, max_weights, _ = Engine.read_checkpoint(path)
+        with self._lock:
+            self._ship({
+                "op": "build",
+                "indptr": np.asarray(csr.indptr).tolist(),
+                "indices": np.asarray(csr.indices).tolist(),
+                "data": np.asarray(csr.data).tolist(),
+                "ids": list(ids),
+            })
+            # replicate the stored maxima too: running-maxima admission is
+            # history-dependent, and a leader/follower divergence would make
+            # them admit DIFFERENT corpora on a later insert — desyncing the
+            # collective shapes (sparse encoding; merged via np.maximum)
+            self._ship({
+                "op": "merge_max_weights",
+                **self._sparse_weights(max_weights),
+            })
+            if csr.n_rows:
+                self.engine.build(csr, ids)
+            self.engine.max_weights = np.maximum(
+                self.engine.max_weights, max_weights
+            )
+            Engine._restore_static_map(self.engine, path)
+            static = getattr(self.engine, "_static_max_weights", None)
+            if static is not None:
+                self._ship({
+                    "op": "set_max_weight_map",
+                    **self._sparse_weights(static),
+                })
 
     def close(self) -> None:
         """End the log: followers' replay loops return."""
@@ -230,7 +282,17 @@ def follow(engine, leader_host: str, leader_port: int,
             elif op == "unfreeze":
                 engine.unfreeze()
             elif op == "set_max_weight_map":
-                engine.set_max_weight_map(
-                    np.asarray(msg["weights"], np.float64)
+                engine.set_max_weight_map(_dense_weights(msg))
+            elif op == "merge_max_weights":
+                engine.max_weights = np.maximum(
+                    engine.max_weights, _dense_weights(msg)
                 )
     return n_ops
+
+
+def _dense_weights(msg):
+    import numpy as np
+
+    w = np.zeros(msg["size"], np.float64)
+    w[np.asarray(msg["idx"], np.int64)] = np.asarray(msg["val"], np.float64)
+    return w

@@ -41,6 +41,18 @@ def setup_jax(cache_dir: str | None = None) -> None:
         return
     import jax
 
+    # APSIM_PLATFORM=cpu forces the backend for headless/CLI subprocesses:
+    # on axon hosts a sitecustomize registers the TPU plugin at interpreter
+    # start, so the plain JAX_PLATFORMS env var is not honored — only a
+    # config update before the first backend touch works (tests/conftest.py
+    # does the same in-process; this is the subprocess-reachable hook)
+    forced = os.environ.get("APSIM_PLATFORM")
+    if forced:
+        try:
+            jax.config.update("jax_platforms", forced)
+        except Exception:
+            pass
+
     path = cache_dir or os.environ.get(
         "APSIM_JAX_CACHE",
         os.path.expanduser(f"~/.cache/apsim_jax/{_host_fingerprint()}"),

@@ -57,7 +57,7 @@ def test_two_process_cluster(shard_axis):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=420)
             outs.append(out)
     finally:
         for p in procs:
@@ -66,6 +66,111 @@ def test_two_process_cluster(shard_axis):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
     assert "MULTIHOST_OK" in outs[0], outs[0][-3000:]
+
+
+def test_cli_multihost_serve_end_to_end(tmp_path):
+    """`apsim serve --replicate` over a 2-process jax.distributed cluster:
+    the coordinator serves RPC, the follower replays the op log; a client
+    streams inserts and reads the exact join back."""
+    import json as jsonlib
+    import signal
+    import time
+
+    import numpy as np
+
+    from apsim_tpu.vector.batch import CSRMatrix
+    from apsim_tpu.vector.sparse import SparseVector
+
+    coord, repl, rpc_port = _free_port(), _free_port(), _free_port()
+    cfgfile = str(tmp_path / "cfg.json")
+    with open(cfgfile, "w") as f:
+        jsonlib.dump(
+            {"vector_dim": 300, "query_tile": 32, "row_bucket": 32,
+             "dim_bucket": 64, "io_trigger_period_ms": 5}, f,
+        )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["APSIM_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{coord}"
+    procs = []
+    for pid in (0, 1):
+        e = dict(env)
+        e["JAX_NUM_PROCESSES"] = "2"
+        e["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "apsim_tpu.cli", "serve",
+             "--config", cfgfile, "--mesh",
+             "--replicate", f"127.0.0.1:{repl}",
+             "--host", "127.0.0.1", "--port", str(rpc_port)],
+            env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+    try:
+        from apsim_tpu.serve import ClientConnection
+
+        rng = np.random.default_rng(3)
+        vecs = []
+        for _ in range(24):
+            nnz = int(rng.integers(4, 9))
+            dims = np.sort(
+                rng.choice(300, nnz, replace=False)
+            ).astype(np.int32)
+            vals = rng.random(nnz) + 0.1
+            vals /= np.linalg.norm(vals)
+            vecs.append(SparseVector(300, dims, vals))
+        vecs.append(vecs[0])  # guaranteed pair
+        cc = None
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if any(p.poll() is not None for p in procs):
+                break  # a server process died; surface its output below
+            try:
+                probe = ClientConnection(
+                    [f"127.0.0.1:{rpc_port}"], timeout=2.0
+                )
+                probe.close()
+                # reconnect without a timeout: first-compile of the mesh
+                # shapes can take tens of seconds in the subprocess
+                cc = ClientConnection([f"127.0.0.1:{rpc_port}"])
+                break
+            except OSError:
+                time.sleep(1.0)
+        if cc is None:
+            for p in procs:
+                p.kill()
+            outs = [p.communicate()[0] for p in procs]
+            raise AssertionError(
+                "server never came up\n--- p0 ---\n"
+                + outs[0][-2000:] + "\n--- p1 ---\n" + outs[1][-2000:]
+            )
+        cc.insert_new_vector(
+            [(str(i), v) for i, v in enumerate(vecs)]
+        )
+        cc.flush()
+        served = cc.all_pairs(0.5)
+        got = {tuple(sorted((a, b), key=int)) for a, b, _ in served}
+        dense = CSRMatrix.from_vectors(vecs, 300).to_dense()
+        s = dense @ dense.T
+        oi, oj = np.nonzero(np.triu(s >= 0.5, k=1))
+        want = {(str(a), str(b)) for a, b in zip(oi.tolist(), oj.tolist())}
+        assert got == want, (len(got), len(want))
+        cc.close()
+    finally:
+        procs[0].send_signal(signal.SIGINT)
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=60)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+    assert procs[1].returncode == 0, outs[1][-3000:]
+    assert "leader closed" in outs[1], outs[1][-2000:]
 
 
 def test_oplog_auth_token_gate():
@@ -157,7 +262,7 @@ def test_two_process_serve_end_to_end():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=420)
             outs.append(out)
     finally:
         for p in procs:

@@ -49,7 +49,7 @@ class OpLogLeader:
 
     REPLICATED = (
         "insert", "all_pairs", "topk", "freeze", "unfreeze",
-        "set_max_weight_map", "build",
+        "set_max_weight_map", "build", "restore",
     )
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,

@@ -29,11 +29,30 @@ def _oracle_pairs(csr: CSRMatrix, tau: float, limit: int | None = None):
     """fp64 brute-force pair set over the first ``m`` rows (all rows when
     ``limit`` is None).  Sparse×sparse fp64 spGEMM — the FULL 8,586-row Enron
     oracle (~74M nonzero dots) runs in ~22 s, so the parity gate covers the
-    whole corpus, not a prefix (VERDICT r2 weak #4)."""
-    import scipy.sparse as sp
-
+    whole corpus, not a prefix (VERDICT r2 weak #4).  scipy is in the image
+    but optional for the package — keep a blocked pure-NumPy fallback (same
+    convention as ops/rescore.py)."""
     m = csr.n_rows if limit is None else min(csr.n_rows, limit)
     nnz_m = int(csr.indptr[m])
+    try:
+        import scipy.sparse as sp
+    except ImportError:
+        active = np.unique(csr.indices[:nnz_m])
+        remap = np.full(csr.n_cols, -1, np.int64)
+        remap[active] = np.arange(active.size)
+        dense = np.zeros((m, active.size))
+        for r in range(m):
+            s, e = int(csr.indptr[r]), int(csr.indptr[r + 1])
+            dense[r, remap[csr.indices[s:e]]] = csr.data[s:e]
+        pairs = set()
+        blk = 1024  # bound the fp64 score block to ~m*blk*8 bytes
+        for r0 in range(0, m, blk):
+            s_blk = dense[r0 : r0 + blk] @ dense.T
+            oi, oj = np.nonzero(s_blk >= tau)
+            for a, b in zip((oi + r0).tolist(), oj.tolist()):
+                if a < b:
+                    pairs.add((a, b))
+        return pairs, m
     a = sp.csr_matrix(
         (csr.data[:nnz_m], csr.indices[:nnz_m], csr.indptr[: m + 1]),
         shape=(m, csr.n_cols),

@@ -864,7 +864,7 @@ class ChunkedAllPairs:
         # in rolling mode: a window spans one I-row, so it references at
         # most window+1 distinct slabs; keep_all mode uses one window for
         # the whole sweep (slabs are resident anyway).
-        pending = []  # (pi, pj, bufs, head)
+        pending = []  # settled (rows, cols) HOST arrays per pair
         seen = (0, 0, 0)
         win: list = []  # (pi, pj, xi, xj, bufs, packed)
         win_cap = (
@@ -881,7 +881,9 @@ class ChunkedAllPairs:
             else:
                 heads = [np.asarray(win[0][5])]
             for (pi, pj, xi, xj, bufs, _), head in zip(win, heads):
-                _, _, total, groups, supers = ps.unpack_pallas_head(head)
+                rows_h, cols_h, total, groups, supers = (
+                    ps.unpack_pallas_head(head)
+                )
                 while (
                     total > caps[0] or groups > caps[1] or supers > caps[2]
                 ):
@@ -892,14 +894,20 @@ class ChunkedAllPairs:
                     )
                     bufs, packed = run_pair(xi, xj, pi, pj, caps)
                     head = np.asarray(packed)
-                    _, _, total, groups, supers = ps.unpack_pallas_head(
-                        head
+                    rows_h, cols_h, total, groups, supers = (
+                        ps.unpack_pallas_head(head)
                     )
                 seen = tuple(
                     max(a, b)
                     for a, b in zip(seen, (total, groups, supers))
                 )
-                pending.append((pi, pj, bufs, head))
+                # settle to HOST arrays now: keeping every pair's cap-sized
+                # device buffers alive until the sweep ends would hold
+                # O(n_pairs x cap) HBM at the join's peak moment
+                if total <= rows_h.size:
+                    pending.append((rows_h[:total], cols_h[:total]))
+                else:
+                    pending.append(score_ops.decode_pairs(bufs, total))
             win.clear()
 
         for pi in range(n_panels):
@@ -919,16 +927,8 @@ class ChunkedAllPairs:
         flush_window()
         del slabs
 
-        all_i, all_j = [], []
-        for pi, pj, bufs, head in pending:
-            rows_h, cols_h, total, _, _ = ps.unpack_pallas_head(head)
-            if total <= rows_h.size:
-                all_i.append(rows_h[:total])
-                all_j.append(cols_h[:total])
-            else:
-                dec = score_ops.decode_pairs(bufs, total)
-                all_i.append(dec[0])
-                all_j.append(dec[1])
+        all_i = [p[0] for p in pending]
+        all_j = [p[1] for p in pending]
         tight = tuple(
             pow2_bucket(max(v + (v >> 2), 1024), 1024) for v in seen
         )

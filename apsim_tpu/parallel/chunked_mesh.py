@@ -195,9 +195,15 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
         if tk is not None:
             if self.panel_rows is not None:
                 rb = self.panel_rows
-                padded = round_up(max(self.n_rows, 1), rb)
-                geom = (rb, min(512, rb), min(512, rb), tk,
-                        padded // rb, d_cap)
+                tm = min(512, rb)
+                # same validation as the single-device path: the Mosaic
+                # matmul grid floors (m // tm), so a non-multiple rb would
+                # silently skip the last partial tile of every panel pair
+                # on TPU (the interpret fallback computes the full
+                # rectangle and hides it) — fall back to stripes instead
+                if rb % tm == 0 and rb % 64 == 0:
+                    padded = round_up(max(self.n_rows, 1), rb)
+                    geom = (rb, tm, tm, tk, padded // rb, d_cap)
             else:
                 budget_rows = max(64, (1536 << 20) // max(d_local, 1))
                 best = None

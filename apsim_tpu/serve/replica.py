@@ -45,12 +45,11 @@ class OpLogLeader:
     Duck-types the engine surface ``SimilarityServer`` uses; everything not
     explicitly wrapped (stats, ids, cfg, save, …) delegates to the inner
     engine — those are host-local reads or leader-only persistence.
+    Replication is defined by exactly the methods written on this class:
+    adding a new collective-entering engine method means adding a wrapper
+    here, or ``__getattr__`` will silently run it leader-only and desync
+    the followers.
     """
-
-    REPLICATED = (
-        "insert", "all_pairs", "topk", "freeze", "unfreeze",
-        "set_max_weight_map", "build", "restore",
-    )
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  n_followers: int = 1, auth_token: str = ""):
@@ -68,18 +67,23 @@ class OpLogLeader:
 
     def wait_followers(self) -> None:
         """Block until every follower has dialed in (seed-node join),
-        verifying the shared secret first when one is configured."""
+        verifying the shared secret first when one is configured.  The
+        handshake is bounded (10 s read timeout, 64 KB line cap) so a rogue
+        client that connects and goes silent cannot wedge the serial accept
+        loop — the stall the token exists to prevent."""
         while len(self._conns) < self._n:
             c, _ = self._srv.accept()
             if self._token:
-                r = c.makefile("r", encoding="utf-8")
                 try:
-                    hello = json.loads(r.readline())
+                    c.settimeout(10.0)
+                    r = c.makefile("r", encoding="utf-8")
+                    hello = json.loads(r.readline(65536))
                 except (ValueError, OSError):
                     hello = {}
                 if hello.get("token") != self._token:
                     c.close()
                     continue
+                c.settimeout(None)
             self._conns.append(c)
             self._files.append(c.makefile("w", encoding="utf-8"))
 
@@ -195,13 +199,18 @@ class OpLogLeader:
 
         csr, ids, max_weights, _ = Engine.read_checkpoint(path)
         with self._lock:
-            self._ship({
-                "op": "build",
-                "indptr": np.asarray(csr.indptr).tolist(),
-                "indices": np.asarray(csr.indices).tolist(),
-                "data": np.asarray(csr.data).tolist(),
-                "ids": list(ids),
-            })
+            # ship-iff-execute: every shipped op must be executed on the
+            # leader too, or leader and followers enter different device
+            # programs and the global mesh desyncs (an all-admission-dropped
+            # checkpoint has 0 rows — nothing to build on either side)
+            if csr.n_rows:
+                self._ship({
+                    "op": "build",
+                    "indptr": np.asarray(csr.indptr).tolist(),
+                    "indices": np.asarray(csr.indices).tolist(),
+                    "data": np.asarray(csr.data).tolist(),
+                    "ids": list(ids),
+                })
             # replicate the stored maxima too: running-maxima admission is
             # history-dependent, and a leader/follower divergence would make
             # them admit DIFFERENT corpora on a later insert — desyncing the
@@ -224,11 +233,20 @@ class OpLogLeader:
                 })
 
     def close(self) -> None:
-        """End the log: followers' replay loops return."""
+        """End the log: followers' replay loops return.  Best-effort — a
+        follower that already died must not make close() raise (it runs in
+        finally blocks, where a second exception would mask the first and
+        leak the listening socket)."""
         with self._lock:
-            self._ship({"op": "shutdown"})
+            try:
+                self._ship({"op": "shutdown"})
+            except (OSError, RuntimeError):
+                pass
         for f in self._files:
-            f.close()
+            try:
+                f.close()
+            except OSError:
+                pass
         for c in self._conns:
             c.close()
         self._srv.close()
@@ -238,7 +256,7 @@ class OpLogLeader:
 
 
 def follow(engine, leader_host: str, leader_port: int,
-           auth_token: str = "") -> int:
+           auth_token: str = "", connect_timeout: float = 60.0) -> int:
     """Follower replay loop: apply the leader's op log to ``engine`` until
     shutdown; returns the number of ops replayed.  Every replicated op
     enters the same global-mesh collectives the leader's execution does —
@@ -247,7 +265,20 @@ def follow(engine, leader_host: str, leader_port: int,
 
     from ..vector.batch import CSRMatrix
 
-    sock = socket.create_connection((leader_host, leader_port))
+    # retry the dial: nothing orders this connect after the leader's bind
+    # (the leader still constructs its engine before listening), so the
+    # first attempts may be refused
+    import time
+
+    deadline = time.time() + connect_timeout
+    while True:
+        try:
+            sock = socket.create_connection((leader_host, leader_port))
+            break
+        except OSError:
+            if time.time() >= deadline:
+                raise
+            time.sleep(0.5)
     if auth_token:
         sock.sendall(
             (json.dumps({"token": auth_token}) + "\n").encode("utf-8")

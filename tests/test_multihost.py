@@ -218,6 +218,54 @@ def test_oplog_auth_token_gate():
     assert done == [1] and getattr(eng, "froze", False)
 
 
+def test_leader_restore_replicates_state(tmp_path):
+    """restore ships the checkpoint corpus AND the stored maxima: follower
+    replicas converge to the same rows and the same admission state (a
+    divergence would desync collective shapes on a later insert)."""
+    import threading
+
+    import numpy as np
+
+    from apsim_tpu import AllPairsConfig, Engine
+    from apsim_tpu.serve.replica import OpLogLeader, follow
+
+    cfg = AllPairsConfig(
+        vector_dim=200, query_tile=32, row_bucket=32, dim_bucket=64
+    )
+    src = Engine(cfg)
+    from apsim_tpu.vector.sparse import Vectors
+
+    src.build([
+        ("a", Vectors.sparse(200, [1, 2], [0.6, 0.8])),
+        ("b", Vectors.sparse(200, [1, 2], [0.6, 0.8])),
+    ])
+    # simulate an admission-dropped record: maxima beyond the corpus
+    np.maximum.at(src.max_weights, [5], [0.9])
+    ckpt = str(tmp_path / "ck")
+    src.save(ckpt)
+
+    leader_eng = Engine(cfg)
+    leader = OpLogLeader(leader_eng, port=0, n_followers=1)
+    follower_eng = Engine(cfg)
+    done = []
+
+    def run_follower():
+        done.append(follow(follower_eng, leader.host, leader.port))
+
+    t = threading.Thread(target=run_follower, daemon=True)
+    t.start()
+    leader.wait_followers()
+    leader.restore(ckpt)
+    leader.close()
+    t.join(30)
+    assert done, "follower did not finish"
+    assert follower_eng.n_rows == leader_eng.n_rows == 2
+    np.testing.assert_array_equal(
+        follower_eng.max_weights, leader_eng.max_weights
+    )
+    assert follower_eng.max_weights[5] == 0.9  # dropped-record maxima too
+
+
 def test_leader_fails_fast_on_dead_follower():
     """Losing a follower must raise BEFORE entering a collective (which
     would hang every surviving host), with the recovery path in the

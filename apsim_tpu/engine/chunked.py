@@ -776,6 +776,7 @@ class ChunkedAllPairs:
                 "geom": geom,
                 "r_s": r_s, "gc_s": gc_s, "q_s": q_s,
                 "starts": starts, "p_cap": p_cap, "aux_of": aux_of,
+                "aux_p": aux_p, "flat": flat,
             }
         self._panel_state_cache = (key, state)
         return state
@@ -789,6 +790,79 @@ class ChunkedAllPairs:
             np.int32(state["starts"][p]), np.int32(p * rb),
             rb, d_cap, state["p_cap"],
         )
+
+    # single-slab mode: OPT-IN (measured slower than the sweep — see
+    # _all_pairs_panel's dispatch comment); flip True to A/B on new hardware
+    _use_single_slab = False
+
+    def _single_slab_ok(self, state) -> bool:
+        if not self._use_single_slab:
+            return False
+        if "flat" not in state:  # mesh subclass: slabs are device-sharded
+            return False
+        rb, tm, tn, tk, n_panels, d_cap = state["geom"]
+        padded = n_panels * rb
+        if padded * d_cap > (6 << 30):
+            return False
+        import jax
+
+        if jax.default_backend() == "tpu":
+            return padded % 1024 == 0 and d_cap % 2048 == 0
+        return padded % 64 == 0 and d_cap % 64 == 0  # interpret-mode tests
+
+    def _all_pairs_single_slab(self, state, tau_eff, caps):
+        """One dense int8 kernel launch over the full padded matrix
+        (densified from the sorted COO); same overflow-retry + tightening
+        protocol as the panel sweep, sharing ``_panel_caps``."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import pallas_score as ps
+        from ..ops import panel as panel_ops
+
+        rb, tm0, tn0, tk0, n_panels, d_cap = state["geom"]
+        padded = n_panels * rb
+        interpret = jax.default_backend() != "tpu"
+        if not interpret:
+            tm, tn, tk = 1024, 512, 2048
+        else:
+            tm, tn = 64, 64
+            tk = tk0
+        full = panel_ops.build_panel_slab(
+            state["r_s"], state["gc_s"], state["q_s"],
+            np.int32(0), np.int32(0), padded, d_cap, state["flat"],
+        )
+        bi, bj = ps.upper_blocks_rect(padded, tm, tn)
+        bi, bj = jnp.asarray(bi), jnp.asarray(bj)
+        pack = padded <= 65536
+        while True:
+            bufs, packed = ps.allpairs_extract_pallas_int8(
+                full, state["aux_p"], bi, bj, tau_eff,
+                caps[0], caps[1], caps[2], tm=tm, tn=tn, tk=tk,
+                interpret=interpret, pack_head=pack,
+            )
+            head = np.asarray(packed)
+            rows_h, cols_h, total, groups, supers = ps.unpack_pallas_head(
+                head
+            )
+            if total > caps[0] or groups > caps[1] or supers > caps[2]:
+                caps = (
+                    pow2_bucket(max(total, caps[0]), 1024),
+                    pow2_bucket(max(groups, caps[1]), 1024),
+                    pow2_bucket(max(supers, caps[2]), 1024),
+                )
+                continue
+            break
+        tight = tuple(
+            pow2_bucket(max(v + (v >> 2), 1024), 1024)
+            for v in (total, groups, supers)
+        )
+        self._panel_caps = tuple(
+            t if t * 8 <= c else c for t, c in zip(tight, caps)
+        )
+        if total <= rows_h.size:
+            return rows_h[:total], cols_h[:total]
+        return score_ops.decode_pairs(bufs, total)
 
     def _panel_schedules(self, state):
         """(diag, off) block schedules as device arrays, cached on state."""
@@ -842,6 +916,18 @@ class ChunkedAllPairs:
             c = pow2_bucket(int(self.cfg.extract_cap), 1024)
             cb = max(c // ps.GROUP, 1024)
             caps = (c, cb, cb)  # generous cap0 default: see pallas_score
+
+        # single-slab mode (OPT-IN, measured SLOWER): when the whole padded
+        # int8 matrix fits HBM, one dense-kernel launch can replace the
+        # sweep — but at 100k rows it measured 2.82 s vs the sweep's 1.37 s
+        # (same exact pairs).  The sweep wins because each pair's XLA
+        # compaction pipelines against the NEXT pair's Pallas kernel in the
+        # dispatch queue, while a single launch serializes one giant kernel
+        # then one giant compaction.  Kept for A/B measurement.
+        if self._single_slab_ok(state):
+            single = self._all_pairs_single_slab(state, tau_eff, caps)
+            if single is not None:
+                return single
 
         slab_bytes = rb * d_cap
         keep_all = n_panels * slab_bytes <= (6 << 30)

@@ -38,12 +38,25 @@ def test_chunked_matches_oracle(corpus):
         assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
 
 
+def test_chunked_single_slab_tier_matches_oracle(corpus):
+    """When the full int8 matrix fits, the join runs the dense kernel in
+    one launch (the single-slab tier) — exact parity."""
+    eng = ChunkedAllPairs(small_cfg(use_pallas="on"), chunk_dim=128)
+    eng._use_single_slab = True  # opt-in (measured slower than the sweep)
+    eng.build(corpus)
+    assert eng._panel_ok() and eng._single_slab_ok(eng._panel_state())
+    for tau in (0.3, 0.6):
+        assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+
+
 def test_chunked_panel_path_matches_oracle(corpus):
     """Block-panel Pallas join (interpret mode off-TPU): multi-panel sweep
-    with off-diagonal pairs, exact parity, cache invalidation on insert."""
+    with off-diagonal pairs, exact parity, cache invalidation on insert.
+    The single-slab tier is disabled so the SWEEP itself is exercised."""
     eng = ChunkedAllPairs(
         small_cfg(use_pallas="on"), chunk_dim=128, panel_rows=64
     )
+    eng._use_single_slab = False
     eng.build(corpus)
     assert eng._panel_ok()
     geom = eng._panel_geom()
@@ -99,6 +112,7 @@ def test_chunked_panel_tiny_caps(corpus):
         small_cfg(use_pallas="on", extract_cap=1024), chunk_dim=128,
         panel_rows=64,
     )
+    eng._use_single_slab = False  # exercise the SWEEP's retry protocol
     eng.build(corpus)
     assert eng.all_pairs(0.2).pair_set() == brute_force_pairs(corpus, 0.2)
 

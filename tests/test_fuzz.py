@@ -98,6 +98,7 @@ def test_fuzz_chunked_panel(seed):
         cfg, chunk_dim=int(rng.choice([64, 128])),
         panel_rows=int(rng.choice([64, 128])),
     )
+    eng._use_single_slab = bool(rng.integers(0, 2))  # fuzz both modes
     cut = n - int(rng.integers(1, 20))
     from apsim_tpu.vector.batch import CSRMatrix
 

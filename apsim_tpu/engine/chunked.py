@@ -618,7 +618,12 @@ class ChunkedAllPairs:
         """Rebuild this (empty) engine from a checkpoint (any flavor)."""
         if self.n_rows:
             raise RuntimeError("restore() on a non-empty engine")
-        csr, ids, max_weights, _ = Engine.read_checkpoint(path)
+        csr, ids, max_weights, ckpt_cfg = Engine.read_checkpoint(path)
+        if int(ckpt_cfg["vector_dim"]) != self.cfg.vector_dim:
+            raise ValueError(
+                f"checkpoint vector_dim {ckpt_cfg['vector_dim']} != engine "
+                f"config vector_dim {self.cfg.vector_dim} ({path})"
+            )
         if csr.n_rows:
             self.build(csr, ids)
         # merge the stored maxima (may record admission-dropped vectors) with
@@ -630,17 +635,14 @@ class ChunkedAllPairs:
     def load(
         cls, path: str, config: AllPairsConfig | None = None, **kw
     ) -> "ChunkedAllPairs":
-        csr, ids, max_weights, ckpt_cfg = Engine.read_checkpoint(path)
+        _, _, _, ckpt_cfg = Engine.read_checkpoint(path)
         cfg = config or AllPairsConfig().replace(
             vector_dim=int(ckpt_cfg["vector_dim"]),
             similarity_threshold=float(ckpt_cfg["similarity_threshold"]),
             dtype=str(ckpt_cfg["dtype"]),
         )
         eng = cls(cfg, **kw)
-        if csr.n_rows:
-            eng.build(csr, ids)
-        eng.max_weights = np.maximum(eng.max_weights, max_weights)
-        Engine._restore_static_map(eng, path)
+        eng.restore(path)
         return eng
 
     # ------------------------------------------------------- panel join (v3)

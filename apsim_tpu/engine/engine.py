@@ -707,6 +707,19 @@ class Engine:
         self._note_norms(csr)
         self.stats["vectors_indexed"] += csr.n_rows
 
+        try:
+            return self._insert_device_phase(
+                csr, new_ids, act, compact_csr, n0, tau, defer
+            )
+        except Exception:
+            # device failure after the host commit: roll back to the
+            # pre-batch state so the caller's drop/retry sees a consistent
+            # engine (no phantom rows) — see _recover_insert
+            self._recover_insert(n0, csr.n_rows)
+            raise
+
+    def _insert_device_phase(self, csr, new_ids, act, compact_csr, n0, tau,
+                             defer):
         tau_eff = self._tau_eff(tau)
         tile = self._tile()
         first_tile = (n0 // tile) * tile
@@ -776,6 +789,40 @@ class Engine:
         )
         return _CompletedInsert(out) if defer else out
 
+    def _recover_insert(self, n0: int, n_batch: int) -> None:
+        """Roll back a failed micro-batch insert: truncate host bookkeeping
+        to the pre-batch state and rebuild the device index from the shadow
+        (the donated/poisoned device buffers cannot be trusted after an
+        execution error).  Without this, a device failure left PHANTOM rows
+        — present in the shadow/ids but absent from every device result —
+        and the server's poison-drop handler persisted them as indexed.
+        max_weights and the norm margin are NOT rolled back: both are upper
+        bounds, so keeping the dropped batch's contribution is conservative.
+        Only safe when nothing was appended after the failed batch (the
+        server's one-deep pipeline guarantees that); otherwise we re-raise
+        without touching state."""
+        if self.n_rows != n0 + n_batch:
+            return  # later inserts landed; cannot roll back safely
+        row_cap, dim_cap = self.row_cap, self.dim_cap
+        self.n_rows = n0
+        del self.ids[n0:]
+        self.id_to_row = {v: k for k, v in enumerate(self.ids)}
+        # truncate the growable shadow arrays (O(1): tail reused on append)
+        self._sh_rows = n0
+        self._sh_nnz = int(self._sh_indptr[n0])
+        self._scipy_cache = None
+        self.stats["vectors_indexed"] -= n_batch
+        shadow = self.shadow_csr()
+        compact_csr = self.compact.map_csr(
+            self._drop_unmapped(shadow), extend=False
+        )
+        self.x = self._place(
+            score_ops.new_index_matrix(row_cap, dim_cap, self.cfg.dtype)
+        )
+        self._scatter_rows(compact_csr, row_offset=0)
+        self._bf16_cache = None
+        self._int8_cache = None
+
     def _match_tile_retry(self, q0, lo, tau_eff, tile, cap, grp):
         """Match one tile, auto-growing cap; returns (rows, cols) arrays."""
         while True:
@@ -825,9 +872,19 @@ class Engine:
         if mode == "real":
             static = getattr(self, "_static_max_weights", None)
             if static is not None:
-                return float(np.dot(static[vec.indices], vec.values)) >= tau
-            bound = np.maximum(self.max_weights[vec.indices], vec.values)
-            admit = float(np.dot(bound, vec.values)) >= tau
+                # the static map covers the STORED corpus; streamed vectors
+                # may exceed it, so fold in the running maxima (and the
+                # vector itself) — otherwise a heavy streamed v1 followed by
+                # a light v2 could drop v2 despite cos(v1, v2) >= tau,
+                # breaking the "exactly lossless" contract
+                bound = np.maximum(
+                    static[vec.indices],
+                    np.maximum(self.max_weights[vec.indices], vec.values),
+                )
+                admit = float(np.dot(bound, vec.values)) >= tau
+            else:
+                bound = np.maximum(self.max_weights[vec.indices], vec.values)
+                admit = float(np.dot(bound, vec.values)) >= tau
             if not admit:
                 # record the dropped vector's weights so future bounds
                 # account for it
@@ -979,18 +1036,21 @@ class Engine:
         if extra_q.size:
             rows = np.concatenate([np.asarray(rows), extra_r])
             qcols = np.concatenate([np.asarray(qcols), extra_q])
-        # exact rescore against a merged shadow (queries appended temporarily)
+        # exact fp64 rescore via the native cross-pair path (this is the
+        # frozen-BENCHMARK hot loop — the per-pair Python SparseVector.dot
+        # it replaces cost seconds per flush at 1e5 candidates)
         shadow = self.shadow_csr()
         out: Dict[str, Dict[str, float]] = {}
-        for r, qc in zip(rows, qcols):
-            qv = SparseVector(
-                self.cfg.vector_dim,
-                csr.indices[csr.indptr[qc] : csr.indptr[qc + 1]],
-                csr.data[csr.indptr[qc] : csr.indptr[qc + 1]],
+        if len(rows):
+            rows_a = np.asarray(rows, np.int64)
+            qcols_a = np.asarray(qcols, np.int64)
+            sims = rescore_ops.cross_pair_dots(
+                shadow.indptr, shadow.indices, shadow.data, shadow.n_cols,
+                csr.indptr, csr.indices, csr.data, qcols_a, rows_a,
             )
-            sim = qv.dot(shadow.row(int(r)))
-            if sim >= tau:
-                out.setdefault(qids[int(qc)], {})[self.ids[int(r)]] = sim
+            keep = sims >= tau
+            for r, qc, s in zip(rows_a[keep], qcols_a[keep], sims[keep]):
+                out.setdefault(qids[int(qc)], {})[self.ids[int(r)]] = float(s)
         self.stats["pairs_emitted"] += sum(len(v) for v in out.values())
         if saved is not None:
             self._max_norm = saved
@@ -1243,12 +1303,15 @@ class Engine:
         # leaves either the old or the new snapshot, never a torn mix
         npz_tmp = os.path.join(path, ".index.npz.tmp")
         with open(npz_tmp, "wb") as f:
+            # NOTE: the compact column order is NOT stored — restore()
+            # re-derives it with from_csr (df-ordered), which is what every
+            # reader does; serializing the live order implied a round-trip
+            # guarantee nothing consumed
             np.savez_compressed(
                 f,
                 indptr=shadow.indptr,
                 indices=shadow.indices,
                 data=shadow.data,
-                ext_of_col=self.compact.ext_of_col,
                 max_weights=self.max_weights,
                 static_max_weights=getattr(
                     self, "_static_max_weights", np.empty(0)
@@ -1284,7 +1347,14 @@ class Engine:
         """Rebuild this (empty) engine from a checkpoint."""
         if self.n_rows:
             raise RuntimeError("restore() on a non-empty engine")
-        csr, ids, max_weights, _ = Engine.read_checkpoint(path)
+        csr, ids, max_weights, ckpt_cfg = Engine.read_checkpoint(path)
+        if int(ckpt_cfg["vector_dim"]) != self.cfg.vector_dim:
+            # fail with the actual mismatch instead of the downstream numpy
+            # broadcast error / compact-space IndexError it would cause
+            raise ValueError(
+                f"checkpoint vector_dim {ckpt_cfg['vector_dim']} != engine "
+                f"config vector_dim {self.cfg.vector_dim} ({path})"
+            )
         if csr.n_rows:
             self.build(csr, ids)
         # merge, don't overwrite: build() recomputed maxima from the corpus
@@ -1302,15 +1372,12 @@ class Engine:
 
     @classmethod
     def load(cls, path: str, config: AllPairsConfig | None = None) -> "Engine":
-        csr, ids, max_weights, ckpt_cfg = cls.read_checkpoint(path)
+        _, _, _, ckpt_cfg = cls.read_checkpoint(path)
         cfg = config or AllPairsConfig().replace(
             vector_dim=int(ckpt_cfg["vector_dim"]),
             similarity_threshold=float(ckpt_cfg["similarity_threshold"]),
             dtype=str(ckpt_cfg["dtype"]),
         )
         eng = cls(cfg)
-        if csr.n_rows:
-            eng.build(csr, ids)
-        eng.max_weights = np.maximum(eng.max_weights, max_weights)
-        cls._restore_static_map(eng, path)
+        eng.restore(path)  # one rebuild path: build + maxima merge + static map
         return eng

@@ -89,8 +89,12 @@ class SimilarityServer:
     def _has_checkpoint(self) -> bool:
         import os
 
+        # key on index.npz, the authoritative self-contained snapshot
+        # (Engine.save replaces it FIRST; keying on the meta.json mirror
+        # would orphan a valid snapshot if a crash lands between the two
+        # replaces on the first-ever checkpoint)
         return bool(self.cfg.checkpoint_dir) and os.path.exists(
-            os.path.join(self.cfg.checkpoint_dir, "meta.json")
+            os.path.join(self.cfg.checkpoint_dir, "index.npz")
         )
 
     def _maybe_checkpoint(self, force: bool = False) -> None:
@@ -156,8 +160,15 @@ class SimilarityServer:
                     self.engine.set_max_weight_map(
                         self.store.max_weights(table)
                     )
-            except (FileNotFoundError, ValueError):
-                pass
+            except FileNotFoundError:
+                pass  # no _MAX statistic for this table: running bound
+            except ValueError as e:
+                # a wrong-dimension map silently downgrading "exactly
+                # lossless" admission to the running bound must be VISIBLE
+                get_logger().warning(
+                    "max-weight map for %r rejected (%s); admission falls "
+                    "back to the running-maxima bound", table, e,
+                )
         # two-level split, like the reference: the client-side ioRangeNum
         # split (Client.scala:49-59) then the entry-side re-split into
         # maxIOEntryActorNum sub-ranges (EntryProxyActor.scala:59-79) —

@@ -200,6 +200,14 @@ class GrowableCSR:
         self.n_rows += csr.n_rows
         self._nnz += nnz
 
+    def truncate(self, n_rows: int) -> None:
+        """Drop rows >= ``n_rows`` (failed-insert rollback).  O(1): the tail
+        storage is simply reused by the next append."""
+        if not 0 <= n_rows <= self.n_rows:
+            raise ValueError(f"truncate({n_rows}) outside [0, {self.n_rows}]")
+        self.n_rows = n_rows
+        self._nnz = int(self._indptr[n_rows])
+
     def view(self) -> CSRMatrix:
         """Read-only CSR view of the current contents."""
         return CSRMatrix(

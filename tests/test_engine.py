@@ -184,6 +184,41 @@ def test_admission_real_static_map(corpus, make):
     assert eng.stats["vectors_dropped_admission"] == 1
 
 
+def test_insert_device_failure_rolls_back(corpus, monkeypatch):
+    """A device failure mid-insert must not leave phantom rows: host
+    bookkeeping rolls back to the pre-batch state, the device index is
+    rebuilt from the shadow, and the engine keeps serving exactly."""
+    import apsim_tpu.ops.score as score_ops_mod
+
+    tau = 0.4
+    eng = Engine(small_cfg())
+    eng.insert([(str(i), corpus.row(i)) for i in range(50)], tau=tau)
+    real = score_ops_mod.insert_match_fused
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    monkeypatch.setattr(score_ops_mod, "insert_match_fused", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.insert(
+            [(f"x{i}", corpus.row(i)) for i in range(50, 60)], tau=tau
+        )
+    monkeypatch.setattr(score_ops_mod, "insert_match_fused", real)
+    assert eng.n_rows == 50 and len(eng.ids) == 50
+    assert "x0" not in eng.id_to_row
+    # still exact after rollback, and a retried insert works
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    head = CSRMatrix(
+        50, corpus.n_cols, corpus.indptr[:51],
+        corpus.indices[: int(corpus.indptr[50])],
+        corpus.data[: int(corpus.indptr[50])],
+    )
+    assert eng.all_pairs(tau).pair_set() == brute_force_pairs(head, tau)
+    eng.insert([(f"x{i}", corpus.row(i)) for i in range(50, 60)], tau=tau)
+    assert eng.n_rows == 60
+
+
 def test_small_extract_cap_streaming(corpus):
     # regression: extract_cap smaller than the packed head must not crash
     # the streaming/fused path

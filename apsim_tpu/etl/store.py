@@ -96,30 +96,45 @@ class VectorStore:
             raise ValueError("ids length mismatch")
         d = self._table_dir(table)
         os.makedirs(d, exist_ok=True)
-        np.savez_compressed(
-            os.path.join(d, "vectors.npz"),
-            indptr=csr.indptr,
-            indices=csr.indices,
-            data=csr.data,
-            shape=np.array([csr.n_rows, csr.n_cols], dtype=np.int64),
-        )
-        with open(os.path.join(d, "ids.txt"), "w", encoding="utf-8") as f:
-            f.write("\n".join(ids))
+        # ids are EMBEDDED in the npz (JSON — newline-safe) and the whole
+        # (vectors, ids) pair lands in ONE os.replace: a crashed or
+        # concurrent writer can no longer produce a torn table whose new
+        # vectors pair with old ids (the read cache keys on this file's
+        # mtime).  ids.txt remains as a human-readable DEBUG mirror and the
+        # read fallback for hand-written tables.
+        tmp = os.path.join(d, ".vectors.npz.tmp")
+        with open(tmp, "wb") as f:
+            np.savez_compressed(
+                f,
+                indptr=csr.indptr,
+                indices=csr.indices,
+                data=csr.data,
+                shape=np.array([csr.n_rows, csr.n_cols], dtype=np.int64),
+                ids_json=np.array(json.dumps(list(ids))),
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(d, "vectors.npz"))
         np.save(os.path.join(d, "max_weights.npy"), csr.max_weights())
         with open(os.path.join(d, "meta.json"), "w", encoding="utf-8") as f:
             json.dump({"n_rows": csr.n_rows, "n_cols": csr.n_cols}, f)
         if self.run_mode == "DEBUG":
+            with open(os.path.join(d, "ids.txt"), "w", encoding="utf-8") as f:
+                f.write("\n".join(ids))
             save_text_vectors(os.path.join(d, "vectors.txt"), csr)
 
     def read(self, table: str) -> tuple[CSRMatrix, List[str]]:
         d = self._table_dir(table)
         npz = os.path.join(d, "vectors.npz")
+        ids: List[str] | None = None
         if os.path.exists(npz):
             z = np.load(npz)
             n_rows, n_cols = (int(x) for x in z["shape"])
             csr = CSRMatrix(
                 n_rows, n_cols, z["indptr"], z["indices"], z["data"]
             )
+            if "ids_json" in z:  # atomic snapshot layout
+                ids = json.loads(str(z["ids_json"]))
         elif self.run_mode == "DEBUG" and os.path.exists(
             os.path.join(d, "vectors.txt")
         ):
@@ -127,13 +142,19 @@ class VectorStore:
             csr = load_text_vectors(os.path.join(d, "vectors.txt"))
         else:
             raise FileNotFoundError(npz)
-        ids_path = os.path.join(d, "ids.txt")
-        if os.path.exists(ids_path):
-            with open(ids_path, "r", encoding="utf-8") as f:
-                text = f.read()
-                ids = text.split("\n") if text else []
-        else:
-            ids = [str(i) for i in range(csr.n_rows)]
+        if ids is None:  # legacy / hand-written tables: ids.txt sidecar
+            ids_path = os.path.join(d, "ids.txt")
+            if os.path.exists(ids_path):
+                with open(ids_path, "r", encoding="utf-8") as f:
+                    text = f.read()
+                    ids = text.split("\n") if text else []
+            else:
+                ids = [str(i) for i in range(csr.n_rows)]
+        if len(ids) != csr.n_rows:
+            raise ValueError(
+                f"table {table!r}: {len(ids)} ids for {csr.n_rows} rows "
+                "(torn or hand-edited table?)"
+            )
         return csr, ids
 
     def _read_cached(self, table: str) -> tuple[CSRMatrix, List[str]]:

@@ -165,7 +165,15 @@ def _extract(m, q0, buf_i, buf_j, cursor, cap, group):
     col = jnp.where(f2valid, q0 + bcol[slot], -1)
     buf_i = jax.lax.dynamic_update_slice(buf_i, row, (cursor,))
     buf_j = jax.lax.dynamic_update_slice(buf_j, col, (cursor,))
-    return buf_i, buf_j, cursor + total, total, groups
+    # SATURATING cursor: a join with > 2^31 total hits must report
+    # INT32_MAX (the head is int32), not wrap negative — a wrapped count
+    # would pass the overflow check and truncate silently; consume_packed
+    # raises a clear error at the saturation point instead.  (int64 is
+    # unavailable without x64, so saturate by detecting the wrap: XLA int32
+    # addition is two's-complement.)
+    summed = cursor + total
+    new_cursor = jnp.where(summed < cursor, jnp.int32(2**31 - 1), summed)
+    return buf_i, buf_j, new_cursor, total, groups
 
 
 def decode_pairs(bufs, count: int):
@@ -212,6 +220,12 @@ def consume_packed(bufs, packed: np.ndarray, cap: int, group: int):
     counts + the typical result; large results spill to a bounded-prefix
     buffer fetch."""
     rows, cols, count, groups = unpack_head(packed)
+    if count >= 2**31 - 1:
+        raise ValueError(
+            "join produced >= 2^31 candidate pairs (saturated counter); "
+            "raise the threshold — fetching/rescoring that many pairs is "
+            "beyond the engine's design envelope"
+        )
     if overflowed(count, groups, cap, group):
         return None, max(count, groups * group)
     if count <= rows.size:
@@ -254,6 +268,10 @@ def allpairs_extract(
     mode="all": every thresholded (row, col) including self/symmetric.
     """
     row_cap, _ = x.shape
+    if row_cap % tile:
+        # a silent floor here would drop the trailing rows as query columns
+        # — every pair involving them would vanish from a "lossless" join
+        raise ValueError(f"row_cap {row_cap} not a multiple of tile {tile}")
     n_tiles = row_cap // tile
 
     def body(t, carry):

@@ -155,9 +155,18 @@ class ClientConnection:
 
     def close(self) -> None:
         for sock in (self._sock, getattr(self, "_sub_sock", None)):
+            if sock is None:
+                continue
             try:
-                if sock is not None:
-                    sock.close()
+                # shutdown() first: close() alone only drops THIS reference,
+                # and the subscription reader thread's makefile() keeps the
+                # fd alive — the server would never see the disconnect and
+                # keep pushing to a zombie subscriber forever
+                sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                sock.close()
             except OSError:
                 pass
 

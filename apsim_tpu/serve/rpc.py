@@ -72,8 +72,10 @@ class _Handler(socketserver.StreamRequestHandler):
                 with send_lock:
                     self.wfile.write((msg + "\n").encode())
                     self.wfile.flush()
-            except OSError as e:
-                # subscriber gone: let the server unregister this sink
+            except (OSError, ValueError) as e:
+                # subscriber gone: OSError from a dead socket, ValueError
+                # from the wfile socketserver closes after handle() returns
+                # — either way, let the server unregister this sink
                 raise BrokenPipeError(str(e)) from e
 
         def reply(obj) -> None:
@@ -83,10 +85,12 @@ class _Handler(socketserver.StreamRequestHandler):
 
         try:
             while True:
-                raw = self.rfile.readline(self.MAX_LINE + 1)
+                raw = self.rfile.readline(self.MAX_LINE + 2)
                 if not raw:
                     break
-                if len(raw) > self.MAX_LINE:
+                # payload bound: a complete MAX_LINE-byte line + '\n' is
+                # fine; reject only when the PAYLOAD exceeds the bound
+                if len(raw.rstrip(b"\n\r")) > self.MAX_LINE:
                     reply({"ok": False, "error": "request line too large"})
                     break
                 raw = raw.strip()
@@ -99,8 +103,11 @@ class _Handler(socketserver.StreamRequestHandler):
                     if not authed:
                         # shared-secret gate: nothing is processed (or even
                         # parsed into engine state) before a valid auth op
-                        if op == "auth" and msg.get("token") == getattr(
-                            self.server, "auth_token", ""
+                        import hmac
+
+                        if op == "auth" and hmac.compare_digest(
+                            str(msg.get("token", "")),
+                            getattr(self.server, "auth_token", ""),
                         ):
                             authed = True
                             reply({"ok": True, "authed": True})
@@ -180,11 +187,26 @@ class _TcpServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
     ssl_context = None
 
-    def get_request(self):
-        sock, addr = super().get_request()
+    def finish_request(self, request, client_address):
+        # TLS handshake happens HERE, on the per-connection thread — doing
+        # it in get_request would run it on the single accept thread, where
+        # one client that connects and never sends a ClientHello blocks
+        # every other connection (a trivial DoS on exactly the non-loopback
+        # deployments TLS exists for).  Bounded by a handshake timeout.
         if self.ssl_context is not None:
-            sock = self.ssl_context.wrap_socket(sock, server_side=True)
-        return sock, addr
+            try:
+                request.settimeout(20.0)
+                request = self.ssl_context.wrap_socket(
+                    request, server_side=True
+                )
+                request.settimeout(None)
+            except OSError:
+                try:
+                    request.close()
+                except OSError:
+                    pass
+                return
+        super().finish_request(request, client_address)
 
 
 class RpcServer:
@@ -220,7 +242,10 @@ class RpcServer:
         return self
 
     def close(self) -> None:
-        self._tcp.shutdown()
+        # shutdown() waits on an event only serve_forever() sets — calling
+        # it on a never-started server would block forever
+        if self._thread is not None:
+            self._tcp.shutdown()
         self._tcp.server_close()
         self.sim_server.close()
 

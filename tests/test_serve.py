@@ -68,6 +68,34 @@ def test_server_bulk_load_skips_admission(tmp_path, corpus):
         assert srv.stats()["vectors_dropped_admission"] == 0
 
 
+def test_disconnected_subscriber_is_unregistered(corpus):
+    """A subscriber that disconnects must be dropped from the sink list on
+    the next output push — socketserver closes its wfile after handle()
+    returns, which raises ValueError (not OSError) on write; the push hook
+    converts both to BrokenPipeError so _fanout unregisters the sink."""
+    cfg = make_cfg()
+    sim = SimilarityServer(Engine(cfg), cfg)
+    with RpcServer(sim, port=0) as rpc:
+        addr = f"{rpc.host}:{rpc.port}"
+        sub = ClientConnection([addr])
+        sub.subscribe_outputs(lambda o, t: None)
+        assert wait_until(lambda: len(sim._sinks) == 1)
+        sub.close()  # subscriber gone; its sink is still registered
+        cc = ClientConnection([addr])
+        # duplicate pairs guarantee output events -> push -> dead sink
+        # (the first write to a freshly-closed peer can land in the TCP
+        # buffer before the RST arrives, so allow a couple of pushes)
+        for k in range(5):
+            cc.insert_new_vector(
+                [(f"a{k}", corpus.row(0)), (f"b{k}", corpus.row(0))]
+            )
+            cc.flush()
+            if wait_until(lambda: len(sim._sinks) == 0, timeout=2):
+                break
+        assert len(sim._sinks) == 0
+        cc.close()
+
+
 def test_rpc_roundtrip(tmp_path, corpus):
     store = VectorStore(str(tmp_path))
     store.write("SMALL_DATA", corpus, ids=[f"v{i}" for i in range(corpus.n_rows)])

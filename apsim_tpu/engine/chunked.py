@@ -146,7 +146,16 @@ class ChunkedAllPairs:
         streaming growth (e.g. 8192 picked at 100k rows is an 8.3 GB
         accumulator at 250k)."""
         if self.super_tile is not None:
-            return min(self.super_tile, self.row_cap)
+            # round DOWN to a power of two (row_cap is pow2-quantized, so
+            # any pow2 ≤ row_cap divides it).  A non-divisor stripe width
+            # would make the last stripe's dynamic_slice CLAMP its start:
+            # the scores would be computed against shifted rows while the
+            # epilogue still labels columns q0+i — silently losing the
+            # clamped rows' true pairs
+            st = 1
+            while st * 2 <= self.super_tile:
+                st *= 2
+            return min(st, self.row_cap)
         padded = round_up(max(self.n_rows, 1), 8192)
         cached = getattr(self, "_auto_super", None)
         if cached is None or cached[1] != padded:

@@ -112,12 +112,3 @@ class CompactSpace:
     def cols_of(self, ext_dims: np.ndarray) -> np.ndarray:
         return self._col_of_ext[np.asarray(ext_dims)]
 
-    def shard_of_col(self, num_shards: int) -> np.ndarray:
-        """Contiguous-block shard assignment for compact columns — the TPU
-        analog of the reference's ``dim % maxShardNum`` partition
-        (WriteWorkerActor.scala:75).  Blocks are contiguous for locality; the
-        modulo semantics of the reference are an artifact of hash-partitioning
-        over actors and carry no meaning for correctness."""
-        cap = self.capacity
-        block = -(-cap // num_shards)
-        return (np.arange(cap) // block).astype(np.int32)

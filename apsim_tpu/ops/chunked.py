@@ -213,7 +213,7 @@ def chunked_stripe_extract(
     """Score one ``super_tile``-wide query stripe of the upper-triangle join
     over chunked COO entries; returns ``((rows, cols), packed_pallas_head)``
     (three-level bit-packed extraction — see ``join_epilogue_bits``)."""
-    from .pallas_score import GROUP, SUPER
+    from .pallas_score import GROUP
 
     capb = capb or max(cap // GROUP, 1024)
     cap0 = cap0 or capb  # level-0 cap only sizes a tiny gather; a
@@ -291,7 +291,7 @@ def chunked_stripe_extract_int8(
     ``|x_i·x_j − α_iα_j D| ≤ 0.5(α_j b_i + α_i b_j) +
     0.25 α_iα_j min(n_i, n_j)``), then the shared bit-packed compaction.
     ~2× the bf16 MXU rate on the join's dominant matmul."""
-    from .pallas_score import GROUP, SUPER
+    from .pallas_score import GROUP
 
     capb = capb or max(cap // GROUP, 1024)
     cap0 = cap0 or capb  # level-0 cap only sizes a tiny gather; a

@@ -222,6 +222,12 @@ def unpack_pallas_head(packed: np.ndarray):
     """(rows_head, cols_head, total, groups, supers) from a fetched head;
     the layout flag in the last word selects u32-packed vs two-array."""
     total = int(packed[-4])
+    if total >= 2**31 - 1:
+        raise ValueError(
+            "join produced >= 2^31 candidate pairs (saturated counter); "
+            "raise the threshold — fetching/rescoring that many pairs is "
+            "beyond the engine's design envelope"
+        )
     groups = int(packed[-3])
     supers = int(packed[-2])
     if int(packed[-1]):  # u32-packed pairs
@@ -284,12 +290,27 @@ def allpairs_extract_pallas(
     )
 
 
+def _sat_count_sum(v):
+    """Saturating int32 sum of per-block hit counts.  A plain jnp.sum wraps
+    past 2^31 (each block count is < 2^20, but a 131k-row low-tau join can
+    total 2^34), and a wrapped NEGATIVE total passes the caller's overflow
+    check and silently truncates the result — the same bug class
+    score.py's cursor saturation guards against.  The fp32 shadow sum is
+    only used as a > 2^30 detector (its ~1e-7 relative error is far below
+    the 2x headroom to the wrap point), so totals ≤ 2^30 stay exact."""
+    exact = jnp.sum(v)
+    approx = jnp.sum(v.astype(jnp.float32))
+    return jnp.where(
+        approx > jnp.float32(2**30), jnp.int32(2**31 - 1), exact
+    )
+
+
 def _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn,
                   pack_head: bool = False):
     n_blocks = bi.shape[0]
-    total = jnp.sum(cnt[:, 0, 0])
-    groups = jnp.sum(cnt[:, 0, 1])
-    supers = jnp.sum(cnt[:, 0, 2])
+    total = _sat_count_sum(cnt[:, 0, 0])
+    groups = _sat_count_sum(cnt[:, 0, 1])
+    supers = _sat_count_sum(cnt[:, 0, 2])
     # ---- level 0: hit super-groups (64 rows) over the whole structure
     per0 = (tm // SUPER) * tn
     if (tm // SUPER) % (SUPER2 // SUPER) == 0:

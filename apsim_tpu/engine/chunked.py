@@ -806,6 +806,13 @@ class ChunkedAllPairs:
     # _all_pairs_panel's dispatch comment); flip True to A/B on new hardware
     _use_single_slab = False
 
+    # panel-sweep HBM budgets (bytes).  resident: if ALL slabs fit, keep
+    # them for the whole sweep (one window).  sweep: bound on in-flight
+    # slabs in rolling mode — sized for v5e 16 GB minus entry/COO state.
+    # Class attrs so tests (and odd-HBM deployments) can shrink them.
+    _panel_resident_bytes = 6 << 30
+    _panel_sweep_bytes = 10 << 30
+
     def _single_slab_ok(self, state) -> bool:
         if not self._use_single_slab:
             return False
@@ -941,7 +948,7 @@ class ChunkedAllPairs:
                 return single
 
         slab_bytes = rb * d_cap
-        keep_all = n_panels * slab_bytes <= (6 << 30)
+        keep_all = n_panels * slab_bytes <= self._panel_resident_bytes
 
         def run_pair(xi, xj, pi, pj, cps):
             return self._op_panel_pair(
@@ -957,27 +964,24 @@ class ChunkedAllPairs:
 
         # Windowed dispatch: heads are fetched in ONE stacked D2H transfer
         # per window (~28 ms fixed round trip each — per-pair syncing cost
-        # ~4 s of the 500k join).  The window bounds in-flight slab memory
-        # in rolling mode: a window spans one I-row, so it references at
-        # most window+1 distinct slabs; keep_all mode uses one window for
-        # the whole sweep (slabs are resident anyway).
+        # ~4 s of the 500k join).  Window entries hold NO slab references:
+        # a cap-overflow retry (rare — once per cap growth, then the
+        # tightened caps stick) rebuilds its two slabs instead, so slab
+        # lifetime is governed purely by the dispatch pipeline (see the
+        # rolling sweep below).
         pending = []  # settled (rows, cols) HOST arrays per pair
         seen = (0, 0, 0)
-        win: list = []  # (pi, pj, xi, xj, bufs, packed)
-        win_cap = (
-            n_panels * (n_panels + 1) // 2 + 1 if keep_all
-            else max(1, int((3 << 30) // max(slab_bytes, 1)))
-        )
+        win: list = []  # (pi, pj, bufs, packed)
 
         def flush_window():
             nonlocal caps, seen
             if not win:
                 return
             if len(win) > 1:
-                heads = np.asarray(jnp.stack([w[5] for w in win]))
+                heads = np.asarray(jnp.stack([w[3] for w in win]))
             else:
-                heads = [np.asarray(win[0][5])]
-            for (pi, pj, xi, xj, bufs, _), head in zip(win, heads):
+                heads = [np.asarray(win[0][3])]
+            for (pi, pj, bufs, _), head in zip(win, heads):
                 rows_h, cols_h, total, groups, supers = (
                     ps.unpack_pallas_head(head)
                 )
@@ -989,7 +993,16 @@ class ChunkedAllPairs:
                         pow2_bucket(max(groups, caps[1]), 1024),
                         pow2_bucket(max(supers, caps[2]), 1024),
                     )
-                    bufs, packed = run_pair(xi, xj, pi, pj, caps)
+                    xi_r = (
+                        slab(pi) if keep_all
+                        else self._build_slab(state, pi)
+                    )
+                    xj_r = (
+                        xi_r if pj == pi
+                        else slab(pj) if keep_all
+                        else self._build_slab(state, pj)
+                    )
+                    bufs, packed = run_pair(xi_r, xj_r, pi, pj, caps)
                     head = np.asarray(packed)
                     rows_h, cols_h, total, groups, supers = (
                         ps.unpack_pallas_head(head)
@@ -1007,21 +1020,49 @@ class ChunkedAllPairs:
                     pending.append(score_ops.decode_pairs(bufs, total))
             win.clear()
 
-        for pi in range(n_panels):
-            xi = slab(pi) if keep_all else self._build_slab(state, pi)
-            for pj in range(pi, n_panels):
-                xj = (
-                    xi if pj == pi
-                    else slab(pj) if keep_all
-                    else self._build_slab(state, pj)
-                )
-                bufs, packed = run_pair(xi, xj, pi, pj, caps)
-                win.append((pi, pj, xi, xj, bufs, packed))
-                if len(win) >= win_cap:
-                    flush_window()
-            if not keep_all:
-                flush_window()  # xi retires with its row
-        flush_window()
+        if keep_all:
+            # all slabs resident: one window, one stacked head fetch
+            for pi in range(n_panels):
+                xi = slab(pi)
+                for pj in range(pi, n_panels):
+                    xj = xi if pj == pi else slab(pj)
+                    bufs, packed = run_pair(xi, xj, pi, pj, caps)
+                    win.append((pi, pj, bufs, packed))
+            flush_window()
+        else:
+            # Blocked-I rolling sweep: B row panels stay resident for one
+            # J-scan, so each J-slab build serves B panel pairs (slab builds
+            # fall from ~n_pairs to ~n_pairs/B — at 1M rows that is ~2000
+            # rebuilds down to ~450).  The stacked-head fetch in
+            # flush_window is the pipeline sync point: it blocks until every
+            # enqueued kernel ran, retiring all J-slabs built before it
+            # (their only refs are the pending computations), so flushing
+            # every ``jsync`` J-builds bounds in-flight slab HBM to
+            # (B + jsync + 1) slabs = S · slab_bytes ≤ the 10 GB budget
+            # (v5e: 16 GB − ~2.5 GB entry/COO state − intermediates).
+            S = max(3, int(self._panel_sweep_bytes // max(slab_bytes, 1)))
+            B = min(max(1, S // 2), 6, n_panels)
+            jsync = min(max(1, S - B - 1), 6)
+            for i0 in range(0, n_panels, B):
+                iblk = list(range(i0, min(i0 + B, n_panels)))
+                xis = {p: self._build_slab(state, p) for p in iblk}
+                jbuilt = 0
+                for pj in range(i0, n_panels):
+                    xj = xis.get(pj)
+                    if xj is None:
+                        xj = self._build_slab(state, pj)
+                        jbuilt += 1
+                    for pi in iblk:
+                        if pi > pj:
+                            continue
+                        bufs, packed = run_pair(xis[pi], xj, pi, pj, caps)
+                        win.append((pi, pj, bufs, packed))
+                    del xj
+                    if jbuilt >= jsync:
+                        flush_window()
+                        jbuilt = 0
+                xis.clear()
+                flush_window()  # block's I-slabs retire here
         del slabs
 
         all_i = [p[0] for p in pending]

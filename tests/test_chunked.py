@@ -77,6 +77,27 @@ def test_chunked_panel_path_matches_oracle(corpus):
     assert got == brute_force_pairs(allcsr, 0.6, ids)
 
 
+def test_chunked_panel_rolling_sweep(corpus):
+    """Out-of-core rolling mode: slabs do NOT all stay resident.  Shrink
+    the HBM budgets so the blocked-I schedule runs with multiple I-blocks
+    and mid-scan flushes, with caps forced low to also exercise the
+    rebuild-on-overflow retry inside flush_window.  Exact parity."""
+    eng = ChunkedAllPairs(
+        small_cfg(use_pallas="on", extract_cap=1024), chunk_dim=128,
+        panel_rows=64,
+    )
+    eng._use_single_slab = False
+    eng._panel_resident_bytes = 0  # force rolling mode
+    eng.build(corpus)
+    assert eng._panel_ok()
+    state = eng._panel_state()
+    rb, _, _, _, n_panels, d_cap = state["geom"]
+    assert n_panels >= 3  # several I-blocks at B<=2
+    eng._panel_sweep_bytes = 4 * rb * d_cap  # S=4 -> B=2, jsync=1
+    for tau in (0.2, 0.6):
+        assert eng.all_pairs(tau).pair_set() == brute_force_pairs(corpus, tau)
+
+
 def test_chunked_panel_single_panel(corpus):
     # auto geometry on a small corpus: one panel, diagonal schedule only
     eng = ChunkedAllPairs(small_cfg(use_pallas="on"), chunk_dim=128)

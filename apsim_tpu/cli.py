@@ -194,7 +194,16 @@ def cmd_serve(args) -> int:
             from .serve.replica import follow
 
             print("follower: replaying op log", flush=True)
-            n = follow(engine, host, int(port), cfg.auth_token)
+            n, clean = follow(engine, host, int(port), cfg.auth_token)
+            if not clean:
+                # leader died mid-log: this replica holds its full state —
+                # exit nonzero so a supervisor restarts it as the new
+                # coordinator (its engine can be re-served as-is)
+                print(
+                    f"follower: LEADER LOST after {n} ops; replica state "
+                    "is complete and promotable", flush=True,
+                )
+                return 1
             print(f"follower: leader closed after {n} ops", flush=True)
             return 0
         from .serve.replica import OpLogLeader

@@ -232,6 +232,38 @@ class OpLogLeader:
                     **self._sparse_weights(static),
                 })
 
+    def restore_from_engine(self) -> None:
+        """Promotion catch-up: ship THIS engine's live state (host CSR
+        shadow + ids + admission maxima) to followers that joined empty —
+        the new-leader bring-up after a failover, where the promoted
+        replica already holds the state so, unlike :meth:`restore`,
+        nothing executes locally.  For independent-replica deployments
+        (each process its own mesh — the reference's actual topology);
+        under ONE global multi-host mesh a dead process kills the mesh
+        itself, so there is no surviving replica to promote."""
+        import numpy as np
+
+        shadow = self.engine.shadow_csr()
+        with self._lock:
+            if shadow.n_rows:
+                self._ship({
+                    "op": "build",
+                    "indptr": np.asarray(shadow.indptr).tolist(),
+                    "indices": np.asarray(shadow.indices).tolist(),
+                    "data": np.asarray(shadow.data).tolist(),
+                    "ids": list(self.engine.ids),
+                })
+            self._ship({
+                "op": "merge_max_weights",
+                **self._sparse_weights(self.engine.max_weights),
+            })
+            static = getattr(self.engine, "_static_max_weights", None)
+            if static is not None:
+                self._ship({
+                    "op": "set_max_weight_map",
+                    **self._sparse_weights(static),
+                })
+
     def close(self) -> None:
         """End the log: followers' replay loops return.  Best-effort — a
         follower that already died must not make close() raise (it runs in
@@ -256,11 +288,19 @@ class OpLogLeader:
 
 
 def follow(engine, leader_host: str, leader_port: int,
-           auth_token: str = "", connect_timeout: float = 60.0) -> int:
+           auth_token: str = "", connect_timeout: float = 60.0):
     """Follower replay loop: apply the leader's op log to ``engine`` until
-    shutdown; returns the number of ops replayed.  Every replicated op
-    enters the same global-mesh collectives the leader's execution does —
-    this call IS the follower's participation in the SPMD programs."""
+    the log ends; returns ``(n_ops, clean)``.  ``clean=True`` means the
+    leader shipped an explicit shutdown; ``clean=False`` means the socket
+    hit EOF without one — the leader DIED, and since replay already
+    converged this replica to the leader's exact state, the caller may
+    promote it (serve from ``engine``, or wrap it in a new
+    :class:`OpLogLeader`) — the failover analog of the reference's Akka
+    failure detector + entity relocation (conf/akka.conf:13,
+    CommonUtils.scala:41-46), except state actually survives because every
+    follower IS a full replica.  Every replicated op enters the same
+    global-mesh collectives the leader's execution does — this call IS the
+    follower's participation in the SPMD programs."""
     import numpy as np
 
     from ..vector.batch import CSRMatrix
@@ -284,11 +324,13 @@ def follow(engine, leader_host: str, leader_port: int,
             (json.dumps({"token": auth_token}) + "\n").encode("utf-8")
         )
     n_ops = 0
+    clean = False
     with sock, sock.makefile("r", encoding="utf-8") as f:
         for line in f:
             msg = json.loads(line)
             op = msg["op"]
             if op == "shutdown":
+                clean = True
                 break
             n_ops += 1
             if op == "build":
@@ -318,7 +360,7 @@ def follow(engine, leader_host: str, leader_port: int,
                 engine.max_weights = np.maximum(
                     engine.max_weights, _dense_weights(msg)
                 )
-    return n_ops
+    return n_ops, clean
 
 
 def _dense_weights(msg):

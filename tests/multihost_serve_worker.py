@@ -86,7 +86,8 @@ if pid == 0:
     leader.close()
     print(f"MULTIHOST_SERVE_OK pairs={len(got)}", flush=True)
 else:
-    n_ops = follow(eng, "127.0.0.1", repl_port)
+    n_ops, clean = follow(eng, "127.0.0.1", repl_port)
+    assert clean, "leader should have shut down explicitly"
     # follower converged to the same corpus through pure log replay (the
     # server's flusher coalesces RPC batches, so op count is small: at
     # least one insert + the all_pairs)

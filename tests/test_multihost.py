@@ -215,7 +215,7 @@ def test_oplog_auth_token_gate():
     leader.freeze()
     leader.close()
     ft.join(5)
-    assert done == [1] and getattr(eng, "froze", False)
+    assert done == [(1, True)] and getattr(eng, "froze", False)
 
 
 def test_leader_restore_replicates_state(tmp_path):
@@ -258,7 +258,7 @@ def test_leader_restore_replicates_state(tmp_path):
     leader.restore(ckpt)
     leader.close()
     t.join(30)
-    assert done, "follower did not finish"
+    assert done and done[0][1], "follower did not finish cleanly"
     assert follower_eng.n_rows == leader_eng.n_rows == 2
     np.testing.assert_array_equal(
         follower_eng.max_weights, leader_eng.max_weights
@@ -286,6 +286,83 @@ def test_leader_fails_fast_on_dead_follower():
     with pytest.raises(RuntimeError, match="checkpoint"):
         for _ in range(64):  # broken pipe surfaces within a few writes
             leader.freeze()
+
+
+def test_follower_promotion_on_leader_loss():
+    """Leader crash (socket EOF, no shutdown op): follow() reports
+    clean=False, the replica's state equals the leader's pre-crash state,
+    and wrapping it in a new OpLogLeader resumes service — including NEW
+    followers converging and NEW inserts matching — without losing a row.
+    The elastic-recovery story (SURVEY §5 A3): unlike the reference, where
+    ClusterSharding relocation loses the in-memory index, every follower
+    here IS a full replica."""
+    import threading
+
+    from apsim_tpu import AllPairsConfig, Engine
+    from apsim_tpu.serve.replica import OpLogLeader, follow
+    from apsim_tpu.vector.sparse import Vectors
+
+    cfg = AllPairsConfig(
+        vector_dim=200, query_tile=32, row_bucket=32, dim_bucket=64
+    )
+    leader_eng = Engine(cfg)
+    leader = OpLogLeader(leader_eng, port=0, n_followers=1)
+    replica = Engine(cfg)
+    done = []
+
+    def run_follower():
+        done.append(follow(replica, leader.host, leader.port))
+
+    t = threading.Thread(target=run_follower, daemon=True)
+    t.start()
+    leader.wait_followers()
+    vecs = [
+        ("a", Vectors.sparse(200, [1, 2], [0.6, 0.8])),
+        ("b", Vectors.sparse(200, [1, 2], [0.6, 0.8])),
+        ("c", Vectors.sparse(200, [7], [1.0])),
+    ]
+    leader.build(vecs)
+    leader.insert([("d", Vectors.sparse(200, [7], [1.0]))], tau=0.5)
+    pre_crash = leader_eng.all_pairs(0.5).pair_set()
+    assert pre_crash  # nonempty: the state being recovered is real
+    # crash: sockets die with the process — no shutdown op is shipped
+    for f in leader._files:
+        f.close()
+    for c in leader._conns:
+        c.close()
+    leader._srv.close()
+    t.join(30)
+    assert done, "follower replay loop did not return"
+    n_ops, clean = done[0]
+    # build + insert (all_pairs above queried the inner engine directly —
+    # pure reads need no replication)
+    assert not clean and n_ops == 2
+    # the replica converged to the exact pre-crash state
+    assert replica.all_pairs(0.5).pair_set() == pre_crash
+    # PROMOTE: the replica becomes the new leader; a fresh follower joins
+    # and service continues from exactly where the old leader died
+    new_leader = OpLogLeader(replica, port=0, n_followers=1)
+    replica2 = Engine(cfg)
+    done2 = []
+
+    def run_follower2():
+        done2.append(follow(replica2, new_leader.host, new_leader.port))
+
+    t2 = threading.Thread(target=run_follower2, daemon=True)
+    t2.start()
+    new_leader.wait_followers()
+    # bring the new follower to the promoted state, then serve new traffic
+    new_leader.restore_from_engine()
+    out = new_leader.insert(
+        [("e", Vectors.sparse(200, [1, 2], [0.6, 0.8]))], tau=0.5
+    )
+    assert "a" in out.output.get("e", {})
+    post = replica.all_pairs(0.5).pair_set()
+    assert post > pre_crash
+    new_leader.close()
+    t2.join(30)
+    assert done2 and done2[0][1]
+    assert replica2.all_pairs(0.5).pair_set() == post
 
 
 def test_two_process_serve_end_to_end():

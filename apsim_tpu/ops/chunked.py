@@ -190,8 +190,8 @@ def match_epilogue(s, q_base, tau_eff, cap: int, group: int):
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     qglob = q_base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     m = (s >= tau_eff) & (rows != qglob)
-    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
-    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_i = jnp.full((cap,), -1, jnp.int32)  # cursor 0: cap suffices
+    buf_j = jnp.full((cap,), -1, jnp.int32)
     buf_i, buf_j, _, total, groups = _extract(
         m, jnp.int32(0), buf_i, buf_j, jnp.int32(0), cap, group
     )

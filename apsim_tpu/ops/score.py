@@ -316,8 +316,11 @@ def match_tile_extract(
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     m = (s >= tau_eff) & (rows != cols) & (cols >= lo)
-    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
-    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
+    # single-tile call: cursor is pinned at 0, so a cap-sized buffer holds
+    # every valid write (2*cap is only needed when a multi-tile loop advances
+    # the cursor — see allpairs_extract)
+    buf_i = jnp.full((cap,), -1, jnp.int32)
+    buf_j = jnp.full((cap,), -1, jnp.int32)
     buf_i, buf_j, _, total, groups = _extract(
         m, q0, buf_i, buf_j, jnp.int32(0), cap, group
     )
@@ -359,8 +362,8 @@ def insert_match_fused(
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     m = (s >= tau_eff) & (rows != cols) & (cols >= lo)
-    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
-    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_i = jnp.full((cap,), -1, jnp.int32)  # cursor 0: cap suffices
+    buf_j = jnp.full((cap,), -1, jnp.int32)
     buf_i, buf_j, _, total, groups = _extract(
         m, q0, buf_i, buf_j, jnp.int32(0), cap, group
     )
@@ -382,8 +385,8 @@ def dense_queries_extract(
     )
     s = jax.lax.optimization_barrier(s)
     m = s >= tau_eff
-    buf_i = jnp.full((2 * cap,), -1, jnp.int32)
-    buf_j = jnp.full((2 * cap,), -1, jnp.int32)
+    buf_i = jnp.full((cap,), -1, jnp.int32)  # cursor 0: cap suffices
+    buf_j = jnp.full((cap,), -1, jnp.int32)
     buf_i, buf_j, _, total, groups = _extract(
         m, jnp.int32(0), buf_i, buf_j, jnp.int32(0), cap, group
     )

@@ -136,6 +136,17 @@ class AllPairsConfig:
                                        # demoted to bf16 if a corpus makes
                                        # the bound admit vastly more
                                        # candidates than the true result.
+    match_slab_budget_mb: int = 7168   # streaming fast path (chunked engine):
+                                       # keep the densified chunk slabs
+                                       # RESIDENT on device and update them
+                                       # incrementally on insert, instead of
+                                       # re-scattering the whole corpus every
+                                       # micro-batch.  Enabled while the
+                                       # stacked slabs fit this budget
+                                       # (n_chunks·row_cap·chunk_width·2 B at
+                                       # bf16); beyond it the engine falls
+                                       # back to the per-batch rebuild.  0
+                                       # disables the cache.
     profile_dir: str = ""              # when set, capture a jax.profiler
                                        # trace around every all_pairs/insert
                                        # (view with TensorBoard/xprof);

@@ -59,6 +59,7 @@ class ChunkedAllPairs:
         # (re-evaluated as the corpus grows) unless overridden here
         self.super_tile = None if super_tile is None else int(super_tile)
         self._ent = None  # (rows2d, cols2d, vals2d) jnp [n_chunks, chunk_cap]
+        self._mslab = None  # resident match slabs [n_chunks, row_cap, width]
         self._counts = None  # np int64 [n_chunks] (host truth)
         self._counts_dev = None  # jnp int32 copy for kernels
         self._chunk_cap = 0
@@ -192,11 +193,65 @@ class ChunkedAllPairs:
         self._ent = chunked_ops.append_entries(
             *self._ent, chunk_idx, slot_idx, r, lc, v
         )
+        # keep the resident match slabs consistent: same (chunk, row, local,
+        # value) scatter, same OOB-drop padding contract.  A geometry change
+        # (row_cap quantum crossed / chunk width doubled) drops the cache
+        # instead of growing it — growth would transiently hold old + new
+        # slab stacks at exactly the moment HBM is fullest; a lazy rebuild
+        # from the entry buffers costs one densify sweep (~0.3 s at 100k
+        # rows) every few thousand inserted rows and keeps peak HBM at one
+        # stack
+        m = self._mslab
+        if m is not None:
+            if (m.shape[1], m.shape[2]) != (self.row_cap, self._chunk_width):
+                self._mslab = None
+            else:
+                self._mslab = chunked_ops.append_match_slabs(
+                    m, chunk_idx, r, lc, v
+                )
 
     def _op_grow(self, new_cap: int):
         self._ent = chunked_ops.grow_entry_cap(
             *self._ent, new_cap=new_cap, pad_row=self._pad_row()
         )
+
+    # ----------------------------------------------- resident match slabs
+    # Streaming fast path: the per-batch cross-match used to re-scatter the
+    # ENTIRE corpus into chunk slabs on every insert (scatter is
+    # element-bound on TPU — it was ~95% of a 0.33 s / 256-row batch at 100k
+    # rows).  While the stacked slabs fit ``match_slab_budget_mb`` they stay
+    # resident and inserts update them incrementally, making the match
+    # dots-only.  Beyond the budget (true out-of-core scale) the engine
+    # falls back to the rebuild path unchanged.
+
+    _match_slab_cache_ok = True  # mesh subclass keeps its sharded path
+
+    def _slab_dtype(self) -> str:
+        return (
+            "float32" if self.cfg.matmul_precision == "highest"
+            else "bfloat16"
+        )
+
+    def _match_slabs(self):
+        """The resident slab stack for the CURRENT geometry, building or
+        rebuilding lazily; None when disabled or over budget."""
+        if not self._match_slab_cache_ok or self._ent is None:
+            return None
+        dt = self._slab_dtype()
+        rows, width = self.row_cap, self._chunk_width
+        itemsize = 4 if dt == "float32" else 2
+        budget = int(self.cfg.match_slab_budget_mb) << 20
+        if self._n_chunks * rows * width * itemsize > budget:
+            self._mslab = None
+            return None
+        m = self._mslab
+        if m is not None and (m.shape[1], m.shape[2]) != (rows, width):
+            self._mslab = m = None  # geometry moved: rebuild below
+        if m is None:
+            self._mslab = chunked_ops.build_match_slabs(
+                *self._ent, self._counts_dev, rows, width, dt
+            )
+        return self._mslab
 
     # int8 stripes: MEASURED DEAD-END on this hardware, kept as an opt-in
     # (set the attribute True). Unlike the dense engine's Pallas int8 kernel
@@ -247,6 +302,12 @@ class ChunkedAllPairs:
 
     def _op_match(self, q, q_base: int, tau_eff, q_rows_cap: int, cap: int,
                   grp: int):
+        mslab = self._match_slabs()
+        if mslab is not None:
+            return chunked_ops.cached_match_extract(
+                mslab, *q, np.int32(q_base), tau_eff, q_rows_cap, cap, grp,
+                self.cfg.matmul_precision,
+            )
         return chunked_ops.chunked_match_extract(
             *self._ent, self._counts_dev, *q, np.int32(q_base), tau_eff,
             self.row_cap, self._chunk_width, q_rows_cap, cap, grp,
@@ -290,6 +351,7 @@ class ChunkedAllPairs:
             self._chunk_cap, self._pad_row(),
         )
         self._ent = self._place_ent(rows2d, cols2d, vals2d)
+        self._mslab = None  # new corpus: resident slabs rebuild lazily
         self._counts = counts
         self._counts_dev = self._place_counts(counts)
         self._stripe_caps = None  # new corpus: forget grown extraction caps
@@ -1083,6 +1145,10 @@ class ChunkedAllPairs:
             return self._all_pairs_impl(tau)
 
     def _all_pairs_impl(self, tau: float | None = None) -> PairResult:
+        # release the streaming slab cache first: the join's own slabs /
+        # accumulators need the HBM, and the cache rebuilds lazily (one
+        # densify sweep) on the next insert
+        self._mslab = None
         tau = self.cfg.similarity_threshold if tau is None else float(tau)
         if self.n_rows == 0:
             return PairResult(

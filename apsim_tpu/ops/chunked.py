@@ -46,6 +46,9 @@ __all__ = [
     "grow_entry_cap",
     "chunked_stripe_extract",
     "chunked_match_extract",
+    "build_match_slabs",
+    "append_match_slabs",
+    "cached_match_extract",
     "chunked_topk",
     "join_epilogue_bits",
     "match_epilogue",
@@ -109,6 +112,82 @@ def grow_entry_cap(rows2d, cols2d, vals2d, new_cap: int, pad_row: int):
         jax.lax.dynamic_update_slice(nc, cols2d, (0, 0)),
         jax.lax.dynamic_update_slice(nv, vals2d, (0, 0)),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row_cap", "chunk_dim", "dtype")
+)
+def build_match_slabs(
+    rows2d, cols2d, vals2d, counts, row_cap: int, chunk_dim: int,
+    dtype: str = "bfloat16",
+):
+    """Densify EVERY chunk into one stacked ``[n_chunks, row_cap, chunk_dim]``
+    slab array — the resident form behind the streaming fast path.  One full
+    corpus scatter here replaces the per-micro-batch rebuild that dominated
+    chunked insert latency (the scatter is element-bound on TPU: ~12M entries
+    ≈ 0.3 s at 100k rows, paid on EVERY insert without the cache)."""
+    n_chunks = rows2d.shape[0]
+    dt = jnp.dtype(dtype)
+
+    def body(c, out):
+        slab = _densify_chunk(
+            rows2d, cols2d, vals2d, counts, c, row_cap, chunk_dim, dt
+        )
+        return jax.lax.dynamic_update_index_in_dim(out, slab, c, 0)
+
+    return jax.lax.fori_loop(
+        0, n_chunks, body,
+        jnp.zeros((n_chunks, row_cap, chunk_dim), dt),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def append_match_slabs(mslab, chunk_idx, r, lc, v):
+    """Incremental slab update mirroring ``append_entries``: scatter-set the
+    batch's (chunk, row, local-col, value) entries into the resident slabs
+    (donated, in-place).  Padding entries carry ``chunk_idx == n_chunks`` and
+    drop via the out-of-bounds rule — the same contract as the entry-buffer
+    append, so the two structures stay bit-consistent (fp32→slab-dtype
+    rounding is identical to ``_densify_chunk``'s)."""
+    return mslab.at[chunk_idx, r, lc].set(
+        v.astype(mslab.dtype), mode="drop", unique_indices=True
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_rows_cap", "cap", "group", "precision")
+)
+def cached_match_extract(
+    mslab, q_rows2d, q_cols2d, q_vals2d, q_counts, q_base, tau_eff,
+    q_rows_cap: int, cap: int, group: int = 8, precision: str = "default",
+):
+    """Streaming match against RESIDENT slabs: identical scores to
+    ``chunked_match_extract`` (same slab dtype/rounding, same dot, same
+    epilogue) with the per-chunk index densify replaced by a
+    ``dynamic_index`` into the cached stack — only the tiny query side is
+    scattered per call."""
+    n_chunks, row_cap, chunk_dim = mslab.shape
+    prec = _precision(precision)
+
+    def chunk_body(c, acc):
+        slab = jax.lax.dynamic_index_in_dim(mslab, c, 0, keepdims=False)
+        qslab = _densify_chunk(
+            q_rows2d, q_cols2d, q_vals2d, q_counts, c, q_rows_cap, chunk_dim,
+            mslab.dtype,
+        )
+        return acc + jax.lax.dot_general(
+            slab, qslab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    s = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        jnp.zeros((row_cap, q_rows_cap), jnp.float32),
+    )
+    s = jax.lax.optimization_barrier(s)
+    return match_epilogue(s, q_base, tau_eff, cap, group)
 
 
 def _densify_chunk(rows2d, cols2d, vals2d, counts, c, cap_rows, chunk_dim,

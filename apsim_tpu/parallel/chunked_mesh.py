@@ -52,6 +52,9 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
     # column-sharded slabs, Mosaic int8 partial dots, exact int32 psum,
     # replicated epilogue — the stripe path stays the fallback
     _use_panels = True
+    # the single-device resident match-slab cache does not apply: entries are
+    # chunk-sharded across the mesh and every match op here is shard_map'd
+    _match_slab_cache_ok = False
 
     def __init__(
         self,

@@ -391,3 +391,75 @@ def test_chunked_freeze_external_match():
     out = eng.insert([("probe", corpus.row(0))], tau=0.9)
     assert out.output.get("probe", {}).get("0") == pytest.approx(1.0)
     assert eng.n_rows == corpus.n_rows  # nothing indexed while frozen
+
+
+def test_chunked_streaming_slab_cache_matches_fallback():
+    # the resident match-slab cache (streaming fast path) must emit the
+    # exact same pair stream as the per-batch rebuild path
+    from oracle import brute_force_pairs as bf
+
+    rng = np.random.default_rng(41)
+    corpus = random_sparse_corpus(rng, 140, DIM)
+    tau = 0.4
+    streams = []
+    for budget in (0, 7168):  # 0 disables the cache
+        eng = ChunkedAllPairs(
+            small_cfg(match_slab_budget_mb=budget), chunk_dim=64
+        )
+        emitted = set()
+        for s in range(0, corpus.n_rows, 33):
+            e = min(s + 33, corpus.n_rows)
+            out = eng.insert(
+                [(str(i), corpus.row(i)) for i in range(s, e)], tau=tau
+            )
+            for q, sims in out.output.items():
+                for c in sims:
+                    emitted.add((q, c) if q <= c else (c, q))
+        if budget:
+            assert eng._mslab is not None  # the cache actually engaged
+        else:
+            assert eng._mslab is None
+        streams.append(emitted)
+    assert streams[0] == streams[1] == bf(corpus, tau)
+
+
+def test_chunked_slab_cache_lifecycle():
+    # cache builds on first match, survives same-geometry appends, is
+    # dropped by all_pairs (HBM release) and by geometry growth, and the
+    # results stay exact throughout
+    from oracle import brute_force_pairs as bf
+    from apsim_tpu.vector.sparse import Vectors
+
+    rng = np.random.default_rng(42)
+    corpus = random_sparse_corpus(rng, 60, DIM)
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=64)
+    eng.build(corpus)
+    assert eng._mslab is None  # lazy: nothing resident until a match
+    eng.insert([("a", corpus.row(0))], tau=0.5)
+    assert eng._mslab is not None
+    shape1 = eng._mslab.shape
+    eng.insert([("b", corpus.row(1))], tau=0.5)  # same geometry: in-place
+    assert eng._mslab.shape == shape1
+    res = eng.all_pairs(0.5)
+    assert eng._mslab is None  # join released the cache
+    assert res.pair_set() == bf(eng.shadow_csr(), 0.5, eng.ids)
+    # brand-new dims force compact-space growth past the chunk width:
+    # cache must rebuild at the new geometry, match still exact
+    a = 1 / np.sqrt(2)
+    w0 = eng._chunk_width
+    step = 0
+    while eng._chunk_width == w0:
+        d = 64 * eng._n_chunks + step * 2  # mint fresh compact dims
+        vecs = [
+            (f"n{step}", Vectors.sparse(DIM, [d % DIM, (d + 1) % DIM],
+                                        [a, a])),
+            (f"m{step}", Vectors.sparse(DIM, [d % DIM, (d + 3) % DIM],
+                                        [a, a])),
+        ]
+        eng.insert(vecs, tau=0.5)
+        step += 1
+        assert step < 80, "width never grew"
+    assert eng._mslab is None or eng._mslab.shape[2] == eng._chunk_width
+    assert eng.all_pairs(0.5).pair_set() == bf(
+        eng.shadow_csr(), 0.5, eng.ids
+    )

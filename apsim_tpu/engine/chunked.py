@@ -315,6 +315,11 @@ class ChunkedAllPairs:
         )
 
     def _op_topk(self, q, q_rows_cap: int, kf: int):
+        mslab = self._match_slabs()
+        if mslab is not None:
+            return chunked_ops.cached_topk(
+                mslab, *q, np.int32(self.n_rows), q_rows_cap, kf
+            )
         return chunked_ops.chunked_topk(
             *self._ent, self._counts_dev, *q, np.int32(self.n_rows),
             self.row_cap, self._chunk_width, q_rows_cap, kf, "highest",
@@ -1252,9 +1257,17 @@ class ChunkedAllPairs:
 
         q_norms = qcsr.row_norms()
         qmax = float(q_norms.max()) if q_norms.size else 0.0
-        # entries are stored fp32 and scored at "highest" precision, so the
-        # default relative bound (rescore_margin) covers the device error
-        m = self.cfg.rescore_margin * max(self._max_norm * qmax, 1.0)
+        # device-error bound for the exact-fetch proof: the rebuild path
+        # scores fp32 slabs at "highest" precision (rescore_margin covers
+        # it); the resident-slab fast path scores at the slab dtype — widen
+        # to the engine's bf16 slack (same 2e-2 policy as _tau_eff) so the
+        # fetch stays provably sufficient.  Deciding here also builds the
+        # cache once, before the doubling fetch loop.
+        mslab = self._match_slabs()
+        rel = self.cfg.rescore_margin
+        if mslab is not None and str(mslab.dtype) != "float32":
+            rel = max(rel, 2e-2)
+        m = rel * max(self._max_norm * qmax, 1.0)
         rows, k_fetch = fetch_exact_topk(fetch, self.n_rows, k_eff, 2 * m)
         shadow = self._shadow.view()
         qi_idx = np.repeat(np.arange(nq), k_fetch)

@@ -49,6 +49,7 @@ __all__ = [
     "build_match_slabs",
     "append_match_slabs",
     "cached_match_extract",
+    "cached_topk",
     "chunked_topk",
     "join_epilogue_bits",
     "match_epilogue",
@@ -188,6 +189,39 @@ def cached_match_extract(
     )
     s = jax.lax.optimization_barrier(s)
     return match_epilogue(s, q_base, tau_eff, cap, group)
+
+
+@functools.partial(jax.jit, static_argnames=("q_rows_cap", "k"))
+def cached_topk(
+    mslab, q_rows2d, q_cols2d, q_vals2d, q_counts, n_rows,
+    q_rows_cap: int, k: int,
+):
+    """Top-k against the RESIDENT slabs (streaming fast path).  Scores carry
+    the slab dtype's rounding (bf16 unless ``matmul_precision="highest"``),
+    so the engine widens the exact-fetch margin accordingly — the provably-
+    exact fetch + fp64 re-rank contract is unchanged."""
+    n_chunks, row_cap, chunk_dim = mslab.shape
+
+    def chunk_body(c, acc):
+        slab = jax.lax.dynamic_index_in_dim(mslab, c, 0, keepdims=False)
+        qslab = _densify_chunk(
+            q_rows2d, q_cols2d, q_vals2d, q_counts, c, q_rows_cap, chunk_dim,
+            mslab.dtype,
+        )
+        return acc + jax.lax.dot_general(
+            qslab, slab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    s = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        jnp.zeros((q_rows_cap, row_cap), jnp.float32),
+    )
+    s = jax.lax.optimization_barrier(s)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col_ids < n_rows, s, -jnp.inf)
+    return jax.lax.top_k(s, k)
 
 
 def _densify_chunk(rows2d, cols2d, vals2d, counts, c, cap_rows, chunk_dim,

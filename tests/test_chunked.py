@@ -463,3 +463,24 @@ def test_chunked_slab_cache_lifecycle():
     assert eng.all_pairs(0.5).pair_set() == bf(
         eng.shadow_csr(), 0.5, eng.ids
     )
+
+
+def test_chunked_topk_cache_matches_fallback():
+    # cached (resident-slab) topk == rebuild-path topk, exact re-rank both
+    rng = np.random.default_rng(7)
+    corpus = random_sparse_corpus(rng, 120, DIM)
+    res = []
+    for budget in (0, 7168):
+        eng = ChunkedAllPairs(
+            small_cfg(match_slab_budget_mb=budget), chunk_dim=64
+        )
+        eng.build(corpus)
+        queries = [(f"q{i}", corpus.row(i)) for i in range(0, 40, 3)]
+        res.append(eng.topk(queries, 5))
+        if budget:
+            assert eng._mslab is not None
+    assert res[0].keys() == res[1].keys()
+    for q in res[0]:
+        assert [r for r, _ in res[0][q]] == [r for r, _ in res[1][q]]
+        for (_, s0), (_, s1) in zip(res[0][q], res[1][q]):
+            assert s0 == pytest.approx(s1, abs=1e-12)

@@ -8,6 +8,17 @@ when the platform exposes memory stats, substantiating the engine's
 rows-per-chip claim.
 
 Usage:  python -m apsim_tpu.bench.ooc [n_rows ...] [--stripes] [--stream N]
+            [--stream-batch B] [--stream-only]
+
+``--stream-batch`` sets the insert micro-batch size (default 256).  Beyond
+the resident-slab budget each batch pays a FIXED corpus re-scatter (the
+cross-match densifies the index per batch: ~1.0 s at 500k rows) plus a
+per-query extraction/dot cost (~0.23 s per 256 queries at 500k), so larger
+batches amortize the fixed part — measured 210 vec/s at bs=256 vs
+721 vec/s at bs=2048 — the same amortization the reference gets from its
+time-based micro-batching (ioTriggerPeriod, WriteWorkerActor.scala:52-57).
+``--stream-only`` skips the join (streaming measurements without paying the
+join warm-up).
 """
 
 from __future__ import annotations
@@ -40,6 +51,8 @@ def run_ooc(
     stream_rows: int = 0,
     chunk_dim: int = 2048,
     panel_rows: int | None = None,
+    stream_batch: int = 256,
+    stream_only: bool = False,
 ) -> Dict:
     from ..config import AllPairsConfig
     from ..engine.chunked import ChunkedAllPairs
@@ -67,15 +80,16 @@ def run_ooc(
         "panel_path": eng._panel_ok(),
     }
 
-    eng.all_pairs(tau)  # warm (compile; default caps)
-    eng.all_pairs(tau)  # warm tight-cap shapes
-    t0 = time.time()
-    res = eng.all_pairs(tau)
-    join_s = time.time() - t0
-    report["join_seconds"] = join_s
-    report["pairs"] = res.n_pairs
-    report["decided_pairs_per_sec"] = decided / join_s
-    report["hbm"] = _hbm_stats()
+    if not stream_only:
+        eng.all_pairs(tau)  # warm (compile; default caps)
+        eng.all_pairs(tau)  # warm tight-cap shapes
+        t0 = time.time()
+        res = eng.all_pairs(tau)
+        join_s = time.time() - t0
+        report["join_seconds"] = join_s
+        report["pairs"] = res.n_pairs
+        report["decided_pairs_per_sec"] = decided / join_s
+        report["hbm"] = _hbm_stats()
 
     if compare_stripes:
         eng._use_panels = False
@@ -91,7 +105,7 @@ def run_ooc(
         extra = synthetic_corpus(stream_rows, seed=99)
         batch = [(f"s{i}", extra.row(i)) for i in range(extra.n_rows)]
         times = []
-        bs = 256
+        bs = int(stream_batch)
         for s in range(0, len(batch), bs):
             t0 = time.time()
             eng.insert(batch[s : s + bs], tau=tau)
@@ -111,16 +125,25 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:]]
     stripes = "--stripes" in args
+    stream_only = "--stream-only" in args
+    if stream_only:
+        args.remove("--stream-only")
     stream = 0
     if "--stream" in args:
         k = args.index("--stream")
         stream = int(args[k + 1])
         del args[k : k + 2]
+    sbatch = 256
+    if "--stream-batch" in args:
+        k = args.index("--stream-batch")
+        sbatch = int(args[k + 1])
+        del args[k : k + 2]
     sizes = [int(a) for a in args if not a.startswith("-")] or [100_000]
     out = {}
     for n in sizes:
         out[str(n)] = run_ooc(
-            n, compare_stripes=stripes, stream_rows=stream
+            n, compare_stripes=stripes, stream_rows=stream,
+            stream_batch=sbatch, stream_only=stream_only,
         )
         json.dump(out[str(n)], sys.stderr, indent=1)
         print(file=sys.stderr, flush=True)

@@ -314,6 +314,83 @@ class ChunkedAllPairs:
             self.cfg.matmul_precision,
         )
 
+    # Streaming match runs the three-level bit-packed epilogue on the
+    # single-device engine (the two-level _extract scan grows linearly
+    # with the flush batch: ~1.2 s of a 2.8 s / 2048-row batch at 500k
+    # rows).  The mesh subclass keeps the two-level head (its shard_map'd
+    # match replicates match_epilogue across devices) — flag, not override,
+    # so _run_match stays shared.
+    _match_bits = True
+
+    def _op_match_bits(self, q, q_base: int, tau_eff, q_rows_cap: int,
+                       caps):
+        cap, capb, cap0 = caps
+        mslab = self._match_slabs()
+        if mslab is not None:
+            return chunked_ops.cached_match_extract_bits(
+                mslab, *q, np.int32(q_base), tau_eff, q_rows_cap,
+                cap, capb, cap0, self.cfg.matmul_precision,
+            )
+        return chunked_ops.chunked_match_extract_bits(
+            *self._ent, self._counts_dev, *q, np.int32(q_base), tau_eff,
+            self.row_cap, self._chunk_width, q_rows_cap, cap, capb, cap0,
+            self.cfg.matmul_precision,
+        )
+
+    def _run_match(self, q, q_base: int, q_rows_cap: int, tau_eff):
+        """Dispatch one streaming match with overflow retry; returns
+        (index_rows, query_locals) candidate arrays."""
+        if self._match_bits:
+            from ..ops import pallas_score as ps
+
+            caps = getattr(self, "_match_caps", None)
+            if caps is None:
+                c = pow2_bucket(int(self.cfg.extract_cap), 1024)
+                cb = max(c // ps.GROUP, 1024)
+                caps = (c, cb, cb)
+            while True:
+                bufs, packed = self._op_match_bits(
+                    q, q_base, tau_eff, q_rows_cap, caps
+                )
+                rows_h, cols_h, total, groups, supers = (
+                    ps.unpack_pallas_head(np.asarray(packed))
+                )
+                if (
+                    total > caps[0] or groups > caps[1] or supers > caps[2]
+                ):
+                    caps = (
+                        pow2_bucket(max(total, caps[0]), 1024),
+                        pow2_bucket(max(groups, caps[1]), 1024),
+                        pow2_bucket(max(supers, caps[2]), 1024),
+                    )
+                    continue
+                break
+            # tighten toward observed counts with the stripe join's 8x
+            # hysteresis: one low-tau spike must not permanently inflate
+            # every later batch's scan domains
+            tight = tuple(
+                pow2_bucket(max(v + (v >> 2), 1024), 1024)
+                for v in (total, groups, supers)
+            )
+            self._match_caps = tuple(
+                t if t * 8 <= c else c for t, c in zip(tight, caps)
+            )
+            if total <= rows_h.size:
+                return rows_h, cols_h
+            return score_ops.decode_pairs(bufs, total)
+        cap = int(self.cfg.extract_cap)
+        grp = int(self.cfg.extract_group)
+        while True:
+            bufs, packed = self._op_match(
+                q, q_base, tau_eff, q_rows_cap, cap, grp
+            )
+            pairs, needed = score_ops.consume_packed(
+                bufs, np.asarray(packed), cap, grp
+            )
+            if pairs is not None:
+                return pairs
+            cap = _next_cap(cap, needed)
+
     def _op_topk(self, q, q_rows_cap: int, kf: int):
         mslab = self._match_slabs()
         if mslab is not None:
@@ -361,6 +438,7 @@ class ChunkedAllPairs:
         self._counts_dev = self._place_counts(counts)
         self._stripe_caps = None  # new corpus: forget grown extraction caps
         self._panel_caps = None
+        self._match_caps = None
         # margin bookkeeping (same policy as the dense engine)
         norms = csr.row_norms()
         self._max_norm = float(norms.max()) if norms.size else 0.0
@@ -581,16 +659,7 @@ class ChunkedAllPairs:
         q_rows_cap = pow2_bucket(nq, 32)
         q = self._bucket_queries(ccsr, q_rows_cap)
         tau_eff = self._tau_eff(tau)
-        cap = int(self.cfg.extract_cap)
-        grp = int(self.cfg.extract_group)
-        while True:
-            bufs, packed = self._op_match(q, n0, tau_eff, q_rows_cap, cap, grp)
-            pairs, needed = score_ops.consume_packed(
-                bufs, np.asarray(packed), cap, grp
-            )
-            if pairs is not None:
-                return pairs
-            cap = _next_cap(cap, needed)
+        return self._run_match(q, n0, q_rows_cap, tau_eff)
 
     def _emit(self, pairs, qids: List[str], n0: int, tau: float):
         rows, qlocal = pairs
@@ -624,20 +693,8 @@ class ChunkedAllPairs:
         q_rows_cap = pow2_bucket(csr.n_rows, 32)
         q = self._bucket_queries(ccsr, q_rows_cap)
         tau_eff = self._tau_eff(tau)
-        cap = int(self.cfg.extract_cap)
-        grp = int(self.cfg.extract_group)
-        while True:
-            # q_base beyond all rows: no self-pair exclusion can trigger
-            bufs, packed = self._op_match(
-                q, self.n_rows, tau_eff, q_rows_cap, cap, grp
-            )
-            pairs, needed = score_ops.consume_packed(
-                bufs, np.asarray(packed), cap, grp
-            )
-            if pairs is not None:
-                break
-            cap = _next_cap(cap, needed)
-        rows, qlocal = pairs
+        # q_base beyond all rows: no self-pair exclusion can trigger
+        rows, qlocal = self._run_match(q, self.n_rows, q_rows_cap, tau_eff)
         # queries sharing a dormant dim with an archived row: the device
         # score missed that contribution — add explicit candidates
         extra_q, extra_r = self._dormant_hits(csr)

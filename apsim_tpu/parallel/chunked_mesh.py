@@ -55,6 +55,9 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
     # the single-device resident match-slab cache does not apply: entries are
     # chunk-sharded across the mesh and every match op here is shard_map'd
     _match_slab_cache_ok = False
+    # the shard_map'd match replicates the two-level match_epilogue per
+    # device — _run_match keeps its legacy head consumption here
+    _match_bits = False
 
     def __init__(
         self,

@@ -13,10 +13,11 @@ Usage:  python -m apsim_tpu.bench.ooc [n_rows ...] [--stripes] [--stream N]
 ``--stream-batch`` sets the insert micro-batch size (default 256).  Beyond
 the resident-slab budget each batch pays a FIXED corpus re-scatter (the
 cross-match densifies the index per batch: ~1.0 s at 500k rows) plus a
-per-query extraction/dot cost (~0.23 s per 256 queries at 500k), so larger
-batches amortize the fixed part — measured 210 vec/s at bs=256 vs
-721 vec/s at bs=2048 — the same amortization the reference gets from its
-time-based micro-batching (ioTriggerPeriod, WriteWorkerActor.scala:52-57).
+per-query dot/extraction cost, so larger batches amortize the fixed part —
+measured 249 vec/s at bs=256 vs 1,322 vec/s at bs=2048 (500k rows, with
+the bit-packed match epilogue) — the same amortization the reference gets
+from its time-based micro-batching (ioTriggerPeriod,
+WriteWorkerActor.scala:52-57).
 ``--stream-only`` skips the join (streaming measurements without paying the
 join warm-up).
 """

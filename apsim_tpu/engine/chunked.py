@@ -302,12 +302,10 @@ class ChunkedAllPairs:
 
     def _op_match(self, q, q_base: int, tau_eff, q_rows_cap: int, cap: int,
                   grp: int):
-        mslab = self._match_slabs()
-        if mslab is not None:
-            return chunked_ops.cached_match_extract(
-                mslab, *q, np.int32(q_base), tau_eff, q_rows_cap, cap, grp,
-                self.cfg.matmul_precision,
-            )
+        # two-level-head fallback: only the mesh subclass (whose shard_map'd
+        # override replaces this) and the _match_bits=False debug opt-out
+        # land here — no resident-slab branch on purpose (it would be
+        # unreachable, untested device code)
         return chunked_ops.chunked_match_extract(
             *self._ent, self._counts_dev, *q, np.int32(q_base), tau_eff,
             self.row_cap, self._chunk_width, q_rows_cap, cap, grp,
@@ -394,8 +392,12 @@ class ChunkedAllPairs:
     def _op_topk(self, q, q_rows_cap: int, kf: int):
         mslab = self._match_slabs()
         if mslab is not None:
+            # precision must match the slab dtype the engine promised the
+            # fetch margin for: fp32 slabs (matmul_precision="highest")
+            # keep the narrow margin ONLY if the dot is fp32-exact too
             return chunked_ops.cached_topk(
-                mslab, *q, np.int32(self.n_rows), q_rows_cap, kf
+                mslab, *q, np.int32(self.n_rows), q_rows_cap, kf,
+                self.cfg.matmul_precision,
             )
         return chunked_ops.chunked_topk(
             *self._ent, self._counts_dev, *q, np.int32(self.n_rows),

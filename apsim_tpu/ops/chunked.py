@@ -51,7 +51,6 @@ __all__ = [
     "match_epilogue_bits",
     "build_match_slabs",
     "append_match_slabs",
-    "cached_match_extract",
     "cached_topk",
     "chunked_topk",
     "join_epilogue_bits",
@@ -158,70 +157,67 @@ def append_match_slabs(mslab, chunk_idx, r, lc, v):
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("q_rows_cap", "cap", "group", "precision")
-)
-def cached_match_extract(
-    mslab, q_rows2d, q_cols2d, q_vals2d, q_counts, q_base, tau_eff,
-    q_rows_cap: int, cap: int, group: int = 8, precision: str = "default",
+def _chunk_score_loop(
+    slab_of, q_rows2d, q_cols2d, q_vals2d, q_counts,
+    n_chunks: int, row_cap: int, chunk_dim: int, q_rows_cap: int,
+    sdt, prec, queries_lead: bool = False,
 ):
-    """Streaming match against RESIDENT slabs: identical scores to
-    ``chunked_match_extract`` (same slab dtype/rounding, same dot, same
-    epilogue) with the per-chunk index densify replaced by a
-    ``dynamic_index`` into the cached stack — only the tiny query side is
-    scattered per call."""
-    n_chunks, row_cap, chunk_dim = mslab.shape
-    prec = _precision(precision)
+    """Shared ``Σ_c slab_c · qslab_cᵀ`` accumulation behind every chunked
+    match/topk variant.  ``slab_of(c)`` supplies the index side — densified
+    from the entry buffers or dynamic-indexed out of the resident stack —
+    so the loop/barrier scaffold has ONE definition.  ``queries_lead``
+    transposes the accumulator to ``[q_rows_cap, row_cap]`` (topk layout)."""
 
     def chunk_body(c, acc):
-        slab = jax.lax.dynamic_index_in_dim(mslab, c, 0, keepdims=False)
+        slab = slab_of(c)
         qslab = _densify_chunk(
             q_rows2d, q_cols2d, q_vals2d, q_counts, c, q_rows_cap, chunk_dim,
-            mslab.dtype,
+            sdt,
         )
+        a, b = (qslab, slab) if queries_lead else (slab, qslab)
         return acc + jax.lax.dot_general(
-            slab, qslab,
+            a, b,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
 
+    shape = (q_rows_cap, row_cap) if queries_lead else (row_cap, q_rows_cap)
     s = jax.lax.fori_loop(
-        0, n_chunks, chunk_body,
-        jnp.zeros((row_cap, q_rows_cap), jnp.float32),
+        0, n_chunks, chunk_body, jnp.zeros(shape, jnp.float32)
     )
-    s = jax.lax.optimization_barrier(s)
-    return match_epilogue(s, q_base, tau_eff, cap, group)
+    return jax.lax.optimization_barrier(s)
 
 
-@functools.partial(jax.jit, static_argnames=("q_rows_cap", "k"))
+def _ent_slab_of(rows2d, cols2d, vals2d, counts, row_cap, chunk_dim, sdt):
+    return lambda c: _densify_chunk(
+        rows2d, cols2d, vals2d, counts, c, row_cap, chunk_dim, sdt
+    )
+
+
+def _resident_slab_of(mslab):
+    return lambda c: jax.lax.dynamic_index_in_dim(
+        mslab, c, 0, keepdims=False
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("q_rows_cap", "k", "precision"))
 def cached_topk(
     mslab, q_rows2d, q_cols2d, q_vals2d, q_counts, n_rows,
-    q_rows_cap: int, k: int,
+    q_rows_cap: int, k: int, precision: str = "default",
 ):
     """Top-k against the RESIDENT slabs (streaming fast path).  Scores carry
-    the slab dtype's rounding (bf16 unless ``matmul_precision="highest"``),
-    so the engine widens the exact-fetch margin accordingly — the provably-
-    exact fetch + fp64 re-rank contract is unchanged."""
+    the slab dtype's rounding (bf16 unless ``matmul_precision="highest"``,
+    whose fp32 slabs must also be scored at ``precision="highest"`` to keep
+    the narrow fetch margin valid); the engine widens the exact-fetch margin
+    for bf16 slabs — the provably-exact fetch + fp64 re-rank contract is
+    unchanged."""
     n_chunks, row_cap, chunk_dim = mslab.shape
-
-    def chunk_body(c, acc):
-        slab = jax.lax.dynamic_index_in_dim(mslab, c, 0, keepdims=False)
-        qslab = _densify_chunk(
-            q_rows2d, q_cols2d, q_vals2d, q_counts, c, q_rows_cap, chunk_dim,
-            mslab.dtype,
-        )
-        return acc + jax.lax.dot_general(
-            qslab, slab,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    s = jax.lax.fori_loop(
-        0, n_chunks, chunk_body,
-        jnp.zeros((q_rows_cap, row_cap), jnp.float32),
+    s = _chunk_score_loop(
+        _resident_slab_of(mslab), q_rows2d, q_cols2d, q_vals2d, q_counts,
+        n_chunks, row_cap, chunk_dim, q_rows_cap, mslab.dtype,
+        _precision(precision), queries_lead=True,
     )
-    s = jax.lax.optimization_barrier(s)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col_ids < n_rows, s, -jnp.inf)
     return jax.lax.top_k(s, k)
@@ -274,26 +270,48 @@ def join_epilogue_bits(
     Returns ``((rows, cols), packed_pallas_head)`` — note the PALLAS head
     layout (``unpack_pallas_head``), not ``_pack_head``'s.
     """
-    from .pallas_score import _compact_bits, bitpack_mask
-
     row_cap, tile = s.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     mi = ((s >= tau_eff) & (rows < cols)).astype(jnp.int32)
+    # one "block" covering the whole stripe: rows are global, cols offset by
+    # the stripe start (bj·tile == q0 — stripes are tile-aligned)
+    return _epilogue_bits(mi, q0 // tile, cap, capb, cap0)
+
+
+def _sat_mask_sum(mi):
+    """Saturating int32 count of a 0/1 mask.  At the ~1M-rows/chip scale a
+    wide stripe (or a large flush batch) crosses 2^31 mask CELLS, so the hit
+    count itself can wrap; a wrapped NEGATIVE total passes every overflow
+    check and silently truncates the result — the same bug class
+    ``score._extract``'s cursor and ``pallas_score._sat_count_sum`` guard
+    against.  fp32 shadow sum as a > 2^30 detector; exact below that."""
+    exact = jnp.sum(mi, dtype=jnp.int32)
+    approx = jnp.sum(mi.astype(jnp.float32))
+    return jnp.where(
+        approx > jnp.float32(2**30), jnp.int32(2**31 - 1), exact
+    )
+
+
+def _epilogue_bits(mi, bj0, cap: int, capb: int, cap0: int):
+    """Shared single-block three-level compaction tail: bit-pack the hit
+    mask, assemble the (saturating) count head, run
+    ``pallas_score._compact_bits``.  Used by the stripe-join AND
+    streaming-match epilogues so the hierarchy has one definition."""
+    from .pallas_score import _compact_bits, bitpack_mask
+
+    row_cap, tile = mi.shape
     gbi, g_any, g64i = bitpack_mask(mi)
     gb = gbi.astype(jnp.uint8)[None]
     g64 = g64i.astype(jnp.uint8)[None]
     cnt = (
         jnp.zeros((1, 8, 128), jnp.int32)
-        .at[0, 0, 0].set(jnp.sum(mi, dtype=jnp.int32))
+        .at[0, 0, 0].set(_sat_mask_sum(mi))
         .at[0, 0, 1].set(jnp.sum(g_any, dtype=jnp.int32))
         .at[0, 0, 2].set(jnp.sum(g64i, dtype=jnp.int32))
     )
-    # one "block" covering the whole stripe: rows are global (bi=0·row_cap),
-    # cols offset by the stripe start (bj·tile == q0 — stripes are
-    # tile-aligned by construction)
     bi = jnp.zeros((1,), jnp.int32)
-    bj = jnp.full((1,), q0 // tile, jnp.int32)
+    bj = jnp.full((1,), bj0, jnp.int32)
     return _compact_bits(
         gb, g64, cnt, bi, bj, cap, capb, cap0, row_cap, tile
     )
@@ -311,27 +329,11 @@ def match_epilogue_bits(s, q_base, tau_eff, cap: int, capb: int, cap0: int):
     Emitted pairs are (index_row, query_local); returns
     ``((rows, cols), packed_pallas_head)`` — PALLAS head layout
     (``unpack_pallas_head``), not ``_pack_head``'s."""
-    from .pallas_score import _compact_bits, bitpack_mask
-
-    row_cap, tile = s.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     qglob = q_base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     mi = ((s >= tau_eff) & (rows != qglob)).astype(jnp.int32)
-    gbi, g_any, g64i = bitpack_mask(mi)
-    gb = gbi.astype(jnp.uint8)[None]
-    g64 = g64i.astype(jnp.uint8)[None]
-    cnt = (
-        jnp.zeros((1, 8, 128), jnp.int32)
-        .at[0, 0, 0].set(jnp.sum(mi, dtype=jnp.int32))
-        .at[0, 0, 1].set(jnp.sum(g_any, dtype=jnp.int32))
-        .at[0, 0, 2].set(jnp.sum(g64i, dtype=jnp.int32))
-    )
-    # one block: rows global (bi=0), cols are query LOCALS (bj=0)
-    bi = jnp.zeros((1,), jnp.int32)
-    bj = jnp.zeros((1,), jnp.int32)
-    return _compact_bits(
-        gb, g64, cnt, bi, bj, cap, capb, cap0, row_cap, tile
-    )
+    # rows global (bi=0), cols are query LOCALS (bj=0)
+    return _epilogue_bits(mi, 0, cap, capb, cap0)
 
 
 @functools.partial(
@@ -351,29 +353,14 @@ def chunked_match_extract_bits(
     """``chunked_match_extract`` with the three-level bit-packed epilogue
     (see ``match_epilogue_bits``); pallas-head overflow contract."""
     n_chunks = rows2d.shape[0]
-    prec = _precision(precision)
     sdt = jnp.float32 if precision == "highest" else jnp.bfloat16
-
-    def chunk_body(c, acc):
-        slab = _densify_chunk(
-            rows2d, cols2d, vals2d, counts, c, row_cap, chunk_dim, sdt
-        )
-        qslab = _densify_chunk(
-            q_rows2d, q_cols2d, q_vals2d, q_counts, c, q_rows_cap, chunk_dim,
-            sdt,
-        )
-        return acc + jax.lax.dot_general(
-            slab, qslab,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-
-    s = jax.lax.fori_loop(
-        0, n_chunks, chunk_body,
-        jnp.zeros((row_cap, q_rows_cap), jnp.float32),
+    s = _chunk_score_loop(
+        _ent_slab_of(rows2d, cols2d, vals2d, counts, row_cap, chunk_dim,
+                     sdt),
+        q_rows2d, q_cols2d, q_vals2d, q_counts,
+        n_chunks, row_cap, chunk_dim, q_rows_cap, sdt,
+        _precision(precision),
     )
-    s = jax.lax.optimization_barrier(s)
     return match_epilogue_bits(s, q_base, tau_eff, cap, capb, cap0)
 
 
@@ -386,29 +373,16 @@ def cached_match_extract_bits(
     q_rows_cap: int, cap: int, capb: int, cap0: int,
     precision: str = "default",
 ):
-    """``cached_match_extract`` (resident slabs) with the three-level
-    bit-packed epilogue; pallas-head overflow contract."""
+    """Streaming match against RESIDENT slabs (identical scores to
+    ``chunked_match_extract_bits`` — same slab dtype/rounding, same dot,
+    same epilogue — with the per-chunk index densify replaced by a
+    ``dynamic_index`` into the cached stack); pallas-head contract."""
     n_chunks, row_cap, chunk_dim = mslab.shape
-    prec = _precision(precision)
-
-    def chunk_body(c, acc):
-        slab = jax.lax.dynamic_index_in_dim(mslab, c, 0, keepdims=False)
-        qslab = _densify_chunk(
-            q_rows2d, q_cols2d, q_vals2d, q_counts, c, q_rows_cap, chunk_dim,
-            mslab.dtype,
-        )
-        return acc + jax.lax.dot_general(
-            slab, qslab,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-
-    s = jax.lax.fori_loop(
-        0, n_chunks, chunk_body,
-        jnp.zeros((row_cap, q_rows_cap), jnp.float32),
+    s = _chunk_score_loop(
+        _resident_slab_of(mslab), q_rows2d, q_cols2d, q_vals2d, q_counts,
+        n_chunks, row_cap, chunk_dim, q_rows_cap, mslab.dtype,
+        _precision(precision),
     )
-    s = jax.lax.optimization_barrier(s)
     return match_epilogue_bits(s, q_base, tau_eff, cap, capb, cap0)
 
 
@@ -606,29 +580,14 @@ def chunked_match_extract(
     ``score.match_tile_extract`` (index-before-query emission,
     SURVEY.md fine-print #2)."""
     n_chunks = rows2d.shape[0]
-    prec = _precision(precision)
     sdt = jnp.float32 if precision == "highest" else jnp.bfloat16
-
-    def chunk_body(c, acc):
-        slab = _densify_chunk(
-            rows2d, cols2d, vals2d, counts, c, row_cap, chunk_dim, sdt
-        )
-        qslab = _densify_chunk(
-            q_rows2d, q_cols2d, q_vals2d, q_counts, c, q_rows_cap, chunk_dim,
-            sdt,
-        )
-        return acc + jax.lax.dot_general(
-            slab, qslab,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-
-    s = jax.lax.fori_loop(
-        0, n_chunks, chunk_body,
-        jnp.zeros((row_cap, q_rows_cap), jnp.float32),
+    s = _chunk_score_loop(
+        _ent_slab_of(rows2d, cols2d, vals2d, counts, row_cap, chunk_dim,
+                     sdt),
+        q_rows2d, q_cols2d, q_vals2d, q_counts,
+        n_chunks, row_cap, chunk_dim, q_rows_cap, sdt,
+        _precision(precision),
     )
-    s = jax.lax.optimization_barrier(s)
     return match_epilogue(s, q_base, tau_eff, cap, group)
 
 
@@ -648,30 +607,14 @@ def chunked_topk(
     chunk-bucketed COO, so neither side ever materializes its full dense
     width.  Returns (scores [q_rows_cap, k], index row ids [q_rows_cap, k])."""
     n_chunks = rows2d.shape[0]
-    prec = _precision(precision)
-
     sdt = jnp.float32 if precision == "highest" else jnp.bfloat16
-
-    def chunk_body(c, acc):
-        slab = _densify_chunk(
-            rows2d, cols2d, vals2d, counts, c, row_cap, chunk_dim, sdt
-        )
-        qslab = _densify_chunk(
-            q_rows2d, q_cols2d, q_vals2d, q_counts, c, q_rows_cap, chunk_dim,
-            sdt,
-        )
-        return acc + jax.lax.dot_general(
-            qslab, slab,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-
-    s = jax.lax.fori_loop(
-        0, n_chunks, chunk_body,
-        jnp.zeros((q_rows_cap, row_cap), jnp.float32),
+    s = _chunk_score_loop(
+        _ent_slab_of(rows2d, cols2d, vals2d, counts, row_cap, chunk_dim,
+                     sdt),
+        q_rows2d, q_cols2d, q_vals2d, q_counts,
+        n_chunks, row_cap, chunk_dim, q_rows_cap, sdt,
+        _precision(precision), queries_lead=True,
     )
-    s = jax.lax.optimization_barrier(s)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col_ids < n_rows, s, -jnp.inf)
     return jax.lax.top_k(s, k)

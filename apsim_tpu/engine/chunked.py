@@ -658,10 +658,50 @@ class ChunkedAllPairs:
         # promoted by _stream_archive_singletons before this point
         sub = self._drop_unmapped(sub)
         ccsr = self._compact.map_csr(sub, extend=False)
-        q_rows_cap = pow2_bucket(nq, 32)
-        q = self._bucket_queries(ccsr, q_rows_cap)
-        tau_eff = self._tau_eff(tau)
-        return self._run_match(q, n0, q_rows_cap, tau_eff)
+        return self._match_ccsr(ccsr, n0, self._tau_eff(tau))
+
+    def _match_width_limit(self) -> int:
+        """Largest pow2 query width whose ``[row_cap, width]`` fp32 match
+        accumulator stays under ~6 GB (the ``_q_super`` budget policy
+        applied to the match side).  At 1M rows this is 1024 — without it
+        a 2048-row flush batch allocates an 8.6 GB accumulator next to the
+        1M-row entry buffers and OOMs the chip.  Floor 256 so very large
+        corpora can't fragment ordinary batches."""
+        budget = (6 << 30) // (4 * self.row_cap)
+        w = 256
+        while w * 2 <= budget:
+            w *= 2
+        return w
+
+    def _match_ccsr(self, ccsr: CSRMatrix, q_base: int, tau_eff):
+        """Match a compact-space query CSR against the full index, splitting
+        the query set into width-bounded sub-batches (the WHOLE batch is
+        already indexed before any matching, so intra-batch pairs surface
+        regardless of the split point).  Returns (index_row, query_local)."""
+        nq = ccsr.n_rows
+        limit = self._match_width_limit()
+        if nq <= limit:
+            q_rows_cap = pow2_bucket(nq, 32)
+            q = self._bucket_queries(ccsr, q_rows_cap)
+            return self._run_match(q, q_base, q_rows_cap, tau_eff)
+        rows_all: list = []
+        loc_all: list = []
+        for s in range(0, nq, limit):
+            e = min(s + limit, nq)
+            part = CSRMatrix(
+                e - s, ccsr.n_cols,
+                (ccsr.indptr[s:e + 1] - ccsr.indptr[s]).astype(np.int64),
+                ccsr.indices[ccsr.indptr[s]:ccsr.indptr[e]],
+                ccsr.data[ccsr.indptr[s]:ccsr.indptr[e]],
+            )
+            q_rows_cap = pow2_bucket(e - s, 32)
+            q = self._bucket_queries(part, q_rows_cap)
+            # q_base + s keeps the global self-pair exclusion aligned with
+            # this sub-range's true index rows
+            r, l = self._run_match(q, q_base + s, q_rows_cap, tau_eff)
+            rows_all.append(np.asarray(r, np.int64))
+            loc_all.append(np.asarray(l, np.int64) + s)
+        return np.concatenate(rows_all), np.concatenate(loc_all)
 
     def _emit(self, pairs, qids: List[str], n0: int, tau: float):
         rows, qlocal = pairs
@@ -692,11 +732,8 @@ class ChunkedAllPairs:
         mapped = self._compact.cols_of(csr.indices) >= 0
         sub = self._filter_entries(csr, mapped)
         ccsr = self._compact.map_csr(sub, extend=False)
-        q_rows_cap = pow2_bucket(csr.n_rows, 32)
-        q = self._bucket_queries(ccsr, q_rows_cap)
-        tau_eff = self._tau_eff(tau)
         # q_base beyond all rows: no self-pair exclusion can trigger
-        rows, qlocal = self._run_match(q, self.n_rows, q_rows_cap, tau_eff)
+        rows, qlocal = self._match_ccsr(ccsr, self.n_rows, self._tau_eff(tau))
         # queries sharing a dormant dim with an archived row: the device
         # score missed that contribution — add explicit candidates
         extra_q, extra_r = self._dormant_hits(csr)

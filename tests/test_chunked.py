@@ -484,3 +484,36 @@ def test_chunked_topk_cache_matches_fallback():
         assert [r for r, _ in res[0][q]] == [r for r, _ in res[1][q]]
         for (_, s0), (_, s1) in zip(res[0][q], res[1][q]):
             assert s0 == pytest.approx(s1, abs=1e-12)
+
+
+def test_chunked_match_width_split_exact():
+    # a flush batch wider than the match-accumulator width limit is split
+    # into sub-matches (q_base offset per part); emitted set stays exact,
+    # including intra-batch pairs that straddle the split point
+    from oracle import brute_force_pairs as bf
+
+    rng = np.random.default_rng(77)
+    corpus = random_sparse_corpus(rng, 120, DIM)
+    tau = 0.4
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=64)
+    eng._match_width_limit = lambda: 16  # force the split path
+    emitted = set()
+    for s in range(0, corpus.n_rows, 50):  # 50 > 16: every batch splits
+        e = min(s + 50, corpus.n_rows)
+        out = eng.insert(
+            [(str(i), corpus.row(i)) for i in range(s, e)], tau=tau
+        )
+        for q, sims in out.output.items():
+            for c in sims:
+                a, b = sorted((int(q), int(c)))
+                emitted.add((str(a), str(b)))
+    want = {tuple(str(x) for x in sorted(map(int, p)))
+            for p in bf(corpus, tau)}
+    assert emitted == want
+    # frozen external matching takes the same split path
+    eng.freeze()
+    out = eng.insert(
+        [(f"p{i}", corpus.row(i)) for i in range(40)], tau=0.99
+    )
+    for i in range(40):
+        assert out.output.get(f"p{i}", {}).get(str(i)) == pytest.approx(1.0)

@@ -1321,9 +1321,21 @@ class ChunkedAllPairs:
         j = np.asarray(j, np.int64)
         self.stats["candidates_scored"] += int(i.size)
         shadow = self._shadow.view()
+        # cached compact-dim translation -> grouped native rescore (~2.7x
+        # the merge; bit-identical).  Keyed by shadow state so streaming
+        # inserts invalidate it; joins after a build amortize the O(nnz)
+        # translation across calls.
+        key = (shadow.n_rows, int(shadow.indptr[-1]))
+        cached = getattr(self, "_compact_rescore_cache", None)
+        if cached is None or cached[0] != key:
+            cached = (
+                key,
+                rescore_ops.build_compact(shadow.indices, shadow.n_cols),
+            )
+            self._compact_rescore_cache = cached
         sims = rescore_ops.pair_dots(
             shadow.indptr, shadow.indices, shadow.data,
-            i, j, shadow.n_cols,
+            i, j, shadow.n_cols, compact=cached[1],
         )
         keep = sims >= tau
         self.stats["pairs_emitted"] += int(keep.sum())

@@ -420,6 +420,23 @@ class Engine:
             )
         return self._scipy_cache[1]
 
+    def _shadow_compact(self):
+        """Cached compact-dim translation of the shadow CSR for the grouped
+        native rescore (keyed by corpus state like the scipy cache; build is
+        O(vector_dim + nnz) ~10 ms at Enron scale, so bulk joins amortize it
+        but per-insert-batch rebuilds would not — streaming rescores keep the
+        merge path)."""
+        key = (self._sh_rows, self._sh_nnz)
+        cached = getattr(self, "_compact_cache", None)
+        if cached is None or cached[0] != key:
+            sh = self.shadow_csr()
+            cached = (
+                key,
+                rescore_ops.build_compact(sh.indices, sh.n_cols),
+            )
+            self._compact_cache = cached
+        return cached[1]
+
     # -------------------------------------------------------------- all_pairs
     def all_pairs(self, tau: float | None = None) -> PairResult:
         """Exact thresholded all-pairs cosine join over the current index.
@@ -625,7 +642,8 @@ class Engine:
         shadow = self.shadow_csr()
         sims = rescore_ops.pair_dots(
             shadow.indptr, shadow.indices, shadow.data, i, j, shadow.n_cols,
-            mat=self._shadow_scipy(),
+            mat_fn=self._shadow_scipy,
+            compact=self._shadow_compact(),
         )
         keep = sims >= tau
         i, j, sims = i[keep], j[keep], sims[keep]
@@ -1189,9 +1207,13 @@ class Engine:
         if qrows.size == 0:
             return SimilarityOutput({}, time.time())
         shadow = self.shadow_csr()
+        # mat_fn (not an eager mat): with the native merge available the
+        # scipy matrix is never touched, and eagerly rebuilding it here cost
+        # O(corpus nnz) on EVERY streaming batch (the cache key changes per
+        # insert).  No compact= either, for the same per-batch-rebuild reason.
         sims = rescore_ops.pair_dots(
             shadow.indptr, shadow.indices, shadow.data, qrows, crows,
-            shadow.n_cols, mat=self._shadow_scipy(),
+            shadow.n_cols, mat_fn=self._shadow_scipy,
         )
         keep = sims >= tau
         out: Dict[str, Dict[str, float]] = {}

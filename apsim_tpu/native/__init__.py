@@ -43,8 +43,8 @@ def _build(src: str) -> str | None:
     if os.path.exists(so):
         return so
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        src, "-o", so + ".tmp",
+        "g++", "-O3", "-march=native", "-std=c++17", "-ffp-contract=off",
+        "-shared", "-fPIC", src, "-o", so + ".tmp",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -106,6 +106,17 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
+        lib.apsim_group_dots.restype = None
+        lib.apsim_group_dots.argtypes = [
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ]
         _lib = lib
@@ -183,6 +194,42 @@ def native_pair_dots(
         np.ascontiguousarray(b_indices, np.int32),
         np.ascontiguousarray(b_data, np.float64),
         a_rows, b_rows, a_rows.size, out,
+    )
+    return out
+
+
+def native_group_dots(indptr, cindices, data, a_rows, b_rows, scratch):
+    """Grouped same-matrix fp64 pair dots (see apsim_group_dots in the C
+    source): ``a_rows`` MUST be sorted ascending and ``cindices`` must be the
+    compact-dim translation of the CSR's indices with values in
+    ``[0, len(scratch))``.  ``scratch`` must be all-zero on entry (it is
+    restored to all-zero on return).  Returns None if the native library is
+    unavailable; bit-identical to ``native_pair_dots`` on the same pairs."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a_rows = np.ascontiguousarray(a_rows, np.int64)
+    b_rows = np.ascontiguousarray(b_rows, np.int64)
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cindices = np.ascontiguousarray(cindices, np.int32)
+    data = np.ascontiguousarray(data, np.float64)
+    if cindices.size != data.size or len(indptr) < 1 or int(indptr[-1]) > cindices.size:
+        raise ValueError("CSR arrays inconsistent")
+    # the C loop indexes indptr[row + 1] and scratch[cindex] unchecked
+    for rows, name in ((a_rows, "a_rows"), (b_rows, "b_rows")):
+        if rows.size and (
+            int(rows.min()) < 0 or int(rows.max()) >= len(indptr) - 1
+        ):
+            raise IndexError(
+                f"{name} out of range [0, {len(indptr) - 1}): "
+                f"min={int(rows.min())}, max={int(rows.max())}"
+            )
+    # NOTE cindices range vs scratch is validated ONCE at translation build
+    # time (rescore.build_compact) — a per-call scan would be O(corpus nnz)
+    # and cost more than the dots themselves
+    out = np.empty(a_rows.size, dtype=np.float64)
+    lib.apsim_group_dots(
+        indptr, cindices, data, a_rows, b_rows, a_rows.size, scratch, out,
     )
     return out
 

@@ -19,7 +19,29 @@ try:  # scipy ships in the image; keep a pure-numpy fallback anyway
 except Exception:  # pragma: no cover
     _sp = None
 
-__all__ = ["pair_dots", "cross_pair_dots", "default_margin"]
+__all__ = ["pair_dots", "cross_pair_dots", "default_margin", "build_compact"]
+
+
+def build_compact(indices: np.ndarray, n_cols: int):
+    """Compact-dim translation for the grouped native rescore.
+
+    Maps the CSR's raw dim ids (sparse in the 2^20 hashing space) to dense
+    ids ``[0, n_active)`` so the rescore's dense scratch stays L2-resident
+    (~0.6 MB at Enron's 72k active dims vs 8 MB raw — raw-space gathers miss
+    to DRAM and measure *slower* than the merge path).  Costs O(n_cols +
+    nnz); callers cache it per corpus snapshot (Engine keys it like the
+    scipy cache).  Returns ``(cindices int32, n_active)``, validated here
+    once so the native call can skip its own O(nnz) range scan."""
+    indices = np.asarray(indices)
+    if indices.size == 0:
+        return np.empty(0, np.int32), 1
+    if int(indices.min()) < 0 or int(indices.max()) >= n_cols:
+        raise IndexError("CSR indices out of [0, n_cols)")
+    flags = np.zeros(n_cols, dtype=bool)
+    flags[indices] = True
+    lut = np.cumsum(flags, dtype=np.int64) - 1
+    cind = lut[indices].astype(np.int32)
+    return cind, int(flags.sum())
 
 
 def default_margin(dtype: str) -> float:
@@ -91,21 +113,40 @@ def pair_dots(
     n_cols: int,
     chunk: int = 262144,
     mat=None,
+    compact=None,
+    mat_fn=None,
 ) -> np.ndarray:
     """Exact fp64 dot products of row pairs (i[k], j[k]) of a host CSR.
-    Pass a prebuilt ``mat`` (``as_scipy``) to skip per-call construction."""
+    Pass a prebuilt ``mat`` (``as_scipy``) to skip per-call construction —
+    or ``mat_fn`` (a zero-arg callable returning it) so the O(corpus nnz)
+    scipy build is only paid if the native paths are unavailable.  Pass a
+    prebuilt ``compact`` (``build_compact``) to take the grouped native
+    path (~2.7x the merge on bulk candidate sets; bit-identical)."""
     i = np.asarray(i, dtype=np.int64)
     j = np.asarray(j, dtype=np.int64)
     out = np.empty(i.size, dtype=np.float64)
     if i.size == 0:
         return out
-    from ..native import native_pair_dots
+    from ..native import native_group_dots, native_pair_dots
 
+    if compact is not None:
+        cind, n_active = compact
+        if cind.size == indices.size:  # stale cache guard: must match CSR
+            perm = np.argsort(i, kind="stable")
+            scratch = np.zeros(n_active, dtype=np.float64)
+            nat = native_group_dots(
+                indptr, cind, data, i[perm], j[perm], scratch
+            )
+            if nat is not None:
+                out[perm] = nat
+                return out
     nat = native_pair_dots(
         indptr, indices, data, indptr, indices, data, i, j
     )
     if nat is not None:
         return nat
+    if mat is None and mat_fn is not None:
+        mat = mat_fn()
     if _sp is not None and (mat is not None or i.size >= 1024):
         # for few pairs the O(corpus nnz) scipy build dwarfs the dots;
         # the sort-merge path below is O(pairs · row nnz)

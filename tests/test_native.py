@@ -78,6 +78,68 @@ def test_pad_batch_parity(native_lib):
     np.testing.assert_array_equal(b_native.lengths, b_py.lengths)
 
 
+def _random_csr(rng, n_rows, n_cols, max_nnz=60):
+    indptr = [0]
+    indices, data = [], []
+    for _ in range(n_rows):
+        k = int(rng.integers(0, max_nnz))
+        dims = np.sort(rng.choice(n_cols, size=k, replace=False))
+        indices.extend(dims.tolist())
+        data.extend(rng.random(k).tolist())
+        indptr.append(len(indices))
+    return (
+        np.asarray(indptr, np.int64),
+        np.asarray(indices, np.int32),
+        np.asarray(data, np.float64),
+    )
+
+
+def test_group_dots_bit_identical_to_merge(native_lib):
+    """The grouped scatter/gather rescore must return bit-identical fp64
+    dots to the two-pointer merge (same products, same ascending-dim order,
+    +0.0 identity adds for unmatched dims; -ffp-contract=off build)."""
+    from apsim_tpu.ops.rescore import build_compact
+
+    rng = np.random.default_rng(11)
+    n_rows, n_cols = 300, 5000
+    indptr, indices, data = _random_csr(rng, n_rows, n_cols)
+    n_pairs = 2000
+    i = rng.integers(0, n_rows, n_pairs).astype(np.int64)
+    j = rng.integers(0, n_rows, n_pairs).astype(np.int64)
+    merge = N.native_pair_dots(
+        indptr, indices, data, indptr, indices, data, i, j
+    )
+    cind, n_active = build_compact(indices, n_cols)
+    perm = np.argsort(i, kind="stable")
+    scratch = np.zeros(n_active, np.float64)
+    grouped = N.native_group_dots(
+        indptr, cind, data, i[perm], j[perm], scratch
+    )
+    out = np.empty(n_pairs, np.float64)
+    out[perm] = grouped
+    np.testing.assert_array_equal(out, merge)
+    # scratch restored to all-zero (reusable across calls)
+    assert not scratch.any()
+
+
+def test_group_dots_via_pair_dots(native_lib):
+    """pair_dots(compact=...) routes through the grouped native path and
+    matches the plain call; a stale compact (wrong size) falls back."""
+    from apsim_tpu.ops.rescore import build_compact, pair_dots
+
+    rng = np.random.default_rng(12)
+    indptr, indices, data = _random_csr(rng, 120, 800)
+    i = rng.integers(0, 120, 500).astype(np.int64)
+    j = rng.integers(0, 120, 500).astype(np.int64)
+    base = pair_dots(indptr, indices, data, i, j, 800)
+    compact = build_compact(indices, 800)
+    fast = pair_dots(indptr, indices, data, i, j, 800, compact=compact)
+    np.testing.assert_array_equal(fast, base)
+    stale = (compact[0][:-1], compact[1])  # size mismatch -> merge fallback
+    fb = pair_dots(indptr, indices, data, i, j, 800, compact=stale)
+    np.testing.assert_array_equal(fb, base)
+
+
 def test_transfer_throttled_copy(tmp_path):
     from apsim_tpu.etl.transfer import copy_tree, throttled_copy
 

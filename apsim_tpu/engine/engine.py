@@ -767,15 +767,18 @@ class Engine:
                 vals_b = np.concatenate([act[2], vals_b])
             ecap = pow2_bucket(max(rows_b.size, 1), 1024)
             pad = ecap - rows_b.size
+            # ONE packed [3, ecap] int32 H2D transfer (rows / cols / fp32
+            # value bits) — separate arrays each cost a full ~25 ms tunnel
+            # round trip (see insert_match_fused docstring)
+            coo = np.empty((3, ecap), np.int32)
+            coo[0, : rows_b.size] = rows_b
+            coo[0, rows_b.size :] = self.row_cap
+            coo[1, : cols_b.size] = cols_b
+            coo[1, cols_b.size :] = 0
+            coo[2, : vals_b.size] = vals_b.astype(np.float32).view(np.int32)
+            coo[2, vals_b.size :] = 0
             self.x, bufs, packed = score_ops.insert_match_fused(
-                self.x,
-                jnp.asarray(np.concatenate(
-                    [rows_b, np.full(pad, self.row_cap, np.int64)]
-                ).astype(np.int32)),
-                jnp.asarray(np.concatenate(
-                    [cols_b, np.zeros(pad, np.int64)]).astype(np.int32)),
-                jnp.asarray(np.concatenate(
-                    [vals_b, np.zeros(pad)]).astype(np.float32)),
+                self.x, jnp.asarray(coo),
                 np.int32(first_tile), np.int32(n0), tau_eff, tile, cap,
                 self.cfg.matmul_precision, grp,
             )

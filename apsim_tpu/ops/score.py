@@ -333,7 +333,7 @@ def match_tile_extract(
     static_argnames=("tile", "cap", "precision", "group"),
 )
 def insert_match_fused(
-    x, rows, cols, vals, q0, lo, tau_eff, tile: int, cap: int,
+    x, coo, q0, lo, tau_eff, tile: int, cap: int,
     precision: str = "highest", group: int = 8,
 ):
     """Fused streaming step: COO scatter-append the batch AND match the
@@ -341,13 +341,18 @@ def insert_match_fused(
     host↔device round trips, which dominate small-batch insert latency on
     this environment's ~30 ms dispatch link).
 
-    Entries arrive as flat COO ``rows/cols/vals`` (global row ids, compact
-    cols) — O(batch nnz) host→device bytes instead of the padded
-    ``[batch, max_row_nnz]`` layout this op used before (one long document
-    inflated every row to its width: 4 MB vs 0.5 MB per 256-row Enron batch
-    over a ~57 MB/s link).  Activated dormant entries ride in the same
-    arrays (their rows point at older index rows).  Padding entries carry
-    ``rows == row_cap`` (out-of-bounds ⇒ dropped).
+    Entries arrive as ONE ``coo`` int32 array of shape ``[3, ecap]``:
+    ``coo[0]`` global row ids, ``coo[1]`` compact cols, ``coo[2]`` fp32
+    values bit-viewed as int32 (bitcast back on device).  A single array
+    means a single H2D transfer — on this tunnel every separate
+    ``jnp.asarray`` is a serialized ~25 ms round trip, so the previous
+    three-array form (rows, cols, vals) paid ~75 ms of pure transfer per
+    micro-batch (measured; 3 small transfers 75.7 ms vs 1 packed 27.0 ms).
+    Flat COO keeps H2D at O(batch nnz) — the padded ``[batch, max_row_nnz]``
+    layout this op used before that paid for the longest document on every
+    row.  Activated dormant entries ride in the same array (their rows point
+    at older index rows).  Padding entries carry ``rows == row_cap``
+    (out-of-bounds ⇒ dropped).
 
     Only valid when the batch lies within one query-tile window
     (``q0 <= row_offset`` and batch end <= ``q0 + tile``); the engine falls
@@ -355,6 +360,8 @@ def insert_match_fused(
     On extraction overflow the caller must NOT re-run this op (x was donated
     and already updated) — retry with ``match_tile_extract`` instead.
     """
+    rows, cols = coo[0], coo[1]
+    vals = jax.lax.bitcast_convert_type(coo[2], jnp.float32)
     x = x.at[rows, cols].add(
         vals.astype(x.dtype), mode="drop", unique_indices=True
     )

@@ -92,7 +92,7 @@ def run_ooc(
         report["decided_pairs_per_sec"] = decided / join_s
         report["hbm"] = _hbm_stats()
 
-    if compare_stripes:
+    if compare_stripes and not stream_only:
         eng._use_panels = False
         eng.all_pairs(tau)
         eng.all_pairs(tau)

@@ -975,6 +975,10 @@ class ChunkedAllPairs:
     # Class attrs so tests (and odd-HBM deployments) can shrink them.
     _panel_resident_bytes = 6 << 30
     _panel_sweep_bytes = 10 << 30
+    # rolling-sweep shape caps: B = resident I-panels per J-scan,
+    # jsync = J-builds between head-fetch sync points (tunable for A/B)
+    _panel_B_cap = 6
+    _panel_jsync_cap = 6
 
     def _single_slab_ok(self, state) -> bool:
         if not self._use_single_slab:
@@ -1204,8 +1208,8 @@ class ChunkedAllPairs:
             # (B + jsync + 1) slabs = S · slab_bytes ≤ the 10 GB budget
             # (v5e: 16 GB − ~2.5 GB entry/COO state − intermediates).
             S = max(3, int(self._panel_sweep_bytes // max(slab_bytes, 1)))
-            B = min(max(1, S // 2), 6, n_panels)
-            jsync = min(max(1, S - B - 1), 6)
+            B = min(max(1, S // 2), self._panel_B_cap, n_panels)
+            jsync = min(max(1, S - B - 1), self._panel_jsync_cap)
             for i0 in range(0, n_panels, B):
                 iblk = list(range(i0, min(i0 + B, n_panels)))
                 xis = {p: self._build_slab(state, p) for p in iblk}
@@ -1325,17 +1329,20 @@ class ChunkedAllPairs:
         # the merge; bit-identical).  Keyed by shadow state so streaming
         # inserts invalidate it; joins after a build amortize the O(nnz)
         # translation across calls.
-        key = (shadow.n_rows, int(shadow.indptr[-1]))
-        cached = getattr(self, "_compact_rescore_cache", None)
-        if cached is None or cached[0] != key:
-            cached = (
-                key,
-                rescore_ops.build_compact(shadow.indices, shadow.n_cols),
-            )
-            self._compact_rescore_cache = cached
+        compact = None
+        if rescore_ops.grouped_available():
+            key = (shadow.n_rows, int(shadow.indptr[-1]))
+            cached = getattr(self, "_compact_rescore_cache", None)
+            if cached is None or cached[0] != key:
+                cached = (
+                    key,
+                    rescore_ops.build_compact(shadow.indices, shadow.n_cols),
+                )
+                self._compact_rescore_cache = cached
+            compact = cached[1]
         sims = rescore_ops.pair_dots(
             shadow.indptr, shadow.indices, shadow.data,
-            i, j, shadow.n_cols, compact=cached[1],
+            i, j, shadow.n_cols, compact=compact,
         )
         keep = sims >= tau
         self.stats["pairs_emitted"] += int(keep.sum())

@@ -426,6 +426,8 @@ class Engine:
         O(vector_dim + nnz) ~10 ms at Enron scale, so bulk joins amortize it
         but per-insert-batch rebuilds would not — streaming rescores keep the
         merge path)."""
+        if not rescore_ops.grouped_available():
+            return None  # pair_dots would discard it (no native lib)
         key = (self._sh_rows, self._sh_nnz)
         cached = getattr(self, "_compact_cache", None)
         if cached is None or cached[0] != key:
@@ -766,7 +768,6 @@ class Engine:
                 cols_b = np.concatenate([act[1], cols_b])
                 vals_b = np.concatenate([act[2], vals_b])
             ecap = pow2_bucket(max(rows_b.size, 1), 1024)
-            pad = ecap - rows_b.size
             # ONE packed [3, ecap] int32 H2D transfer (rows / cols / fp32
             # value bits) — separate arrays each cost a full ~25 ms tunnel
             # round trip (see insert_match_fused docstring)

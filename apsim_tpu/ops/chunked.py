@@ -279,26 +279,17 @@ def join_epilogue_bits(
     return _epilogue_bits(mi, q0 // tile, cap, capb, cap0)
 
 
-def _sat_mask_sum(mi):
-    """Saturating int32 count of a 0/1 mask.  At the ~1M-rows/chip scale a
-    wide stripe (or a large flush batch) crosses 2^31 mask CELLS, so the hit
-    count itself can wrap; a wrapped NEGATIVE total passes every overflow
-    check and silently truncates the result — the same bug class
-    ``score._extract``'s cursor and ``pallas_score._sat_count_sum`` guard
-    against.  fp32 shadow sum as a > 2^30 detector; exact below that."""
-    exact = jnp.sum(mi, dtype=jnp.int32)
-    approx = jnp.sum(mi.astype(jnp.float32))
-    return jnp.where(
-        approx > jnp.float32(2**30), jnp.int32(2**31 - 1), exact
-    )
-
-
 def _epilogue_bits(mi, bj0, cap: int, capb: int, cap0: int):
     """Shared single-block three-level compaction tail: bit-pack the hit
     mask, assemble the (saturating) count head, run
     ``pallas_score._compact_bits``.  Used by the stripe-join AND
-    streaming-match epilogues so the hierarchy has one definition."""
-    from .pallas_score import _compact_bits, bitpack_mask
+    streaming-match epilogues so the hierarchy has one definition.
+
+    The hit count uses ``pallas_score._sat_count_sum`` (saturating int32):
+    at the ~1M-rows/chip scale a wide stripe or large flush batch crosses
+    2^31 mask CELLS, and a wrapped NEGATIVE total would pass every overflow
+    check and silently truncate the result."""
+    from .pallas_score import _compact_bits, _sat_count_sum, bitpack_mask
 
     row_cap, tile = mi.shape
     gbi, g_any, g64i = bitpack_mask(mi)
@@ -306,7 +297,7 @@ def _epilogue_bits(mi, bj0, cap: int, capb: int, cap0: int):
     g64 = g64i.astype(jnp.uint8)[None]
     cnt = (
         jnp.zeros((1, 8, 128), jnp.int32)
-        .at[0, 0, 0].set(_sat_mask_sum(mi))
+        .at[0, 0, 0].set(_sat_count_sum(mi))
         .at[0, 0, 1].set(jnp.sum(g_any, dtype=jnp.int32))
         .at[0, 0, 2].set(jnp.sum(g64i, dtype=jnp.int32))
     )

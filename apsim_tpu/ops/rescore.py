@@ -19,7 +19,20 @@ try:  # scipy ships in the image; keep a pure-numpy fallback anyway
 except Exception:  # pragma: no cover
     _sp = None
 
-__all__ = ["pair_dots", "cross_pair_dots", "default_margin", "build_compact"]
+__all__ = [
+    "pair_dots", "cross_pair_dots", "default_margin", "build_compact",
+    "grouped_available",
+]
+
+
+def grouped_available() -> bool:
+    """True when the native library (and so the grouped rescore path) can
+    load — callers gate their ``build_compact`` caches on this so hosts
+    without a compiler don't pay the O(n_cols + nnz) translation that
+    ``pair_dots`` would then discard."""
+    from ..native import get_lib
+
+    return get_lib() is not None
 
 
 def build_compact(indices: np.ndarray, n_cols: int):
@@ -145,11 +158,11 @@ def pair_dots(
     )
     if nat is not None:
         return nat
-    if mat is None and mat_fn is not None:
-        mat = mat_fn()
-    if _sp is not None and (mat is not None or i.size >= 1024):
+    if mat is None and mat_fn is not None and i.size >= 1024:
         # for few pairs the O(corpus nnz) scipy build dwarfs the dots;
         # the sort-merge path below is O(pairs · row nnz)
+        mat = mat_fn()
+    if _sp is not None and (mat is not None or i.size >= 1024):
         if mat is None:
             mat = as_scipy(indptr, indices, data, n_cols)
         for s in range(0, i.size, chunk):

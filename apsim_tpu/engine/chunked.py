@@ -955,6 +955,15 @@ class ChunkedAllPairs:
         self._panel_state_cache = (key, state)
         return state
 
+    def _slab_bytes(self, rb: int, d_cap: int) -> int:
+        """Per-DEVICE bytes of one int8 panel slab — what the sweep's
+        resident/rolling HBM budgets must be compared against.  The mesh
+        subclass overrides this with its column-sharded share; using the
+        GLOBAL size there overcounted per-device HBM by the shard count and
+        pushed joins whose slabs all fit into rolling mode (~30× the
+        per-pair overhead)."""
+        return rb * d_cap
+
     def _build_slab(self, state, p: int):
         from ..ops import panel as panel_ops
 
@@ -1114,7 +1123,7 @@ class ChunkedAllPairs:
             if single is not None:
                 return single
 
-        slab_bytes = rb * d_cap
+        slab_bytes = self._slab_bytes(rb, d_cap)
         keep_all = n_panels * slab_bytes <= self._panel_resident_bytes
 
         def run_pair(xi, xj, pi, pj, cps):

@@ -11,9 +11,15 @@ index.  No psum is needed (rows sharding contracts nothing across devices);
 the only collective is one int8 ``all_gather`` (half the bytes of bf16)
 whose cost rides ICI.
 
-Per-device schedules have unequal lengths (device 0's rows pair with every
-later row; the last device's only with themselves), so they are padded to a
-common length with ``valid=0`` blocks that the kernel epilogue blanks.
+The global schedule is striped round-robin across devices (device d takes
+blocks d, d+n, d+2n, …) and every device scores its blocks FROM THE GATHERED
+COPY (both operands), so per-device work is balanced to ±1 block.  The
+earlier contiguous partition (device d scores its own row block as the
+I side) made device 0's schedule ~2× the average — and since schedules are
+padded to the longest and padding blocks still run the full dot loop, the
+whole join ran at device 0's pace.  Striding also removes the
+``b_rows % tm`` divisibility constraint that silently disqualified the fast
+path for most corpus sizes (only ``row_cap`` must tile).
 
 Exactness: identical contract to the single-chip kernel — int8 scores plus
 the per-pair quantization bound form a proven candidate superset at
@@ -29,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .pallas_score import _compact_bits
+from .pallas_score import _compact_bits, upper_blocks_rect
 from .panel import panel_score_bits_int8, panel_score_bits_int8_ref
 
 __all__ = ["rows_schedule", "mesh_rows_extract_int8"]
@@ -37,26 +43,19 @@ __all__ = ["rows_schedule", "mesh_rows_extract_int8"]
 
 def rows_schedule(row_cap: int, n_dev: int, tm: int, tn: int):
     """Per-device block schedules ``(bi, bj, valid) [n_dev, max_blocks]``:
-    device d's blocks are the (bi local to its row block, bj global) tiles
-    containing some strict-upper pair, padded to the longest device's
-    count with ``valid=0``."""
-    b_rows = row_cap // n_dev
-    per: list = []
-    for d in range(n_dev):
-        row0 = d * b_rows
-        bi, bj = np.meshgrid(
-            np.arange(b_rows // tm), np.arange(row_cap // tn), indexing="ij"
-        )
-        keep = (row0 + bi * tm) < ((bj + 1) * tn - 1)
-        per.append((bi[keep], bj[keep]))
-    mx = max(b[0].size for b in per)
+    the GLOBAL upper-triangle tile schedule striped round-robin across
+    devices (balanced to ±1 block; blocks are global since every device
+    scores from the all-gathered copy), padded with ``valid=0``."""
+    bi, bj = upper_blocks_rect(row_cap, tm, tn)
+    mx = -(-bi.size // n_dev)
     bi_a = np.zeros((n_dev, mx), np.int32)
     bj_a = np.zeros((n_dev, mx), np.int32)
     va_a = np.zeros((n_dev, mx), np.int32)
-    for d, (bi, bj) in enumerate(per):
-        bi_a[d, : bi.size] = bi
-        bj_a[d, : bj.size] = bj
-        va_a[d, : bi.size] = 1
+    for d in range(n_dev):
+        sl_i, sl_j = bi[d::n_dev], bj[d::n_dev]
+        bi_a[d, : sl_i.size] = sl_i
+        bj_a[d, : sl_j.size] = sl_j
+        va_a[d, : sl_i.size] = 1
     return bi_a, bj_a, va_a
 
 
@@ -69,9 +68,6 @@ def mesh_rows_extract_int8(
     """Compiled fn: (x, bi, bj, valid, tau_eff) -> (rows, cols, heads), all
     stacked ``[n_dev, ...]`` — the full upper-triangle join, one kernel
     launch per device over its own schedule."""
-    n_dev = int(mesh.devices.size)
-    b_rows = row_cap // n_dev
-
     def local(x_local, bi_d, bj_d, valid_d, tau_eff):
         # per-row int8 quantization is row-local under rows sharding
         ax = jnp.abs(x_local)
@@ -86,8 +82,10 @@ def mesh_rows_extract_int8(
         aux = jnp.stack([alpha, alpha * l1q, nnz])  # [3, b_rows]
         qg = jax.lax.all_gather(q, axis, axis=0, tiled=True)  # [row_cap, D]
         auxg = jax.lax.all_gather(aux, axis, axis=1, tiled=True)
-        row0 = (jax.lax.axis_index(axis) * b_rows).astype(jnp.int32)
-        off = jnp.stack([row0, jnp.int32(0)])
+        # both operands read from the gathered copy: blocks are GLOBAL, so
+        # the striped schedule balances devices and no b_rows alignment is
+        # needed (see module docstring)
+        off = jnp.stack([jnp.int32(0), jnp.int32(0)])
         bi = bi_d.reshape(-1)
         bj = bj_d.reshape(-1)
         valid = valid_d.reshape(-1)
@@ -95,15 +93,15 @@ def mesh_rows_extract_int8(
             # Mosaic's TPU interpreter inside a multi-device shard_map
             # hangs on the CPU backend; tests emulate the kernel in XLA
             gb, g64, cnt = panel_score_bits_int8_ref(
-                q, qg, aux, auxg, bi, bj, off, tau_eff, tm, tn, valid
+                qg, qg, auxg, auxg, bi, bj, off, tau_eff, tm, tn, valid
             )
         else:
             gb, g64, cnt = panel_score_bits_int8(
-                q, qg, aux, auxg, bi, bj, off, tau_eff, tm, tn, tk,
+                qg, qg, auxg, auxg, bi, bj, off, tau_eff, tm, tn, tk,
                 interpret, valid,
             )
         (row, col), head = _compact_bits(
-            gb, g64, cnt, bi + row0 // tm, bj, cap, capb, cap0, tm, tn, pack
+            gb, g64, cnt, bi, bj, cap, capb, cap0, tm, tn, pack
         )
         return row[None], col[None], head[None]
 

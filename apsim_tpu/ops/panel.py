@@ -51,7 +51,37 @@ __all__ = [
     "panel_pair_extract_int8",
     "full_grid",
     "diag_grid",
+    "int8_bound_mask",
 ]
+
+
+def int8_bound_mask(d, auxi, auxj, rows, cols, tau_eff):
+    """Quantization-bound admit mask over one int32 score rectangle.
+
+    ``d`` is the raw int8-dot block, ``auxi``/``auxj`` the ``[3, m]`` /
+    ``[3, n]`` per-row (α, α·L1(q), nnz) tables, ``rows``/``cols`` the
+    GLOBAL coordinates of each cell.  Admits exactly the cells whose
+    dequantized score plus the proven per-pair error bound reaches
+    ``tau_eff``, restricted to the strict upper triangle (bound proof:
+    ``ops/pallas_score.py:335-350``).
+
+    This is THE definition of the bound epilogue: the Mosaic cross kernel
+    (``_kernel_int8_cross``), its XLA reference
+    (``panel_score_bits_int8_ref``) and the mesh panel-pair epilogue
+    (``ops/panel_mesh.mesh_panel_pair``) all call it, so a bound or margin
+    change cannot silently diverge between deployments."""
+    ai = auxi[0][:, None]    # α_i  [m, 1]
+    bi_b = auxi[1][:, None]  # α_i·L1(q_i)
+    ci = auxi[2][:, None]    # nnz_i
+    aj = auxj[0][None, :]
+    bj_b = auxj[1][None, :]
+    cj = auxj[2][None, :]
+    s_hat = d.astype(jnp.float32) * (ai * aj)
+    bound = (
+        0.5 * (aj * bi_b + ai * bj_b)
+        + 0.25 * (ai * aj) * jnp.minimum(ci, cj)
+    )
+    return ((s_hat + bound) >= tau_eff) & (rows < cols)
 
 
 def full_grid(rb_i: int, rb_j: int, tm: int, tn: int):
@@ -143,25 +173,16 @@ def _kernel_int8_cross(bi_ref, bj_ref, valid_ref, off_ref, tau_ref, x_ref,
     def _():
         p = pl.program_id(0)
         tm, tn = acc_ref.shape
-        ai = auxi_ref[0][:, None]    # α_i  [tm, 1]
-        bi_b = auxi_ref[1][:, None]  # α_i·L1(q_i)
-        ci = auxi_ref[2][:, None]    # nnz_i
-        aj = auxj_ref[0][None, :]
-        bj_b = auxj_ref[1][None, :]
-        cj = auxj_ref[2][None, :]
-        s_hat = acc_ref[:].astype(jnp.float32) * (ai * aj)
-        bound = (
-            0.5 * (aj * bi_b + ai * bj_b)
-            + 0.25 * (ai * aj) * jnp.minimum(ci, cj)
-        )
-        m = (s_hat + bound) >= tau_ref[0]
         rows = off_ref[0] + bi_ref[p] * tm + jax.lax.broadcasted_iota(
             jnp.int32, (tm, tn), 0
         )
         cols = off_ref[1] + bj_ref[p] * tn + jax.lax.broadcasted_iota(
             jnp.int32, (tm, tn), 1
         )
-        mi = (m & (rows < cols)).astype(jnp.int32) * valid_ref[p]
+        m = int8_bound_mask(
+            acc_ref[:], auxi_ref[:], auxj_ref[:], rows, cols, tau_ref[0]
+        )
+        mi = m.astype(jnp.int32) * valid_ref[p]
         gbi, g_any, g64i = bitpack_mask(mi)
         gb_ref[0] = gbi.astype(jnp.uint8)
         g64_ref[0] = g64i.astype(jnp.uint8)
@@ -200,21 +221,15 @@ def panel_score_bits_int8_ref(
         d = jax.lax.dynamic_slice(s_full, (b_i * tm, b_j * tn), (tm, tn))
         ai = jax.lax.dynamic_slice(auxi, (0, b_i * tm), (3, tm))
         aj = jax.lax.dynamic_slice(auxj, (0, b_j * tn), (3, tn))
-        s_hat = d.astype(jnp.float32) * (ai[0][:, None] * aj[0][None, :])
-        bound = (
-            0.5 * (aj[0][None, :] * ai[1][:, None]
-                   + ai[0][:, None] * aj[1][None, :])
-            + 0.25 * (ai[0][:, None] * aj[0][None, :])
-            * jnp.minimum(ai[2][:, None], aj[2][None, :])
-        )
-        m = (s_hat + bound) >= tau_eff
         rows = off[0] + b_i * tm + jax.lax.broadcasted_iota(
             jnp.int32, (tm, tn), 0
         )
         cols = off[1] + b_j * tn + jax.lax.broadcasted_iota(
             jnp.int32, (tm, tn), 1
         )
-        mi = (m & (rows < cols)).astype(jnp.int32) * v
+        mi = int8_bound_mask(d, ai, aj, rows, cols, tau_eff).astype(
+            jnp.int32
+        ) * v
         gbi, g_any, g64i = bitpack_mask(mi)
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         cnt = jnp.where(

@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .pallas_score import _compact_bits, bitpack_mask
+from .pallas_score import _compact_bits, _sat_count_sum, bitpack_mask
+from .panel import int8_bound_mask
 
 __all__ = [
     "mesh_panel_state",
@@ -190,24 +191,17 @@ def mesh_panel_pair(
             d = _int8_matmul(xi, xj, tm, tn, tk)
         d = jax.lax.psum(d, axis)
         d = jax.lax.optimization_barrier(d)
-        ai = aux_i[0][:, None]
-        bi_b = aux_i[1][:, None]
-        ni = aux_i[2][:, None]
-        aj = aux_j[0][None, :]
-        bj_b = aux_j[1][None, :]
-        nj = aux_j[2][None, :]
-        s_hat = d.astype(jnp.float32) * (ai * aj)
-        bound = (
-            0.5 * (aj * bi_b + ai * bj_b)
-            + 0.25 * (ai * aj) * jnp.minimum(ni, nj)
-        )
         rows = row0_i + jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
         cols = row0_j + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        mi = (((s_hat + bound) >= tau_eff) & (rows < cols)).astype(jnp.int32)
+        mi = int8_bound_mask(d, aux_i, aux_j, rows, cols, tau_eff).astype(
+            jnp.int32
+        )
         gbi, g_any, g64i = bitpack_mask(mi)
+        # saturating count: an rb=65536 panel rectangle has 2^32 cells, so a
+        # plain int32 sum could wrap negative and pass the overflow check
         cnt = (
             jnp.zeros((1, 8, 128), jnp.int32)
-            .at[0, 0, 0].set(jnp.sum(mi, dtype=jnp.int32))
+            .at[0, 0, 0].set(_sat_count_sum(mi))
             .at[0, 0, 1].set(jnp.sum(g_any, dtype=jnp.int32))
             .at[0, 0, 2].set(jnp.sum(g64i, dtype=jnp.int32))
         )

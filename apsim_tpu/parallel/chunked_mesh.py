@@ -233,6 +233,12 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
         self._panel_geom_cache = (gkey, geom)
         return geom
 
+    def _slab_bytes(self, rb: int, d_cap: int) -> int:
+        # slabs are column-sharded P(None, shards): each device holds
+        # [rb, d_local] — budget against the per-device share, matching
+        # _panel_geom's keep_all cost model
+        return rb * (d_cap // self.n_shards)
+
     def _panel_state(self):
         geom = self._panel_geom()
         if geom is None:

@@ -132,18 +132,23 @@ class MeshEngine(Engine):
 
     def _mesh_rows_geom(self):
         """(tm, tn, tk, interpret) when the rows-sharded kernel geometry
-        fits the current capacities, else None."""
+        fits the current capacities, else None.  Since every device scores
+        its striped schedule from the all-gathered copy, only ``row_cap``
+        must tile (no per-device ``b_rows`` alignment) — the ladder mirrors
+        the single-chip kernel's geometries."""
         if self.cfg.shard_axis != "rows" or self.x is None:
             return None
-        n = self.n_shards
-        if self.row_cap % n:
-            return None
-        b_rows = self.row_cap // n
+        if self.row_cap % self.n_shards:
+            return None  # sharding itself needs even row blocks
         interpret = jax.default_backend() != "tpu"
-        for tm, tn, tk in (((1024, 512, 2048),) if not interpret
-                           else ((1024, 512, 2048), (64, 64, 64))):
+        ladder = (
+            (1024, 512, 2048), (512, 512, 2048), (256, 256, 2048),
+        )
+        if interpret:
+            ladder = ladder + ((64, 64, 64),)
+        for tm, tn, tk in ladder:
             if (
-                b_rows % tm == 0
+                self.row_cap % tm == 0
                 and self.row_cap % tn == 0
                 and self.dim_cap % tk == 0
             ):
@@ -165,6 +170,16 @@ class MeshEngine(Engine):
             and self.cfg.matmul_precision != "highest"
         ):
             return False
+        if mode != "on":
+            # auto mode HBM guard (mesh analog of the single-device `fits`
+            # check): per device, the bit-packed hit structure is the
+            # striped 1/n share of ~row_cap²/14 bytes, PLUS one all-gathered
+            # int8 index copy of row_cap·dim_cap bytes
+            n = self.n_shards
+            bits_fit = self.row_cap * self.row_cap // (14 * n) <= (1 << 31)
+            gather_fit = self.row_cap * self.dim_cap <= (1 << 32)
+            if not (bits_fit and gather_fit):
+                return False
         return self._mesh_rows_geom() is not None
 
     def _all_pairs_pallas(self, tau_eff, cap: int):

@@ -139,3 +139,42 @@ def test_shard_layout_introspection(corpus, mesh8):
     for (a0, a1), (b0, b1) in zip(blocks, blocks[1:]):
         assert a1 == b0
     assert blocks[-1][1] == eng.dim_cap
+
+
+def test_rows_schedule_balanced_and_complete():
+    """The striped per-device schedules must (a) exactly cover the global
+    upper-triangle block schedule and (b) be balanced to ±1 block — the
+    contiguous-partition layout they replaced gave device 0 ~2× the average
+    and every device ran at its padded pace."""
+    from apsim_tpu.ops.mesh_pallas import rows_schedule
+    from apsim_tpu.ops.pallas_score import upper_blocks_rect
+
+    row_cap, n_dev, tm, tn = 1024, 8, 64, 64
+    bi_a, bj_a, va_a = rows_schedule(row_cap, n_dev, tm, tn)
+    gi, gj = upper_blocks_rect(row_cap, tm, tn)
+    got = set()
+    counts = []
+    for d in range(n_dev):
+        live = va_a[d] == 1
+        counts.append(int(live.sum()))
+        got |= set(zip(bi_a[d][live].tolist(), bj_a[d][live].tolist()))
+    assert got == set(zip(gi.tolist(), gj.tolist()))
+    assert max(counts) - min(counts) <= 1
+
+
+def test_mesh_rows_geom_no_brows_alignment():
+    """Eligibility regression: with the gathered-copy schedule only
+    ``row_cap`` must tile — a corpus whose per-device row block is NOT a
+    multiple of the 1024-row kernel tile (the common case on real corpora)
+    must still qualify for the fast path."""
+    from types import SimpleNamespace
+
+    # the production shape class: row_cap % 1024 == 0 but row_cap // 8
+    # devices (12544) is not a multiple of any TPU tile
+    fake = SimpleNamespace(
+        cfg=SimpleNamespace(shard_axis="rows"),
+        x=object(), row_cap=1024 * 98, dim_cap=4096, n_shards=8,
+    )
+    geom = MeshEngine._mesh_rows_geom(fake)
+    assert geom is not None and geom[0] in (1024, 512, 256, 64)
+    assert (fake.row_cap // fake.n_shards) % geom[0] != 0  # the old gate

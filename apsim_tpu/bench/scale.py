@@ -62,21 +62,26 @@ def synthetic_corpus(
     if n_dup == 0:
         return csr
     dup_dst = np.sort(rng.choice(np.arange(1, n_rows), size=n_dup, replace=False))
-    dup_src = np.array([int(rng.integers(0, d)) for d in dup_dst])
-    all_idx = [
-        csr.indices[csr.indptr[r]: csr.indptr[r + 1]] for r in range(n_rows)
-    ]
-    all_val = [
-        csr.data[csr.indptr[r]: csr.indptr[r + 1]] for r in range(n_rows)
-    ]
-    for d, s in zip(dup_dst, dup_src):
-        all_idx[d] = all_idx[s]
-        all_val[d] = all_val[s]
+    dup_src = rng.integers(0, dup_dst)
+    # vectorized rebuild (the per-row list loop this replaces was O(n_rows)
+    # Python work — the exact cost class the flat draw above removed):
+    # row r copies src_of[r]; chains (a dup whose source is itself a dup)
+    # resolve by pointer-jumping, which terminates because sources are
+    # strictly smaller row ids
+    src_of = np.arange(n_rows, dtype=np.int64)
+    src_of[dup_dst] = dup_src
+    while True:
+        nxt = src_of[src_of]
+        if np.array_equal(nxt, src_of):
+            break
+        src_of = nxt
+    counts = np.diff(csr.indptr)[src_of]
     indptr = np.zeros(n_rows + 1, dtype=np.int64)
-    np.cumsum([a.size for a in all_idx], out=indptr[1:])
+    np.cumsum(counts, out=indptr[1:])
+    pos = np.arange(indptr[-1]) - np.repeat(indptr[:-1], counts)
+    src_flat = np.repeat(csr.indptr[src_of], counts) + pos
     return CSRMatrix(
-        n_rows, n_dims, indptr, np.concatenate(all_idx),
-        np.concatenate(all_val),
+        n_rows, n_dims, indptr, csr.indices[src_flat], csr.data[src_flat]
     )
 
 

@@ -115,9 +115,21 @@ class VectorStore:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(d, "vectors.npz"))
-        np.save(os.path.join(d, "max_weights.npy"), csr.max_weights())
-        with open(os.path.join(d, "meta.json"), "w", encoding="utf-8") as f:
+        # the _MAX side table and meta get the same tmp+replace treatment:
+        # a truncate-in-place np.save could hand a concurrent reader a torn
+        # npy, and a crash after the vectors replace would permanently pair
+        # the new corpus with the OLD maxima — understating the admission
+        # bound and voiding its losslessness
+        mw_tmp = os.path.join(d, ".max_weights.npy.tmp")
+        with open(mw_tmp, "wb") as f:
+            np.save(f, csr.max_weights())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mw_tmp, os.path.join(d, "max_weights.npy"))
+        meta_tmp = os.path.join(d, ".meta.json.tmp")
+        with open(meta_tmp, "w", encoding="utf-8") as f:
             json.dump({"n_rows": csr.n_rows, "n_cols": csr.n_cols}, f)
+        os.replace(meta_tmp, os.path.join(d, "meta.json"))
         if self.run_mode == "DEBUG":
             with open(os.path.join(d, "ids.txt"), "w", encoding="utf-8") as f:
                 f.write("\n".join(ids))

@@ -231,6 +231,11 @@ class OpLogLeader:
                     "op": "set_max_weight_map",
                     **self._sparse_weights(static),
                 })
+            if self.engine.frozen:
+                # freeze is replicated state too: an unfrozen follower
+                # would index the next insert the frozen leader only
+                # matches, desyncing the corpora
+                self._ship({"op": "freeze"})
 
     def restore_from_engine(self) -> None:
         """Promotion catch-up: ship THIS engine's live state (host CSR
@@ -263,6 +268,8 @@ class OpLogLeader:
                     "op": "set_max_weight_map",
                     **self._sparse_weights(static),
                 })
+            if self.engine.frozen:
+                self._ship({"op": "freeze"})  # see restore()
 
     def close(self) -> None:
         """End the log: followers' replay loops return.  Best-effort — a
@@ -327,7 +334,14 @@ def follow(engine, leader_host: str, leader_port: int,
     clean = False
     with sock, sock.makefile("r", encoding="utf-8") as f:
         for line in f:
-            msg = json.loads(line)
+            try:
+                msg = json.loads(line)
+            except json.JSONDecodeError:
+                # torn final line: the leader died mid-write.  Ship happens
+                # BEFORE the leader executes, so a torn op was never applied
+                # anywhere — the replica state is still exactly the log
+                # prefix, i.e. promotable.  Same semantics as bare EOF.
+                break
             op = msg["op"]
             if op == "shutdown":
                 clean = True

@@ -397,3 +397,72 @@ def test_two_process_serve_end_to_end():
         assert p.returncode == 0, out[-3000:]
     assert "MULTIHOST_SERVE_OK" in outs[0], outs[0][-3000:]
     assert "FOLLOWER_OK" in outs[1], outs[1][-3000:]
+
+
+def test_follow_torn_final_line_is_promotable():
+    """Leader dies mid-write of an op line: the torn tail was never
+    executed anywhere (ship precedes execute), so follow() must report the
+    replica promotable (clean=False) instead of crashing on the decode."""
+    import json
+    import socket as socklib
+    import threading
+
+    srv = socklib.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    host, port = srv.getsockname()
+
+    def leader():
+        conn, _ = srv.accept()
+        conn.sendall((json.dumps({"op": "freeze"}) + "\n").encode())
+        conn.sendall(b'{"op": "insert", "vecto')  # torn: died mid-write
+        conn.close()
+
+    t = threading.Thread(target=leader, daemon=True)
+    t.start()
+
+    class F:
+        def freeze(self):
+            self.froze = True
+
+    from apsim_tpu.serve.replica import follow
+
+    eng = F()
+    n_ops, clean = follow(eng, host, port)
+    srv.close()
+    assert (n_ops, clean) == (1, False) and eng.froze
+
+
+def test_restore_from_engine_replicates_frozen_flag():
+    """A promoted FROZEN leader must ship freeze to catch-up followers:
+    an unfrozen follower would index the next insert the leader only
+    matches, silently desyncing the corpora."""
+    import threading
+
+    from apsim_tpu import AllPairsConfig, Engine
+    from apsim_tpu.serve.replica import OpLogLeader, follow
+    from apsim_tpu.vector.sparse import Vectors
+
+    cfg = AllPairsConfig(
+        vector_dim=200, query_tile=32, row_bucket=32, dim_bucket=64
+    )
+    promoted = Engine(cfg)
+    promoted.build([("a", Vectors.sparse(200, [1, 2], [0.6, 0.8]))])
+    promoted.freeze()
+
+    leader = OpLogLeader(promoted, port=0, n_followers=1)
+    fresh = Engine(cfg)
+    done = []
+
+    def run_follower():
+        done.append(follow(fresh, leader.host, leader.port))
+
+    t = threading.Thread(target=run_follower, daemon=True)
+    t.start()
+    leader.wait_followers()
+    leader.restore_from_engine()
+    leader.close()
+    t.join(30)
+    assert done and done[0][1]
+    assert fresh.n_rows == 1
+    assert fresh.frozen, "freeze flag was not replicated on catch-up"

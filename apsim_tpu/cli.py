@@ -65,6 +65,8 @@ def cmd_build(args) -> int:
     cfg = _load_cfg(args)
     cfg, use_mesh = _mesh_cfg(args, cfg)
     cls = _engine_cls(args, use_mesh)
+    if not args.store:
+        raise SystemExit("apsim build: --store is required")
     csr, ids = VectorStore(args.store).read(args.table)
     eng = cls(cfg)
     stats = eng.build(csr, ids)
@@ -76,13 +78,16 @@ def cmd_build(args) -> int:
 
 
 def _mesh_cfg(args, cfg):
-    """Fold --mesh-shape into the config; True iff a mesh engine was asked."""
+    """Fold --mesh-shape into the config; True iff a mesh engine was asked
+    — by flag OR by a ``mesh_shape`` in the config file (previously only
+    the flags selected the mesh engine, so a config-file mesh_shape built
+    an unsharded index with no warning)."""
     if getattr(args, "mesh_shape", None):
         cfg = cfg.replace(
             mesh_shape=tuple(int(s) for s in args.mesh_shape.split(","))
         )
     return cfg, bool(getattr(args, "mesh", False) or
-                     getattr(args, "mesh_shape", None))
+                     getattr(args, "mesh_shape", None) or cfg.mesh_shape)
 
 
 def _engine_cls(args, use_mesh: bool):
@@ -118,6 +123,11 @@ def _engine_from(args):
         eng = cls(cfg)
         eng.restore(args.checkpoint)
         return eng
+    if not args.store:
+        raise SystemExit(
+            f"apsim {args.cmd}: --store (or --checkpoint to restore) is "
+            "required"
+        )
     eng = cls(cfg)
     csr, ids = VectorStore(args.store).read(args.table)
     eng.build(csr, ids)
@@ -140,6 +150,10 @@ def cmd_topk(args) -> int:
     from .etl.store import VectorStore
 
     eng = _engine_from(args)
+    if not (args.query_store or args.store):
+        raise SystemExit(
+            "apsim topk: --query-store (or --store) is required for queries"
+        )
     qcsr, qids = VectorStore(args.query_store or args.store).read(
         args.query_table or args.table
     )
@@ -243,7 +257,10 @@ def cmd_serve(args) -> int:
 def cmd_client(args) -> int:
     from .serve import ClientConnection, InteractiveClient
 
-    cc = ClientConnection(args.remote)
+    cc = ClientConnection(
+        args.remote, auth_token=args.auth_token or None,
+        ca_file=args.ca_file or None,
+    )
     InteractiveClient(cc).run()
     cc.close()
     return 0
@@ -276,7 +293,13 @@ def cmd_bench(args) -> int:
     else:
         csr, ids = VectorStore(args.store).read(args.table)
         vectors = [(ids[i], csr.row(i)) for i in range(csr.n_rows)]
-    cc = ClientConnection(args.remote)
+    # a server configured with auth_token/TLS needs matching client creds;
+    # the config file the bench already loads carries the token
+    cc = ClientConnection(
+        args.remote,
+        auth_token=args.auth_token or cfg.auth_token or None,
+        ca_file=args.ca_file or None,
+    )
     gen = LoadGenerator(
         cc,
         vectors,
@@ -297,7 +320,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="apsim", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def common(sp, store_required=True):
+    def common(sp):
         sp.add_argument("--config", action="append", help="JSON config file (layered)")
         sp.add_argument("--store", required=False, default=None)
         sp.add_argument("--table", default="SMALL_DATA")
@@ -358,6 +381,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("client")
     sp.add_argument("--remote", action="append", required=True,
                     help="host:port (repeatable)")
+    sp.add_argument("--auth-token", default=None, dest="auth_token")
+    sp.add_argument("--ca-file", default=None, dest="ca_file",
+                    help="PEM CA to verify the server cert (enables TLS)")
     sp.set_defaults(fn=cmd_client)
 
     sp = sub.add_parser("bench")
@@ -370,6 +396,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--total-message-count", type=int, default=None)
     sp.add_argument("--children-num", type=int, default=None)
     sp.add_argument("--write-batching-ms", type=int, default=None)
+    sp.add_argument("--auth-token", default=None, dest="auth_token",
+                    help="overrides the config file's auth_token")
+    sp.add_argument("--ca-file", default=None, dest="ca_file")
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser(

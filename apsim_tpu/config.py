@@ -185,13 +185,27 @@ class AllPairsConfig:
 
 def _flatten(d: Mapping[str, Any], prefix: str = "") -> dict[str, Any]:
     """Flatten nested dicts; strips the reference's ``cpslab.allpair.`` and
-    ``benchmark.`` nesting so HOCON-shaped JSON files load directly."""
+    ``benchmark.`` nesting so HOCON-shaped JSON files load directly.
+
+    Two sections defining the SAME leaf name is ambiguous (dict order would
+    silently pick a winner) — rejected with the dotted paths named."""
+    paths: dict[str, str] = {}
+
+    def walk(m: Mapping[str, Any], pre: str, out: dict[str, Any]):
+        for k, v in m.items():
+            if isinstance(v, Mapping):
+                walk(v, f"{pre}{k}.", out)
+            else:
+                if k in out:
+                    raise ValueError(
+                        f"config key '{k}' defined in both "
+                        f"'{paths[k]}' and '{pre}{k}'"
+                    )
+                out[k] = v
+                paths[k] = f"{pre}{k}"
+
     out: dict[str, Any] = {}
-    for k, v in d.items():
-        if isinstance(v, Mapping):
-            out.update(_flatten(v, prefix=f"{prefix}{k}."))
-        else:
-            out[k] = v
+    walk(d, prefix, out)
     return out
 
 

@@ -145,10 +145,12 @@ class PaddedBatch:
         if n == csr.n_rows:
             try:  # native fast path (identical output, tested)
                 from ..native import pad_batch
-
-                native = pad_batch(csr.indptr, csr.indices, csr.data, k, pad_dim)
-            except Exception:
-                native = None
+            except ImportError:  # no compiler -> Python loop below
+                pad_batch = None
+            native = (
+                pad_batch(csr.indptr, csr.indices, csr.data, k, pad_dim)
+                if pad_batch is not None else None
+            )  # a call-time failure is a real native bug: let it propagate
             if native is not None:
                 dims, vals, lengths = native
                 return PaddedBatch(dims, vals, lengths, pad_dim)

@@ -47,12 +47,16 @@ def load_enron_tfidf(
         ids.append(relpath)
         docs.append(content)
     csr = tfidf_pipeline(docs, normalize=normalize)
+    # tmp + os.replace: an interrupted run must not leave a truncated npz
+    # that poisons every later load (same pattern as etl/store.py)
+    tmp = path + ".tmp.npz"  # .npz suffix: savez would append it otherwise
     np.savez_compressed(
-        path,
+        tmp,
         indptr=csr.indptr,
         indices=csr.indices,
         data=csr.data,
         shape=np.array([csr.n_rows, csr.n_cols], np.int64),
         ids=np.array(ids),
     )
+    os.replace(tmp, path)
     return csr, ids

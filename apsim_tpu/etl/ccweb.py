@@ -24,7 +24,17 @@ def parse_ccweb_line(line: str) -> Tuple[str, SparseVector]:
     parts = cleaned.split(",")
     video_id = parts[0]
     size = int(parts[1])
-    values = np.array([float(x) for x in parts[-size:]], dtype=np.float64)
+    feats = parts[2:]  # positional, not parts[-size:]: a list shorter than
+    # ``size`` must fail loudly instead of pulling the id/size fields into
+    # the float parse (and size=0 made parts[-0:] the WHOLE line)
+    if len(feats) == 1 and feats[0] == "":
+        feats = []
+    if len(feats) != size:
+        raise ValueError(
+            f"ccweb line declares {size} features, carries {len(feats)}: "
+            f"{line[:80]!r}"
+        )
+    values = np.array([float(x) for x in feats], dtype=np.float64)
     nz = np.nonzero(values)[0].astype(np.int32)
     return video_id, SparseVector(size, nz, values[nz])
 

@@ -58,10 +58,15 @@ def hashing_tf(
     docs_list = list(documents)
     try:
         from ..native import hash_corpus
-
-        native = hash_corpus(docs_list, num_features)
-    except Exception:
-        native = None
+    except ImportError:  # packaging problem -> Python fallback
+        hash_corpus = None
+    # hash_corpus returns None itself when no compiler/lib is available; a
+    # call-time exception is a real native bug and must propagate, not
+    # silently degrade to the multi-minute Python path
+    native = (
+        hash_corpus(docs_list, num_features) if hash_corpus is not None
+        else None
+    )
     if native is not None:
         indptr_n, indices_n, values_n = native
         return CSRMatrix(

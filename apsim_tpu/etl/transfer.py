@@ -38,24 +38,31 @@ def throttled_copy(
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
     t0 = time.monotonic()
     copied = 0
-    with open(src, "rb") as fin, open(tmp, "wb") as fout:
-        while True:
-            chunk = fin.read(_CHUNK)
-            if not chunk:
-                break
-            fout.write(chunk)
-            copied += len(chunk)
-            if max_bytes_per_sec > 0:
-                expected = copied / max_bytes_per_sec
-                elapsed = time.monotonic() - t0
-                if expected > elapsed:
-                    time.sleep(expected - elapsed)
-    if os.path.getsize(tmp) != os.path.getsize(src):
-        os.unlink(tmp)
-        raise IOError(f"length mismatch copying {src}")
-    if _sha256(tmp) != _sha256(src):
-        os.unlink(tmp)
-        raise IOError(f"checksum mismatch copying {src}")
+    try:
+        with open(src, "rb") as fin, open(tmp, "wb") as fout:
+            while True:
+                chunk = fin.read(_CHUNK)
+                if not chunk:
+                    break
+                fout.write(chunk)
+                copied += len(chunk)
+                if max_bytes_per_sec > 0:
+                    expected = copied / max_bytes_per_sec
+                    elapsed = time.monotonic() - t0
+                    if expected > elapsed:
+                        time.sleep(expected - elapsed)
+        if os.path.getsize(tmp) != os.path.getsize(src):
+            raise IOError(f"length mismatch copying {src}")
+        if _sha256(tmp) != _sha256(src):
+            raise IOError(f"checksum mismatch copying {src}")
+    except BaseException:
+        # disk-full / read error / interrupt: never leave the partial
+        # ._COPYING_ file behind (repeated failing runs would accumulate)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     os.replace(tmp, dst)  # atomic
 
 

@@ -45,6 +45,10 @@ def init_multihost(
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
+    global _initialized
+    if _initialized:
+        return  # make the documented idempotence real:
+        # jax.distributed.initialize raises if called twice
     kwargs = {}
     if num_processes is not None:
         kwargs["num_processes"] = num_processes
@@ -53,6 +57,10 @@ def init_multihost(
     jax.distributed.initialize(
         coordinator_address=coordinator_address, **kwargs
     )
+    _initialized = True
+
+
+_initialized = False
 
 
 def global_mesh(shape=None):

@@ -710,6 +710,7 @@ class Engine:
             return _CompletedInsert(out) if defer else out
 
         n0 = self.n_rows
+        dorm0 = self._dorm_rows.size  # archive rollback point (see below)
         keep_csr = self._stream_archive_singletons(csr, n0)
         self._grow_for(csr, extend=False)
         # activation entries are COLLECTED so the fused path can scatter
@@ -735,7 +736,7 @@ class Engine:
             # device failure after the host commit: roll back to the
             # pre-batch state so the caller's drop/retry sees a consistent
             # engine (no phantom rows) — see _recover_insert
-            self._recover_insert(n0, csr.n_rows)
+            self._recover_insert(n0, csr.n_rows, dorm0)
             raise
 
     def _insert_device_phase(self, csr, new_ids, act, compact_csr, n0, tau,
@@ -811,7 +812,8 @@ class Engine:
         )
         return _CompletedInsert(out) if defer else out
 
-    def _recover_insert(self, n0: int, n_batch: int) -> None:
+    def _recover_insert(self, n0: int, n_batch: int,
+                        dorm0: int | None = None) -> None:
         """Roll back a failed micro-batch insert: truncate host bookkeeping
         to the pre-batch state and rebuild the device index from the shadow
         (the donated/poisoned device buffers cannot be trusted after an
@@ -825,6 +827,18 @@ class Engine:
         without touching state."""
         if self.n_rows != n0 + n_batch:
             return  # later inserts landed; cannot roll back safely
+        if dorm0 is not None and self._dorm_rows.size > dorm0:
+            # roll back this batch's dormant-archive appends too: a stale
+            # entry references a rolled-back row, so a later _dormant_hits
+            # would emit candidate rows >= n_rows (out-of-range into the
+            # shadow/ids) and a later activation would scatter the value
+            # into a device row owned by a DIFFERENT re-inserted vector
+            dims_added = self._dorm_dims[dorm0:]
+            self._dormant_of_ext[dims_added] = -1
+            self._dorm_rows = self._dorm_rows[:dorm0]
+            self._dorm_dims = self._dorm_dims[:dorm0]
+            self._dorm_vals = self._dorm_vals[:dorm0]
+            self.stats["dormant_dims"] -= int(dims_added.size)
         row_cap, dim_cap = self.row_cap, self.dim_cap
         self.n_rows = n0
         del self.ids[n0:]
@@ -1369,6 +1383,20 @@ class Engine:
         csr = CSRMatrix(n_rows, n_cols, z["indptr"], z["indices"], z["data"])
         return csr, meta["ids"], z["max_weights"], meta["config"]
 
+    @staticmethod
+    def read_checkpoint_config(path: str) -> dict:
+        """Config dict only — NpzFile members decompress lazily per access,
+        so this skips the corpus arrays entirely (Engine.load used to
+        materialize the full multi-GB snapshot once for the config and a
+        second time inside restore())."""
+        z = np.load(os.path.join(path, "index.npz"))
+        if "meta_json" in z:
+            return json.loads(str(z["meta_json"]))["config"]
+        with open(
+            os.path.join(path, "meta.json"), "r", encoding="utf-8"
+        ) as f:
+            return json.load(f)["config"]
+
     def restore(self, path: str) -> None:
         """Rebuild this (empty) engine from a checkpoint."""
         if self.n_rows:
@@ -1398,7 +1426,7 @@ class Engine:
 
     @classmethod
     def load(cls, path: str, config: AllPairsConfig | None = None) -> "Engine":
-        _, _, _, ckpt_cfg = cls.read_checkpoint(path)
+        ckpt_cfg = cls.read_checkpoint_config(path)
         cfg = config or AllPairsConfig().replace(
             vector_dim=int(ckpt_cfg["vector_dim"]),
             similarity_threshold=float(ckpt_cfg["similarity_threshold"]),

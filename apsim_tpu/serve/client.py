@@ -71,8 +71,12 @@ class ClientConnection:
             self._sock.sendall((json.dumps(obj) + "\n").encode())
 
     def _request(self, obj: dict) -> dict:
-        self._send(obj)
-        line = self._rfile.readline()
+        # the lock must span send AND readline: two threads sharing this
+        # connection would otherwise consume each other's replies (the
+        # protocol has no request ids — replies match by ordering)
+        with self._lock:
+            self._sock.sendall((json.dumps(obj) + "\n").encode())
+            line = self._rfile.readline()
         if not line:
             raise ConnectionError("server closed connection")
         return json.loads(line)
@@ -110,13 +114,19 @@ class ClientConnection:
 
     def stats(self) -> dict:
         rsp = self._request({"op": "stats"})
+        if not rsp.get("ok"):
+            raise RuntimeError(rsp.get("error"))
         return rsp["stats"]
 
     def freeze(self) -> None:
-        self._request({"op": "freeze"})
+        rsp = self._request({"op": "freeze"})
+        if not rsp.get("ok"):
+            raise RuntimeError(rsp.get("error"))
 
     def flush(self) -> None:
-        self._request({"op": "flush"})
+        rsp = self._request({"op": "flush"})
+        if not rsp.get("ok"):
+            raise RuntimeError(rsp.get("error"))
 
     def subscribe_outputs(
         self, callback: Callable[[Dict[str, Dict[str, float]], float], None]

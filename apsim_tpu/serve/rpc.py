@@ -116,7 +116,19 @@ class _Handler(socketserver.StreamRequestHandler):
                             break
                         continue
                     if op == "auth":
-                        reply({"ok": True, "authed": True})
+                        # re-auth on an authed session still VALIDATES the
+                        # token (credential-rotation checks rely on it); a
+                        # bad token is reported but doesn't kill the session
+                        import hmac
+
+                        tok_ok = hmac.compare_digest(
+                            str(msg.get("token", "")),
+                            getattr(self.server, "auth_token", ""),
+                        ) or not getattr(self.server, "auth_token", "")
+                        if tok_ok:
+                            reply({"ok": True, "authed": True})
+                        else:
+                            reply({"ok": False, "error": "unauthorized"})
                     elif op in ("insert", "load"):
                         # fire-and-forget ops (the reference's at-most-once
                         # `!` sends) get NO reply — not even on error, which
@@ -180,6 +192,12 @@ class _Handler(socketserver.StreamRequestHandler):
                         break
         except (ConnectionResetError, BrokenPipeError):
             pass
+        finally:
+            # unregister on disconnect: waiting for the next emission to
+            # BrokenPipe the sink lets an idle server accumulate dead
+            # subscriber closures (and their sockets) without bound
+            if subscribed:
+                srv.remove_output_sink(push)
 
 
 class _TcpServer(socketserver.ThreadingTCPServer):

@@ -560,3 +560,38 @@ def test_pallas_int8_excludes_padded_rows(corpus):
     c = np.asarray(cols)[:total]
     assert total < corpus.n_rows ** 2
     assert r.max() < corpus.n_rows and c.max() < corpus.n_rows
+
+
+def test_insert_device_failure_rolls_back_dormant_archive(monkeypatch):
+    """The rollback must also undo the batch's dormant-archive appends:
+    a stale entry references a rolled-back row, so a later query sharing
+    its dim would emit an out-of-range candidate (and a later activation
+    would scatter into a row owned by a different re-inserted vector)."""
+    import apsim_tpu.ops.score as score_ops_mod
+
+    corpus = _dormant_corpus()
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    arch0 = eng._dorm_rows.size
+    a = 1 / np.sqrt(2)
+    fresh = Vectors.sparse(DIM, [5, 399], [a, a])  # dim 399: new singleton
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("injected device failure")
+
+    real = score_ops_mod.insert_match_fused
+    monkeypatch.setattr(score_ops_mod, "insert_match_fused", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.insert([("gone", fresh)], tau=0.4)
+    monkeypatch.setattr(score_ops_mod, "insert_match_fused", real)
+    assert eng.n_rows == corpus.n_rows
+    assert eng._dorm_rows.size == arch0, "archive entries not rolled back"
+    assert eng._dormant_of_ext[399] == -1, "ext map not rolled back"
+    # a different vector re-inserted on the recycled row: queries through
+    # dim 399 must not see the rolled-back row's archived value
+    eng.insert([("kept", Vectors.sparse(DIM, [5, 7], [a, a]))], tau=0.4)
+    got = eng.topk([("q", fresh)], 3)["q"]
+    assert all(cid in eng.id_to_row for cid, _ in got)
+    assert eng.all_pairs(0.3).pair_set() == brute_force_pairs(
+        eng.shadow_csr(), 0.3, eng.ids
+    )

@@ -607,7 +607,7 @@ class Engine:
             rows, cols, total, groups, supers = (
                 pallas_score.unpack_pallas_head(np.asarray(packed))
             )
-            eff_capb = capb or max(cap // pallas_score.GROUP, 1024)
+            eff_capb = capb or score_ops.capb_for(cap, pallas_score.GROUP)
             eff_cap0 = cap0 or eff_capb  # generous: avoids a first-call
             # overflow retry (an extra cold executable); tightening shrinks
             # it to the observed counts from call 2 on

@@ -38,18 +38,22 @@ class CompactSpace:
 
     @property
     def capacity(self) -> int:
-        """Padded column capacity: the build-time base (snapped to one
-        ``dim_bucket`` above the build's active dims) doubled until it covers
-        the active dims.  Geometric growth keeps the number of distinct
-        device matrix shapes — and therefore jit recompiles, which cost
-        minutes via this environment's remote compiler — at
-        O(log active_dims) under streaming inserts that continually mint new
-        dims, while the build itself pays no power-of-two padding (a raw
-        doubling ladder wasted 45% of the matmul K on Enron: 71,763 live dims
-        → 131,072 columns instead of 73,728)."""
+        """Padded column capacity: the build-time base (snapped to a
+        ``dim_bucket`` multiple covering the build's active dims) plus
+        geometrically-doubling HEADROOM steps until the active dims fit.
+        Doubling the headroom (not the capacity) keeps jit recompiles —
+        minutes each via this environment's remote compiler — at
+        O(log new_dims) under streaming inserts that continually mint dims,
+        while the first mint after a tight build costs ONE bucket of matmul
+        K (+5.5% on Enron), not a 2× capacity jump (a raw doubling ladder
+        wasted 45% of the matmul K on Enron: 71,763 live dims → 131,072
+        columns instead of 73,728; doubling from a tight 73,728 base on the
+        first streamed dim would have re-created exactly that)."""
         cap = self._base
+        step = self.dim_bucket
         while cap < self.n_active:
-            cap *= 2
+            cap += step
+            step *= 2
         return cap
 
     @staticmethod

@@ -47,9 +47,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .score import capb_for
+
 __all__ = [
-    "upper_blocks",
     "upper_blocks_rect",
+    "check_tiles",
     "pallas_score_bits",
     "allpairs_extract_pallas",
     "unpack_pallas_head",
@@ -65,10 +67,19 @@ SUPER2 = 512  # rows per pre-level cell (XLA-reduced from g64 at compaction
 HEAD_PALLAS = 32768  # pairs carried inline in the packed head (one fetch)
 
 
-def upper_blocks(n_tiles: int) -> tuple[np.ndarray, np.ndarray]:
-    """(bi, bj) indices of all upper-triangle blocks, diagonal included."""
-    bi, bj = np.triu_indices(n_tiles)
-    return bi.astype(np.int32), bj.astype(np.int32)
+def check_tiles(rows_i: int, rows_j: int, dim: int, tm: int, tn: int,
+                tk: int) -> None:
+    """Reject silently-floored kernel grids.  The grid computes
+    ``rows // tm`` etc., so a non-multiple operand would silently drop the
+    trailing rows/columns from a "lossless" join (score.py raises for the
+    analogous ``row_cap % tile`` case; the engine's geometry pickers always
+    pass aligned shapes — this guards every OTHER caller)."""
+    if rows_i % tm or rows_j % tn or dim % tk:
+        raise ValueError(
+            f"kernel tiles must divide operands exactly: "
+            f"rows {rows_i} % tm {tm}, cols {rows_j} % tn {tn}, "
+            f"dim {dim} % tk {tk}"
+        )
 
 
 def upper_blocks_rect(
@@ -157,6 +168,7 @@ def pallas_score_bits(
 ):
     """Run the kernel: (gb, g64, cnt) bit-packed hit structure per block."""
     row_cap, dim_cap = x.shape
+    check_tiles(row_cap, row_cap, dim_cap, tm, tn, tk)
     n_blocks = bi.shape[0]
     nk = dim_cap // tk
     tau_arr = jnp.full((1,), tau_eff, jnp.float32)
@@ -278,7 +290,7 @@ def allpairs_extract_pallas(
     supers) counts; the caller retries with larger caps when any exceeds its
     capacity (entries past a cap are dropped, counts stay exact).
     """
-    capb = capb or max(cap // GROUP, 1024)
+    capb = capb or capb_for(cap, GROUP)
     cap0 = cap0 or capb  # generous default: cap0 only sizes the level-1
     # gather domain (cap0 x 8 elements); undersizing it costs a whole
     # overflow-retry executable on the first cold call
@@ -498,6 +510,7 @@ def pallas_score_bits_int8(
     interpret: bool = False,
 ):
     row_cap, dim_cap = xq.shape
+    check_tiles(row_cap, row_cap, dim_cap, tm, tn, tk)
     n_blocks = bi.shape[0]
     nk = dim_cap // tk
     tau_arr = jnp.full((1,), tau_eff, jnp.float32)
@@ -551,7 +564,7 @@ def allpairs_extract_pallas_int8(
 ):
     """int8 variant of ``allpairs_extract_pallas``: same ((row, col), head)
     contract, per-pair quantization bound fused into the epilogue."""
-    capb = capb or max(cap // GROUP, 1024)
+    capb = capb or capb_for(cap, GROUP)
     cap0 = cap0 or capb  # generous default: cap0 only sizes the level-1
     # gather domain (cap0 x 8 elements); undersizing it costs a whole
     # overflow-retry executable on the first cold call

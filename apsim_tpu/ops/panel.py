@@ -43,7 +43,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_score import GROUP, SUPER, _compact_bits, bitpack_mask
+from .pallas_score import (
+    GROUP, SUPER, _compact_bits, bitpack_mask, check_tiles,
+    upper_blocks_rect,
+)
 
 __all__ = [
     "sort_entries_by_row",
@@ -94,12 +97,10 @@ def full_grid(rb_i: int, rb_j: int, tm: int, tn: int):
 
 
 def diag_grid(rb: int, tm: int, tn: int):
-    """Tiles of a diagonal panel pair that contain some strict-upper pair
-    (same schedule as the dense kernel's ``upper_blocks_rect``)."""
-    n_ti, n_tj = rb // tm, rb // tn
-    bi, bj = np.meshgrid(np.arange(n_ti), np.arange(n_tj), indexing="ij")
-    keep = (bi * tm) < ((bj + 1) * tn - 1)
-    return bi[keep].astype(np.int32), bj[keep].astype(np.int32)
+    """Tiles of a diagonal panel pair that contain some strict-upper pair —
+    exactly the dense kernel's schedule, so the subtle strict-upper edge
+    has ONE definition."""
+    return upper_blocks_rect(rb, tm, tn)
 
 
 @functools.partial(jax.jit, static_argnames=("rb", "n_panels"))
@@ -252,6 +253,7 @@ def panel_score_bits_int8(
     tm: int, tn: int, tk: int, interpret: bool = False, valid=None,
 ):
     """Run the cross kernel over one panel pair's tile schedule."""
+    check_tiles(xi.shape[0], xj.shape[0], xi.shape[1], tm, tn, tk)
     n_blocks = bi.shape[0]
     nk = xi.shape[1] // tk
     tau_arr = jnp.full((1,), tau_eff, jnp.float32)

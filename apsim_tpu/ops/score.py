@@ -49,12 +49,21 @@ __all__ = [
     "overflowed",
     "consume_packed",
     "unpack_head",
+    "capb_for",
 ]
+
+
+def capb_for(cap: int, group: int) -> int:
+    """Level-1 group capacity implied by a pair cap.  THE formula: the
+    overflow check and every buffer allocation must agree on it — a
+    divergent copy would let a group count in the gap pass the check after
+    level-1 nonzero already dropped hit groups (silently missing pairs)."""
+    return max(cap // group, 1024)
 
 
 def overflowed(count: int, groups: int, cap: int, group: int) -> bool:
     """True when an extraction call must be retried with a larger cap."""
-    return count > cap or groups > max(cap // group, 1024)
+    return count > cap or groups > capb_for(cap, group)
 
 # floor for the device threshold: keeps all-zero (padded/invalid) rows out of
 # the candidate set without any index arithmetic in the matmul epilogue
@@ -146,7 +155,7 @@ def _extract(m, q0, buf_i, buf_j, cursor, cap, group):
     """
     row_cap, tile = m.shape
     nb = row_cap // group
-    capb = max(cap // group, 1024)
+    capb = capb_for(cap, group)
     m3 = m.reshape(nb, group, tile)
     mb = m3.any(axis=1)  # [nb, tile]
     total = jnp.sum(m, dtype=jnp.int32)

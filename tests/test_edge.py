@@ -123,3 +123,43 @@ def test_pow2_bucketing():
     assert pow2_bucket(65) == 128
     assert pow2_bucket(6141) == 8192
     assert pow2_bucket(5, lo=32) == 32
+
+
+def test_compact_capacity_headroom_growth():
+    """A build landing exactly on a dim_bucket multiple must not double its
+    matmul K on the first streamed dim: capacity grows by
+    geometrically-doubling headroom (bucket, 2*bucket, 4*bucket, ...)."""
+    import numpy as np
+
+    from apsim_tpu.index.compact import CompactSpace
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    bucket = 64
+    n = bucket * 2  # active dims == exact bucket multiple
+    indptr = np.arange(n + 1, dtype=np.int64)
+    csr = CSRMatrix(n, 1000, indptr, np.arange(n, dtype=np.int32),
+                    np.ones(n))
+    cs = CompactSpace.from_csr(csr, dim_bucket=bucket)
+    assert cs.capacity == n  # tight build: no padding
+    cs.extend(np.array([999]))  # first streamed new dim
+    assert cs.capacity == n + bucket, cs.capacity  # ONE bucket, not 2x
+    # keep minting: growth stays geometric in headroom
+    cs.extend(np.arange(500, 500 + 3 * bucket))
+    assert cs.capacity == n + bucket + 2 * bucket + 4 * bucket
+
+
+def test_pallas_kernel_rejects_misaligned_tiles():
+    """The kernel grid floors rows//tm etc. — a non-multiple operand must
+    raise instead of silently dropping trailing rows/columns."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from apsim_tpu.ops import pallas_score as ps
+
+    x = jnp.zeros((96, 96), jnp.float32)  # 96 % 64 != 0
+    bi = jnp.zeros(1, jnp.int32)
+    bj = jnp.zeros(1, jnp.int32)
+    with pytest.raises(ValueError, match="divide"):
+        ps.pallas_score_bits(x, bi, bj, np.float32(0.5),
+                             tm=64, tn=64, tk=64, interpret=True)

@@ -1,0 +1,99 @@
+"""Streaming-insert latency attribution for the dense engine.
+
+Decomposes one fused micro-batch insert (``Engine.insert`` →
+``score.insert_match_fused``) into its host/device/tunnel constituents so
+the ~3-round-trip p50 can be attacked from measurement:
+
+  - host prep: admission + CSR build + COO pack (pure Python/NumPy);
+  - enqueue:   the deferred insert call returning (H2D + dispatch);
+  - complete:  ``PendingInsert.result()`` (head fetch round trip + fp64
+    rescore + emission).
+
+Timing rule (ARCHITECTURE.md): value-fetch sync only — ``result()`` ends
+with host arrays, which is exactly such a fetch.
+
+Usage:  python -m apsim_tpu.bench.insert_probe [n_index_rows]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    if "--cpu" in sys.argv:  # sitecustomize overrides JAX_PLATFORMS
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from ..config import AllPairsConfig
+    from ..engine.engine import Engine
+    from .scale import synthetic_corpus
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_rows = int(args[0]) if args else 20_000
+    tau = 0.8
+    csr = synthetic_corpus(n_rows)
+    eng = Engine(AllPairsConfig())
+    t0 = time.time()
+    eng.build(csr)
+    print(f"build({n_rows}): {time.time() - t0:.1f}s", flush=True)
+
+    extra = synthetic_corpus(8192, seed=7)
+    cursor = 0
+
+    def take(k):
+        nonlocal cursor
+        batch = [
+            (f"p{cursor + i}", extra.row(cursor + i)) for i in range(k)
+        ]
+        cursor += k
+        return batch
+
+    for bs in (1, 32, 256):
+        # warm the shape bucket first (compile + first-execution)
+        pend = eng.insert(take(bs), tau=tau, defer=True)
+        pend.result()
+        enq, comp, tot = [], [], []
+        for _ in range(9):
+            batch = take(bs)
+            t0 = time.time()
+            pend = eng.insert(batch, tau=tau, defer=True)
+            t1 = time.time()
+            pend.result()
+            t2 = time.time()
+            enq.append(t1 - t0)
+            comp.append(t2 - t1)
+            tot.append(t2 - t0)
+        med = lambda v: sorted(v)[len(v) // 2] * 1e3  # noqa: E731
+        print(
+            f"bs={bs:4d}: enqueue {med(enq):6.1f} ms | complete "
+            f"{med(comp):6.1f} ms | total {med(tot):6.1f} ms "
+            f"({bs / (med(tot) / 1e3):.0f} vec/s)",
+            flush=True,
+        )
+    # pipelined throughput: enqueue batch N+1 before completing batch N
+    # (the server's one-tick-deep drain) — shows how much of the latency
+    # the pipeline actually hides
+    bs = 256
+    t0 = time.time()
+    prev = None
+    n_b = 8
+    for _ in range(n_b):
+        cur = eng.insert(take(bs), tau=tau, defer=True)
+        if prev is not None:
+            prev.result()
+        prev = cur
+    prev.result()
+    dt = time.time() - t0
+    print(
+        f"pipelined bs={bs}: {dt / n_b * 1e3:.1f} ms/batch "
+        f"({bs * n_b / dt:.0f} vec/s)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -147,16 +147,21 @@ class ChunkedAllPairs:
         streaming growth (e.g. 8192 picked at 100k rows is an 8.3 GB
         accumulator at 250k)."""
         if self.super_tile is not None:
-            # round DOWN to a power of two (row_cap is pow2-quantized, so
-            # any pow2 ≤ row_cap divides it).  A non-divisor stripe width
-            # would make the last stripe's dynamic_slice CLAMP its start:
-            # the scores would be computed against shifted rows while the
-            # epilogue still labels columns q0+i — silently losing the
-            # clamped rows' true pairs
+            # round DOWN to a power of two that DIVIDES row_cap.  row_cap is
+            # quantized to multiples of min(8192, pow2) — above 8192 rows it
+            # is a multiple of 8192 but NOT a power of two, so a pow2 stripe
+            # above 8192 (e.g. 16384 at row_cap=24576) may not divide it.
+            # A non-divisor stripe width would make the last stripe's
+            # dynamic_slice CLAMP its start: the scores would be computed
+            # against shifted rows while the epilogue still labels columns
+            # q0+i — silently losing the clamped rows' true pairs
             st = 1
             while st * 2 <= self.super_tile:
                 st *= 2
-            return min(st, self.row_cap)
+            st = min(st, self.row_cap)
+            while self.row_cap % st:
+                st //= 2
+            return st
         padded = round_up(max(self.n_rows, 1), 8192)
         cached = getattr(self, "_auto_super", None)
         if cached is None or cached[1] != padded:
@@ -441,6 +446,10 @@ class ChunkedAllPairs:
         self._stripe_caps = None  # new corpus: forget grown extraction caps
         self._panel_caps = None
         self._match_caps = None
+        # the compact-dim rescore translation is keyed only by
+        # (n_rows, nnz) — a rebuilt same-shaped corpus would collide and
+        # feed the fp64 rescore a STALE translation (wrong dots)
+        self._compact_rescore_cache = None
         # margin bookkeeping (same policy as the dense engine)
         norms = csr.row_norms()
         self._max_norm = float(norms.max()) if norms.size else 0.0
@@ -729,8 +738,7 @@ class ChunkedAllPairs:
         saved = None
         if qn.size and float(qn.max()) > self._max_norm:
             saved, self._max_norm = self._max_norm, float(qn.max())
-        mapped = self._compact.cols_of(csr.indices) >= 0
-        sub = self._filter_entries(csr, mapped)
+        sub = self._drop_unmapped(csr)
         ccsr = self._compact.map_csr(sub, extend=False)
         # q_base beyond all rows: no self-pair exclusion can trigger
         rows, qlocal = self._match_ccsr(ccsr, self.n_rows, self._tau_eff(tau))
@@ -756,17 +764,6 @@ class ChunkedAllPairs:
         if saved is not None:
             self._max_norm = saved
         return SimilarityOutput(out, time.time())
-
-    @staticmethod
-    def _filter_entries(csr: CSRMatrix, keep: np.ndarray) -> CSRMatrix:
-        row_of = np.repeat(np.arange(csr.n_rows), csr.row_nnz())
-        counts = np.zeros(csr.n_rows, np.int64)
-        np.add.at(counts, row_of[keep], 1)
-        indptr = np.zeros(csr.n_rows + 1, np.int64)
-        np.cumsum(counts, out=indptr[1:])
-        return CSRMatrix(
-            csr.n_rows, csr.n_cols, indptr, csr.indices[keep], csr.data[keep]
-        )
 
     # ----------------------------------------------------------------- freeze
     def freeze(self) -> None:
@@ -1361,12 +1358,28 @@ class ChunkedAllPairs:
     def topk(self, queries, k: int):
         """k-NN over the chunked index: queries are chunk-bucketed COO too,
         so neither side densifies its full width.  Same provably-exact fetch
-        + fp64 re-rank contract as the dense engine (see Engine.topk)."""
+        + fp64 re-rank contract as the dense engine (see Engine.topk).
+
+        Query batches are width-split like the streaming match
+        (``_match_width_limit``): the score accumulator is
+        ``[q_rows_cap, row_cap]`` fp32, so an unbounded bulk k-NN call at
+        the ~1M-row design point (2048 queries → 8.6 GB) would OOM the chip
+        next to the entry buffers.  Sub-batches are independent and exact,
+        so the merged result is unchanged."""
+        queries = list(queries)
+        limit = self._match_width_limit()
+        if len(queries) > limit:
+            out: Dict[str, list] = {}
+            for s in range(0, len(queries), limit):
+                out.update(self._topk_impl(queries[s : s + limit], k))
+            return out
+        return self._topk_impl(queries, k)
+
+    def _topk_impl(self, queries, k: int):
         if self.n_rows == 0:
             return {qid: [] for qid, _ in queries}
         qcsr, qids = _as_csr(list(queries), None, self.cfg.vector_dim)
-        mapped = self._compact.cols_of(qcsr.indices) >= 0
-        sub = self._filter_entries(qcsr, mapped)
+        sub = self._drop_unmapped(qcsr)
         ccsr = self._compact.map_csr(sub, extend=False)
         q_rows_cap = pow2_bucket(qcsr.n_rows, 32)
         q = self._bucket_queries(ccsr, q_rows_cap)

@@ -514,41 +514,22 @@ def chunked_stripe_extract_int8(
 
 def int8_join_epilogue(d, aux, q0, tau_eff, cap: int, capb: int, cap0: int):
     """Shared int8 stripe epilogue: rescale the EXACT int32 dot stripe,
-    apply the per-pair quantization bound + strict-upper mask, bit-pack and
-    compact.  Used by the single-device int8 stripe AND the mesh-sharded one
-    (where ``d`` arrives as a psum of per-device partial int32 dots — the
-    sum is exact, so the bound proof is unchanged)."""
+    apply the per-pair quantization bound + strict-upper mask (ONE
+    definition: ``panel.int8_bound_mask``), bit-pack and compact via
+    ``_epilogue_bits`` (saturating hit count — a ~1M-row wide stripe can
+    cross 2^31 mask cells).  Used by the single-device int8 stripe AND the
+    mesh-sharded one (where ``d`` arrives as a psum of per-device partial
+    int32 dots — the sum is exact, so the bound proof is unchanged)."""
     row_cap, super_tile = d.shape
-    ai = aux[0][:, None]
-    bi_b = aux[1][:, None]
-    ni = aux[2][:, None]
-    aj = jax.lax.dynamic_slice(aux[0], (q0,), (super_tile,))[None, :]
-    bj_b = jax.lax.dynamic_slice(aux[1], (q0,), (super_tile,))[None, :]
-    nj = jax.lax.dynamic_slice(aux[2], (q0,), (super_tile,))[None, :]
-    s_hat = d.astype(jnp.float32) * (ai * aj)
-    bound = (
-        0.5 * (aj * bi_b + ai * bj_b)
-        + 0.25 * (ai * aj) * jnp.minimum(ni, nj)
-    )
-    from .pallas_score import _compact_bits, bitpack_mask
+    from .panel import int8_bound_mask
 
+    aux_j = jax.lax.dynamic_slice(aux, (0, q0), (3, super_tile))
     rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
     cols = q0 + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    mi = (((s_hat + bound) >= tau_eff) & (rows < cols)).astype(jnp.int32)
-    gbi, g_any, g64i = bitpack_mask(mi)
-    gb = gbi.astype(jnp.uint8)[None]
-    g64 = g64i.astype(jnp.uint8)[None]
-    cnt = (
-        jnp.zeros((1, 8, 128), jnp.int32)
-        .at[0, 0, 0].set(jnp.sum(mi, dtype=jnp.int32))
-        .at[0, 0, 1].set(jnp.sum(g_any, dtype=jnp.int32))
-        .at[0, 0, 2].set(jnp.sum(g64i, dtype=jnp.int32))
+    mi = int8_bound_mask(d, aux, aux_j, rows, cols, tau_eff).astype(
+        jnp.int32
     )
-    bi = jnp.zeros((1,), jnp.int32)
-    bj = jnp.full((1,), q0 // super_tile, jnp.int32)
-    return _compact_bits(
-        gb, g64, cnt, bi, bj, cap, capb, cap0, row_cap, super_tile
-    )
+    return _epilogue_bits(mi, q0 // super_tile, cap, capb, cap0)
 
 
 @functools.partial(

@@ -517,3 +517,36 @@ def test_chunked_match_width_split_exact():
     )
     for i in range(40):
         assert out.output.get(f"p{i}", {}).get(str(i)) == pytest.approx(1.0)
+
+
+def test_chunked_topk_width_split(corpus):
+    """Bulk k-NN batches are width-split (the [q_rows_cap, row_cap] fp32
+    accumulator is budget-bounded like the streaming match); the merged
+    result must equal the unsplit one."""
+    from apsim_tpu.config import AllPairsConfig
+
+    eng = ChunkedAllPairs(
+        AllPairsConfig(vector_dim=DIM, query_tile=64, row_bucket=64,
+                       dim_bucket=64),
+        chunk_dim=64,
+    )
+    eng.build(corpus)
+    queries = [(f"q{i}", corpus.row(i)) for i in range(24)]
+    whole = eng.topk(queries, 3)
+    eng._match_width_limit = lambda: 8  # force 3 sub-batches
+    split = eng.topk(queries, 3)
+    assert split == whole and len(split) == 24
+
+
+def test_chunked_super_tile_override_divides_row_cap():
+    """A manual super_tile above 8192 must be rounded down to a DIVISOR of
+    row_cap: above 8192 rows row_cap is a multiple of 8192 but not a power
+    of two, and a non-divisor stripe silently loses the clamped rows'
+    pairs."""
+    from apsim_tpu.config import AllPairsConfig
+
+    eng = ChunkedAllPairs(AllPairsConfig(), super_tile=16384)
+    eng.n_rows = 20000  # row_cap -> 24576 = 3 * 8192 (not a power of two)
+    assert eng.row_cap == 24576
+    st = eng._q_super()
+    assert eng.row_cap % st == 0 and st <= 16384

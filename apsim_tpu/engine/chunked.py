@@ -470,10 +470,21 @@ class ChunkedAllPairs:
         # use a row index no slab will ever reach
         return (1 << 30)
 
-    def _tau_eff(self, tau: float) -> np.float32:
-        m = max(self.cfg.rescore_margin, 2e-2)
-        m *= max(self._max_norm * self._max_norm, 1.0)
-        return np.float32(max(tau - m, score_ops.MIN_TAU_EFF))
+    # margin policy shared with the dense engine (ONE definition — see
+    # Engine._margin_rel): same bf16 slack, same nnz-scaled fp32 bound,
+    # same loud failure when tau is below the margin
+    _margin_rel = Engine._margin_rel
+    _margin = Engine._margin
+    _tau_eff = Engine._tau_eff
+
+    def _max_row_nnz(self) -> int:
+        """Largest shadow-row nnz (the n in the fp32 accumulation bound)."""
+        if self._shadow is None:
+            return 0
+        sh = self._shadow.view()
+        if sh.n_rows == 0:
+            return 0
+        return int(sh.row_nnz().max())
 
     # profiling hook shared with the dense engine (profile_dir config ->
     # jax.profiler trace around every all_pairs/insert)
@@ -1401,9 +1412,8 @@ class ChunkedAllPairs:
         # fetch stays provably sufficient.  Deciding here also builds the
         # cache once, before the doubling fetch loop.
         mslab = self._match_slabs()
-        rel = self.cfg.rescore_margin
-        if mslab is not None and str(mslab.dtype) != "float32":
-            rel = max(rel, 2e-2)
+        fp32_path = mslab is None or str(mslab.dtype) == "float32"
+        rel = self._margin_rel("highest" if fp32_path else "default")
         m = rel * max(self._max_norm * qmax, 1.0)
         rows, k_fetch = fetch_exact_topk(fetch, self.n_rows, k_eff, 2 * m)
         shadow = self._shadow.view()

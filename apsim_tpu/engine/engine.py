@@ -275,21 +275,59 @@ class Engine:
         )
 
     def _margin_rel(self, precision: str | None = None) -> float:
-        """Relative device-error bound for one dot product (unscaled)."""
+        """Relative device-error bound for one dot product (unscaled).
+
+        THE margin policy: the chunked engine aliases this (and ``_margin``
+        / ``_tau_eff``), so the exactness guarantee cannot diverge between
+        engine flavors."""
         if precision is None:
             precision = self.cfg.matmul_precision
-        m = self.cfg.rescore_margin  # relative bound, fp32-highest default
+        # fp32-highest path: |err| <= (n+2)·2^-24·Σ|a_i b_i|
+        # <= (n+2)·2^-24·‖a‖·‖b‖ — n·eps for a sequential sum over n
+        # overlapping nonzeros (XLA's tree orders are tighter) plus 2·eps
+        # for the fp64→fp32 operand casts.  Scaling by the corpus' max row
+        # nnz makes this a PROOF, not an empirical calibration;
+        # rescore_margin stays as the config floor.
+        m = max(
+            self.cfg.rescore_margin,
+            (self._max_row_nnz() + 2) * 2.0 ** -24,
+        )
         if self.cfg.dtype != "float32":
             m = max(m, rescore_ops.default_margin(self.cfg.dtype))
         if precision != "highest":
-            # single-pass bf16 MXU: worst-case |err| <= 2^-8 * sum|a_i b_i|
-            # <= 0.004 * ||a||*||b|| (observed ~1e-3 on normalized Enron
-            # TF-IDF); 2e-2 relative gives 5x worst-case headroom
+            # single-pass bf16 MXU: BOTH operands round to bf16 (2^-8
+            # relative each), so worst-case |err| <= ~2^-7 * sum|a_i b_i|
+            # <= 0.008 * ||a||*||b|| (observed ~1e-3 on normalized Enron
+            # TF-IDF); 2e-2 relative gives ~2.5x worst-case headroom
             m = max(m, 2e-2)
         return m
 
     def _tau_eff(self, tau: float) -> np.float32:
-        return np.float32(max(tau - self._margin(tau), score_ops.MIN_TAU_EFF))
+        m = self._margin(tau)
+        if tau - m < score_ops.MIN_TAU_EFF and not getattr(
+            self, "_warned_low_tau", False
+        ):
+            # the raw-score device paths test ``score >= tau_eff`` with a
+            # non-negative threshold, so a margin >= tau cannot be
+            # expressed: a true pair whose device score rounds to <= 0 is
+            # not in the candidate superset (reachable with unnormalized
+            # corpora at bf16, or tau below ~2e-2 of the norm scale).  The
+            # int8 Pallas paths are immune (their error bound is added back
+            # device-side).  Warn ONCE instead of failing: tiny-tau "all
+            # overlapping pairs" queries are legitimate, and the pairs at
+            # risk have |sim| <= margin.  Documented in PARITY.md.
+            self._warned_low_tau = True
+            from ..utils.logging import get_logger
+
+            get_logger().warning(
+                "tau=%g is below the device-error margin %.4g (row norms "
+                "up to %.4g, precision=%r): pairs with similarity within "
+                "the margin of zero may be missed on non-int8 score paths. "
+                "L2-normalize the vectors, raise tau, or set "
+                "matmul_precision='highest' for a tighter margin.",
+                tau, m, self._max_norm, self.cfg.matmul_precision,
+            )
+        return np.float32(max(tau - m, score_ops.MIN_TAU_EFF))
 
     def _note_norms(self, csr: CSRMatrix) -> None:
         norms = csr.row_norms()
@@ -856,6 +894,20 @@ class Engine:
             score_ops.new_index_matrix(row_cap, dim_cap, self.cfg.dtype)
         )
         self._scatter_rows(compact_csr, row_offset=0)
+        # the rebuild just scattered EVERY mapped shadow entry — including
+        # archived entries whose dim this batch promoted (compact.extend is
+        # not rolled back).  Their archive marks are now stale: a later
+        # activation would scatter the value a SECOND time, inflating that
+        # row's device score beyond the margin and breaking topk's exact
+        # fetch.  Commit (clear) the marks of every mapped dim now.
+        if self._dormant_of_ext is not None:
+            marked = np.nonzero(self._dormant_of_ext >= 0)[0]
+            if marked.size:
+                mapped = self.compact.cols_of(marked) >= 0
+                n_clear = int(mapped.sum())
+                if n_clear:
+                    self._dormant_of_ext[marked[mapped]] = -1
+                    self.stats["dormant_dims"] -= n_clear
         self._bf16_cache = None
         self._int8_cache = None
 

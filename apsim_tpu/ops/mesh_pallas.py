@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .pallas_score import _compact_bits, upper_blocks_rect
+from .pallas_score import _compact_bits, quantize_rows, upper_blocks_rect
 from .panel import panel_score_bits_int8, panel_score_bits_int8_ref
 
 __all__ = ["rows_schedule", "mesh_rows_extract_int8"]
@@ -69,17 +69,10 @@ def mesh_rows_extract_int8(
     stacked ``[n_dev, ...]`` — the full upper-triangle join, one kernel
     launch per device over its own schedule."""
     def local(x_local, bi_d, bj_d, valid_d, tau_eff):
-        # per-row int8 quantization is row-local under rows sharding
-        ax = jnp.abs(x_local)
-        s = jnp.max(ax, axis=1)
-        alpha = jnp.where(s > 0, s / 127.0, 0.0).astype(jnp.float32)
-        div = jnp.where(s > 0, alpha, 1.0)
-        q = jnp.clip(
-            jnp.round(x_local / div[:, None]), -127, 127
-        ).astype(jnp.int8)
-        l1q = jnp.sum(jnp.abs(q).astype(jnp.float32), axis=1)
-        nnz = jnp.sum((x_local != 0).astype(jnp.float32), axis=1)
-        aux = jnp.stack([alpha, alpha * l1q, nnz])  # [3, b_rows]
+        # per-row int8 quantization is row-local under rows sharding —
+        # ONE definition (pallas_score.quantize_rows), incl. the hard-won
+        # alpha=0 padded-row rule
+        q, aux = quantize_rows(x_local)  # aux [3, b_rows]
         qg = jax.lax.all_gather(q, axis, axis=0, tiled=True)  # [row_cap, D]
         auxg = jax.lax.all_gather(aux, axis, axis=1, tiled=True)
         # both operands read from the gathered copy: blocks are GLOBAL, so

@@ -595,3 +595,43 @@ def test_insert_device_failure_rolls_back_dormant_archive(monkeypatch):
     assert eng.all_pairs(0.3).pair_set() == brute_force_pairs(
         eng.shadow_csr(), 0.3, eng.ids
     )
+
+
+def test_rollback_commits_promoted_dormant_marks(monkeypatch):
+    """A failed insert that PROMOTED an archived dim must not leave its
+    archive mark set: the rollback rebuild already scattered the archived
+    entry onto the device, so a later activation would add it a second
+    time — inflating that row's device score beyond the margin and
+    breaking topk's exact-fetch proof."""
+    import apsim_tpu.ops.score as score_ops_mod
+
+    corpus = _dormant_corpus()  # row 2 has archived dims {100, 101}
+    eng = Engine(small_cfg())
+    eng.build(corpus)
+    assert eng._dormant_of_ext[100] >= 0
+    a = 1 / np.sqrt(2)
+    sharer = Vectors.sparse(DIM, [100, 300], [a, a])  # promotes dim 100
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("injected device failure")
+
+    real = score_ops_mod.insert_match_fused
+    monkeypatch.setattr(score_ops_mod, "insert_match_fused", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.insert([("gone", sharer)], tau=0.4)
+    monkeypatch.setattr(score_ops_mod, "insert_match_fused", real)
+    # dim 100 is mapped (promotion not rolled back) and its entry landed on
+    # the device via the rollback rebuild -> its mark must be committed
+    assert eng.compact.cols_of(np.array([100]))[0] >= 0
+    assert eng._dormant_of_ext[100] == -1, "stale archive mark"
+    # a successful re-insert sharing dim 100 must see row 2's TRUE score
+    out = eng.insert([("new", sharer)], tau=0.4)
+    assert out.output.get("new", {}).get("2") == pytest.approx(0.5)
+    got = dict(eng.topk([("q", sharer)], 2)["q"])
+    # top-2 = the identical "new" (1.0) and row 2 at its TRUE 0.5 — a
+    # double-added archive entry would inflate row 2's device score
+    assert got["new"] == pytest.approx(1.0)
+    assert got["2"] == pytest.approx(0.5)
+    assert eng.all_pairs(0.4).pair_set() == brute_force_pairs(
+        eng.shadow_csr(), 0.4, eng.ids
+    )

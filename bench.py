@@ -47,7 +47,7 @@ def main() -> None:
     eng = Engine(AllPairsConfig())
     t0 = time.time()
     st = eng.build(csr, ids)
-    log(f"build: {dict(st)}")
+    log(f"build: {time.time() - t0:.1f}s {dict(st)}")
 
     # warm-up (compile; persistent cache makes this fast on repeat runs).
     # Two calls: the first compiles the config-default extraction caps, and
@@ -136,9 +136,14 @@ def main() -> None:
                 "value": round(engine_rate, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs, 1),
+                "parity": bool(parity),
             }
         )
     )
+    if not parity:
+        # the exactness gate must GATE: an invalid run exits nonzero so no
+        # consumer records the throughput as a valid result
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -834,6 +834,17 @@ class ChunkedAllPairs:
 
     _use_panels = True  # class-level opt-out (mesh subclass disables)
 
+    # cost-model calibration (v5e, round 3): per-panel-pair overhead beyond
+    # the MXU work — ~1 ms when all slabs stay resident (stacked single
+    # head fetch), ~30 ms in rolling mode.  Class attrs so a panel_probe
+    # recalibration (bench/panel_probe.py) is a one-line change that both
+    # this picker and the mesh subclass's inherit.
+    _panel_pp_resident = 1e-3
+    _panel_pp_rolling = 30e-3
+    # hard per-slab size guard (bytes): bounds one slab's HBM alongside the
+    # entry/COO state; the cost model chooses rb freely below it
+    _panel_slab_budget = 1536 << 20
+
     def _panel_ok(self) -> bool:
         if not (self._use_panels and self.cfg.pallas_int8):
             return False
@@ -870,20 +881,21 @@ class ChunkedAllPairs:
                 padded = round_up(max(self.n_rows, 1), rb)
                 geom = (rb, tm, tn, tk, padded // rb, d_cap)
         elif tm is not None:
-            budget_rows = max(tm, (1536 << 20) // max(d_cap, 1))
+            budget_rows = max(tm, self._panel_slab_budget // max(d_cap, 1))
             best = None
             rb = tm
             while rb <= budget_rows:
                 padded = round_up(max(self.n_rows, 1), rb)
                 np_ = padded // rb
                 pairs = np_ * (np_ + 1) // 2
-                # per-pair overhead calibrated on v5e (round 3): ~1 ms when
-                # all slabs stay resident (stacked single head fetch),
-                # ~30 ms in rolling mode (per-pair sync fetch bounds the
-                # in-flight slab memory).  Measured at 100k: rb=8192 1.37 s
-                # vs rb=16384 1.50 s vs rb=32768 3.0 s.
+                # per-pair overhead: see the _panel_pp_* calibration attrs.
+                # Measured at 100k: rb=8192 1.37 s vs rb=16384 1.50 s vs
+                # rb=32768 3.0 s.
                 keep_all = np_ * rb * d_cap <= (6 << 30)
-                per_pair = 1e-3 if keep_all else 30e-3
+                per_pair = (
+                    self._panel_pp_resident if keep_all
+                    else self._panel_pp_rolling
+                )
                 cost = (
                     padded * padded / 2 * d_cap / 390e12 + pairs * per_pair
                 )

@@ -211,7 +211,9 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
                     padded = round_up(max(self.n_rows, 1), rb)
                     geom = (rb, tm, tm, tk, padded // rb, d_cap)
             else:
-                budget_rows = max(64, (1536 << 20) // max(d_local, 1))
+                budget_rows = max(
+                    64, self._panel_slab_budget // max(d_local, 1)
+                )
                 best = None
                 rb = 512
                 while rb <= budget_rows:
@@ -219,7 +221,10 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
                     np_ = padded // rb
                     pairs = np_ * (np_ + 1) // 2
                     keep_all = np_ * rb * d_local <= (6 << 30)
-                    per_pair = 1e-3 if keep_all else 30e-3
+                    per_pair = (
+                        self._panel_pp_resident if keep_all
+                        else self._panel_pp_rolling
+                    )
                     cost = (
                         padded * padded / 2 * d_cap / 390e12
                         + pairs * per_pair

@@ -115,6 +115,21 @@ def main() -> None:
             eng._panel_B_cap, eng._panel_jsync_cap = B_cap, j_cap
             timed_join(label)
         eng._panel_B_cap, eng._panel_jsync_cap = 6, 6
+        # bigger panels: fewer pair programs + fewer slab rebuilds per
+        # decided pair, at the cost of 2x slab HBM — the cost model picks
+        # rb=65536 iff the per-pair overhead is near the 30 ms calibration
+        if rb < 65536 and (n_panels * rb) % 65536 == 0:
+            eng.panel_rows = 65536
+            eng._panel_geom_cache = None
+            eng._panel_state_cache = None
+            g2 = eng._panel_geom()
+            if g2 is not None:
+                log(f"rb=65536 geom: {g2}")
+                timed_join("rb=65536 warm-up")
+                timed_join("rb=65536")
+            eng.panel_rows = None
+            eng._panel_geom_cache = None
+            eng._panel_state_cache = None
 
 
 if __name__ == "__main__":

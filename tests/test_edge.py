@@ -163,3 +163,35 @@ def test_pallas_kernel_rejects_misaligned_tiles():
     with pytest.raises(ValueError, match="divide"):
         ps.pallas_score_bits(x, bi, bj, np.float32(0.5),
                              tm=64, tn=64, tk=64, interpret=True)
+
+
+def test_low_tau_margin_warns_once():
+    """tau below the device-error margin logs one loud warning (the clamp
+    can miss pairs within the margin of zero on non-int8 paths) and does
+    not repeat it on every later call.  The apsim logger has propagate off,
+    so capture via a handler on it directly."""
+    import logging
+
+    from apsim_tpu.utils.logging import get_logger
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = Capture(level=logging.WARNING)
+    get_logger().addHandler(h)
+    try:
+        a = Vectors.sparse(DIM, [0], [1.0])
+        c = Vectors.sparse(DIM, [0], [0.1])
+        eng = Engine(cfg())
+        eng.build([("a", a), ("c", c)])
+        eng.all_pairs(1e-6)
+        hits = [m for m in records if "below the device-error margin" in m]
+        assert len(hits) == 1, records
+        eng.all_pairs(1e-6)
+        hits = [m for m in records if "below the device-error margin" in m]
+        assert len(hits) == 1  # warned once, not per call
+    finally:
+        get_logger().removeHandler(h)

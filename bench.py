@@ -36,6 +36,28 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
+    # bounded device probe: a dead axon tunnel hangs backend init
+    # indefinitely (observed outages > 6 h), which would hang the whole
+    # benchmark run; a watchdog turns that into a clear nonzero exit
+    import os
+    import threading
+
+    probe_ok = threading.Event()
+
+    def _watchdog() -> None:
+        if not probe_ok.wait(900):
+            log("DEVICE UNREACHABLE: no TPU contact within 900 s — "
+                "aborting benchmark (tunnel outage?)")
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    t0 = time.time()
+    import jax.numpy as jnp
+
+    assert float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8)))) == 512.0
+    probe_ok.set()
+    log(f"device probe: {time.time() - t0:.1f}s")
+
     from apsim_tpu import AllPairsConfig, Engine
     from apsim_tpu.bench.baseline import measure_baseline
     from apsim_tpu.bench.data import load_enron_tfidf

@@ -361,22 +361,14 @@ class ChunkedAllPairs:
                 if (
                     total > caps[0] or groups > caps[1] or supers > caps[2]
                 ):
-                    caps = (
-                        pow2_bucket(max(total, caps[0]), 1024),
-                        pow2_bucket(max(groups, caps[1]), 1024),
-                        pow2_bucket(max(supers, caps[2]), 1024),
+                    caps = score_ops.grow_caps(
+                        caps, (total, groups, supers)
                     )
                     continue
                 break
-            # tighten toward observed counts with the stripe join's 8x
-            # hysteresis: one low-tau spike must not permanently inflate
-            # every later batch's scan domains
-            tight = tuple(
-                pow2_bucket(max(v + (v >> 2), 1024), 1024)
-                for v in (total, groups, supers)
-            )
-            self._match_caps = tuple(
-                t if t * 8 <= c else c for t, c in zip(tight, caps)
+            # tighten toward observed counts (shared 8x-hysteresis rule)
+            self._match_caps = score_ops.tighten_caps(
+                (total, groups, supers), caps
             )
             if total <= rows_h.size:
                 return rows_h, cols_h
@@ -1060,19 +1052,11 @@ class ChunkedAllPairs:
                 head
             )
             if total > caps[0] or groups > caps[1] or supers > caps[2]:
-                caps = (
-                    pow2_bucket(max(total, caps[0]), 1024),
-                    pow2_bucket(max(groups, caps[1]), 1024),
-                    pow2_bucket(max(supers, caps[2]), 1024),
-                )
+                caps = score_ops.grow_caps(caps, (total, groups, supers))
                 continue
             break
-        tight = tuple(
-            pow2_bucket(max(v + (v >> 2), 1024), 1024)
-            for v in (total, groups, supers)
-        )
-        self._panel_caps = tuple(
-            t if t * 8 <= c else c for t, c in zip(tight, caps)
+        self._panel_caps = score_ops.tighten_caps(
+            (total, groups, supers), caps
         )
         if total <= rows_h.size:
             return rows_h[:total], cols_h[:total]
@@ -1184,10 +1168,8 @@ class ChunkedAllPairs:
                 while (
                     total > caps[0] or groups > caps[1] or supers > caps[2]
                 ):
-                    caps = (
-                        pow2_bucket(max(total, caps[0]), 1024),
-                        pow2_bucket(max(groups, caps[1]), 1024),
-                        pow2_bucket(max(supers, caps[2]), 1024),
+                    caps = score_ops.grow_caps(
+                        caps, (total, groups, supers)
                     )
                     xi_r = (
                         slab(pi) if keep_all
@@ -1263,12 +1245,7 @@ class ChunkedAllPairs:
 
         all_i = [p[0] for p in pending]
         all_j = [p[1] for p in pending]
-        tight = tuple(
-            pow2_bucket(max(v + (v >> 2), 1024), 1024) for v in seen
-        )
-        self._panel_caps = tuple(
-            t if t * 8 <= c else c for t, c in zip(tight, caps)
-        )
+        self._panel_caps = score_ops.tighten_caps(seen, caps)
         if not all_i:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(all_i), np.concatenate(all_j)
@@ -1318,10 +1295,8 @@ class ChunkedAllPairs:
                 if (
                     total > caps[0] or groups > caps[1] or supers > caps[2]
                 ):
-                    caps = (
-                        pow2_bucket(max(total, caps[0]), 1024),
-                        pow2_bucket(max(groups, caps[1]), 1024),
-                        pow2_bucket(max(supers, caps[2]), 1024),
+                    caps = score_ops.grow_caps(
+                        caps, (total, groups, supers)
                     )
                     continue
                 break
@@ -1337,12 +1312,7 @@ class ChunkedAllPairs:
         # tighten toward the observed per-stripe maxima with the same 8x
         # hysteresis as the dense Pallas path: one low-tau spike must not
         # permanently inflate every later stripe's scan domains
-        tight = tuple(
-            pow2_bucket(max(v + (v >> 2), 1024), 1024) for v in seen
-        )
-        self._stripe_caps = tuple(
-            t if t * 8 <= c else c for t, c in zip(tight, caps)
-        )
+        self._stripe_caps = score_ops.tighten_caps(seen, caps)
         return self._rescore_pairs(
             np.concatenate(all_i), np.concatenate(all_j), tau
         )

@@ -663,14 +663,9 @@ class Engine:
             # switch past the shrunk cap pays one overflow retry, so only
             # shrink on gross (≥8x) oversize — tau sweeps within an 8x
             # pair-count band never flap.
-            tight = (
-                pow2_bucket(max(total + (total >> 2), 1024), 1024),
-                pow2_bucket(max(groups + (groups >> 2), 1024), 1024),
-                pow2_bucket(max(supers + (supers >> 2), 1024), 1024),
-            )
             cur = (cap, capb or eff_capb, cap0 or eff_cap0)
-            self._pallas_caps = tuple(
-                t if t * 8 <= c else c for t, c in zip(tight, cur)
+            self._pallas_caps = score_ops.tighten_caps(
+                (total, groups, supers), cur
             )
             if total <= rows.size:
                 return rows, cols

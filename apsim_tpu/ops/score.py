@@ -65,6 +65,34 @@ def overflowed(count: int, groups: int, cap: int, group: int) -> bool:
     """True when an extraction call must be retried with a larger cap."""
     return count > cap or groups > capb_for(cap, group)
 
+
+def grow_caps(caps, counts):
+    """Overflow-retry growth for a (pairs, groups, supers) cap triple: the
+    next power-of-two bucket covering each level's TRUE count (monotone —
+    never shrinks inside a retry loop).  THE growth rule shared by every
+    three-level extraction site."""
+    from ..vector.batch import pow2_bucket
+
+    return tuple(
+        pow2_bucket(max(int(t), int(c)), 1024) for t, c in zip(counts, caps)
+    )
+
+
+def tighten_caps(counts, caps):
+    """Steady-state cap tightening with 8× hysteresis: each level's
+    nonzero/gather domain scales with its cap, so a one-off spike (or a
+    generous config default) would otherwise tax every later call — but a
+    shrink recompiles once per shape and an upward tau switch past a
+    shrunk cap pays one overflow retry, so only shrink on gross (≥8×)
+    oversize.  Counts get +25% headroom.  THE tightening rule shared by
+    every three-level extraction site."""
+    from ..vector.batch import pow2_bucket
+
+    tight = tuple(
+        pow2_bucket(max(int(v) + (int(v) >> 2), 1024), 1024) for v in counts
+    )
+    return tuple(t if t * 8 <= c else c for t, c in zip(tight, caps))
+
 # floor for the device threshold: keeps all-zero (padded/invalid) rows out of
 # the candidate set without any index arithmetic in the matmul epilogue
 MIN_TAU_EFF = 1e-30

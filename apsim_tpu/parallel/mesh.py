@@ -224,19 +224,10 @@ class MeshEngine(Engine):
                 max(p[k] for p in parsed) for k in (2, 3, 4)
             )
             if mx[0] > caps[0] or mx[1] > caps[1] or mx[2] > caps[2]:
-                caps = (
-                    pow2_bucket(max(mx[0], caps[0]), 1024),
-                    pow2_bucket(max(mx[1], caps[1]), 1024),
-                    pow2_bucket(max(mx[2], caps[2]), 1024),
-                )
+                caps = score_ops.grow_caps(caps, mx)
                 continue
             break
-        tight = tuple(
-            pow2_bucket(max(v + (v >> 2), 1024), 1024) for v in mx
-        )
-        self._mesh_caps = tuple(
-            t if t * 8 <= c else c for t, c in zip(tight, caps)
-        )
+        self._mesh_caps = score_ops.tighten_caps(mx, caps)
         all_i, all_j = [], []
         for d, (rows_h, cols_h, total, _, _) in enumerate(parsed):
             if total == 0:

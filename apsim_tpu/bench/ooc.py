@@ -90,6 +90,13 @@ def run_ooc(
         report["join_seconds"] = join_s
         report["pairs"] = res.n_pairs
         report["decided_pairs_per_sec"] = decided / join_s
+        geom = eng._panel_geom()
+        if geom is not None:  # (rb, tm, tn, tk, n_panels, d_cap)
+            from .mfu import int8_join_ops, mfu_pct
+
+            rb, _, _, _, n_panels, d_cap = geom
+            report["int8_ops"] = int8_join_ops(n_panels * rb, d_cap)
+            report["mfu_pct"] = mfu_pct(report["int8_ops"], join_s)
         report["hbm"] = _hbm_stats()
 
     if compare_stripes and not stream_only:

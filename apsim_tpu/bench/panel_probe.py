@@ -32,7 +32,6 @@ def main() -> None:
 
     from ..config import AllPairsConfig
     from ..engine.chunked import ChunkedAllPairs
-    from ..ops import panel as panel_ops
     from .scale import synthetic_corpus
 
     n_rows = 500_000

@@ -21,7 +21,6 @@ import argparse
 import json
 import sys
 
-import numpy as np
 
 
 def _load_cfg(args) -> "AllPairsConfig":

@@ -7,10 +7,13 @@ knobs are a flat dataclass loadable from JSON, with the same layering rule:
 later sources fall back to earlier ones.
 
 Key mapping (reference key -> field), citations into /root/reference:
-  vectorDim             -> vector_dim            (conf/app.conf:6; EntryProxyActor.scala:25)
+  vectorDim             -> vector_dim            (conf/app.conf:6;
+                                                  EntryProxyActor.scala:25)
   similarityThreshold   -> similarity_threshold  (conf/app.conf:15)
-  indexThreshold        -> index_threshold       (WriteWorkerActor.scala:35; absent from
-                                                  shipped confs -> default 0.0 here instead
+  indexThreshold        -> index_threshold       (WriteWorkerActor.scala:35;
+                                                  absent from
+                                                  shipped confs -> default
+                                                  0.0 here instead
                                                   of a missing-key crash)
   maxShardNum           -> max_shard_num         (CommonUtils.scala:23)
   maxEntryNum           -> max_entry_num         (CommonUtils.scala:24)
@@ -209,7 +212,9 @@ def _flatten(d: Mapping[str, Any], prefix: str = "") -> dict[str, Any]:
     return out
 
 
-def load_config(*paths: str, overrides: Mapping[str, Any] | None = None) -> AllPairsConfig:
+def load_config(
+    *paths: str, overrides: Mapping[str, Any] | None = None
+) -> AllPairsConfig:
     """Layered load: each successive JSON file overrides the previous
     (the reference's ``withFallback`` chain in reverse,
     SimilaritySearchService.scala:20-22); ``overrides`` wins last."""

@@ -652,9 +652,75 @@ class ChunkedAllPairs:
             jnp.asarray(cnts.astype(np.int32)),
         ))
 
+    # ---------------------------------------------- host streaming match
+    # Beyond the resident-slab budget the device rebuild path pays a FIXED
+    # full-corpus re-scatter per micro-batch (element-bound on TPU: ~1.0 s
+    # at 500k rows -> 206 vec/s at bs=256, SCALE_r03).  At that scale the
+    # reference's own inverted-index shape wins: one sparse spGEMM of the
+    # corpus CSR against the micro-batch (O(corpus nnz) streamed in C,
+    # scipy SMMP) yields the candidate set the device epilogue would,
+    # feeding the same fp64 rescore in ``_emit``.  Candidates are cut at
+    # ``tau - 1e-9`` (both sides fp64; the margin covers summation-order
+    # deltas), so the emitted pair set is unchanged — and it is naturally a
+    # superset of the device path's (archived dormant entries live in the
+    # shadow), never smaller.  The mesh subclass keeps its sharded device
+    # path (``_match_slab_cache_ok = False`` gates this off there).
+    _host_stream_match = True
+
+    def _use_host_match(self) -> bool:
+        if not (self._host_stream_match and self._match_slab_cache_ok):
+            return False
+        try:
+            import scipy.sparse  # noqa: F401
+        except Exception:  # pragma: no cover
+            return False
+        # resident slabs (within budget) beat the host walk — only route
+        # host when the device side would pay the per-batch rebuild
+        return self._match_slabs() is None and self._ent is not None
+
+    def _host_match_cross(self, q_csr: CSRMatrix, tau: float):
+        """Candidates (index_row, query_local) of the full shadow x queries
+        at fp64, threshold ``tau - 1e-9``."""
+        import scipy.sparse as sp
+
+        shadow = self._shadow.view()
+        x = sp.csr_matrix(
+            (shadow.data, shadow.indices, shadow.indptr),
+            shape=(shadow.n_rows, shadow.n_cols), copy=False,
+        )
+        q = sp.csr_matrix(
+            (q_csr.data, q_csr.indices, q_csr.indptr),
+            shape=(q_csr.n_rows, q_csr.n_cols), copy=False,
+        )
+        # X @ Q.T: SMMP streams the corpus nnz once; Q.T's csc->csr
+        # conversion is O(batch nnz + n_cols)
+        c = (x @ q.T).tocoo()
+        keep = c.data >= tau - 1e-9
+        return (
+            c.row[keep].astype(np.int64),
+            c.col[keep].astype(np.int64),
+        )
+
+    def _host_match_rows(self, n0: int, tau: float):
+        """Host analog of ``_match_rows``: queries are shadow rows
+        [n0, n_rows) (already appended — index-before-query), so intra-batch
+        pairs surface in both orders and only the self-pair is excluded."""
+        shadow = self._shadow.view()
+        sub = CSRMatrix(
+            shadow.n_rows - n0, shadow.n_cols,
+            (shadow.indptr[n0:] - shadow.indptr[n0]).astype(np.int64),
+            shadow.indices[shadow.indptr[n0]:],
+            shadow.data[shadow.indptr[n0]:],
+        )
+        rows, qloc = self._host_match_cross(sub, tau)
+        nonself = rows != (n0 + qloc)
+        return rows[nonself], qloc[nonself]
+
     def _match_rows(self, n0: int, tau: float):
         """Cross-match index rows [n0, n_rows) (already appended) against the
         full index; returns (index_row, query_local) candidate arrays."""
+        if self._use_host_match():
+            return self._host_match_rows(n0, tau)
         nq = self.n_rows - n0
         shadow = self._shadow.view()
         sub = CSRMatrix(
@@ -741,16 +807,23 @@ class ChunkedAllPairs:
         saved = None
         if qn.size and float(qn.max()) > self._max_norm:
             saved, self._max_norm = self._max_norm, float(qn.max())
-        sub = self._drop_unmapped(csr)
-        ccsr = self._compact.map_csr(sub, extend=False)
-        # q_base beyond all rows: no self-pair exclusion can trigger
-        rows, qlocal = self._match_ccsr(ccsr, self.n_rows, self._tau_eff(tau))
-        # queries sharing a dormant dim with an archived row: the device
-        # score missed that contribution — add explicit candidates
-        extra_q, extra_r = self._dormant_hits(csr)
-        if extra_q.size:
-            rows = np.concatenate([np.asarray(rows), extra_r])
-            qlocal = np.concatenate([np.asarray(qlocal), extra_q])
+        if self._use_host_match():
+            # full-shadow spGEMM: archived dormant contributions are
+            # already in the shadow, so no _dormant_hits patch needed
+            rows, qlocal = self._host_match_cross(csr, tau)
+        else:
+            sub = self._drop_unmapped(csr)
+            ccsr = self._compact.map_csr(sub, extend=False)
+            # q_base beyond all rows: no self-pair exclusion can trigger
+            rows, qlocal = self._match_ccsr(
+                ccsr, self.n_rows, self._tau_eff(tau)
+            )
+            # queries sharing a dormant dim with an archived row: the
+            # device score missed that contribution — explicit candidates
+            extra_q, extra_r = self._dormant_hits(csr)
+            if extra_q.size:
+                rows = np.concatenate([np.asarray(rows), extra_r])
+                qlocal = np.concatenate([np.asarray(qlocal), extra_q])
         shadow = self._shadow.view()
         out: Dict[str, Dict[str, float]] = {}
         if len(rows):
@@ -1151,7 +1224,7 @@ class ChunkedAllPairs:
         # rolling sweep below).
         pending = []  # settled (rows, cols) HOST arrays per pair
         seen = (0, 0, 0)
-        win: list = []  # (pi, pj, bufs, packed)
+        win: list = []  # (pi, pj, bufs, packed, run-time caps)
 
         def flush_window():
             nonlocal caps, seen
@@ -1161,16 +1234,24 @@ class ChunkedAllPairs:
                 heads = np.asarray(jnp.stack([w[3] for w in win]))
             else:
                 heads = [np.asarray(win[0][3])]
-            for (pi, pj, bufs, _), head in zip(win, heads):
+            for (pi, pj, bufs, _, ecaps), head in zip(win, heads):
                 rows_h, cols_h, total, groups, supers = (
                     ps.unpack_pallas_head(head)
                 )
+                # overflow is judged against THIS entry's run-time caps
+                # (ecaps), not the shared ``caps`` an earlier entry's retry
+                # may have grown: an entry that overflowed the caps it
+                # actually ran with has clamp-truncated buffers even when
+                # its counts fit the grown caps.
                 while (
-                    total > caps[0] or groups > caps[1] or supers > caps[2]
+                    total > ecaps[0]
+                    or groups > ecaps[1]
+                    or supers > ecaps[2]
                 ):
                     caps = score_ops.grow_caps(
                         caps, (total, groups, supers)
                     )
+                    ecaps = caps
                     xi_r = (
                         slab(pi) if keep_all
                         else self._build_slab(state, pi)
@@ -1205,7 +1286,7 @@ class ChunkedAllPairs:
                 for pj in range(pi, n_panels):
                     xj = xi if pj == pi else slab(pj)
                     bufs, packed = run_pair(xi, xj, pi, pj, caps)
-                    win.append((pi, pj, bufs, packed))
+                    win.append((pi, pj, bufs, packed, caps))
             flush_window()
         else:
             # Blocked-I rolling sweep: B row panels stay resident for one
@@ -1234,7 +1315,7 @@ class ChunkedAllPairs:
                         if pi > pj:
                             continue
                         bufs, packed = run_pair(xis[pi], xj, pi, pj, caps)
-                        win.append((pi, pj, bufs, packed))
+                        win.append((pi, pj, bufs, packed, caps))
                     del xj
                     if jbuilt >= jsync:
                         flush_window()

@@ -8,7 +8,7 @@ vector; zero components are stripped to produce a sparse vector.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

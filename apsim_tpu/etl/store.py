@@ -54,7 +54,10 @@ def load_text_vectors(path: str) -> CSRMatrix:
             if line:
                 vecs.append(parse_vector(line))
     if not vecs:
-        return CSRMatrix(0, 0, np.zeros(1, np.int64), np.empty(0, np.int32), np.empty(0, np.float64))
+        return CSRMatrix(
+            0, 0, np.zeros(1, np.int64),
+            np.empty(0, np.int32), np.empty(0, np.float64),
+        )
     return CSRMatrix.from_vectors(vecs, vecs[0].size)
 
 
@@ -87,7 +90,10 @@ class VectorStore:
             if os.path.isdir(os.path.join(self.root, d))
         )
 
-    def write(self, table: str, csr: CSRMatrix, ids: Sequence[str] | None = None) -> None:
+    def write(
+        self, table: str, csr: CSRMatrix,
+        ids: Sequence[str] | None = None,
+    ) -> None:
         """Persist a table + its ``_MAX`` max-weight statistic
         (HBaseUpLoader.scala:113-123)."""
         if ids is None:
@@ -159,7 +165,10 @@ class VectorStore:
             if os.path.exists(ids_path):
                 with open(ids_path, "r", encoding="utf-8") as f:
                     text = f.read()
-                    ids = text.split("\n") if text else []
+                    # splitlines(): a POSIX trailing newline must not
+                    # yield a phantom empty id (the strict length check
+                    # below would reject the table)
+                    ids = text.splitlines() if text else []
             else:
                 ids = [str(i) for i in range(csr.n_rows)]
         if len(ids) != csr.n_rows:
@@ -182,7 +191,9 @@ class VectorStore:
         self._cache = (table, mtime, csr, ids)
         return csr, ids
 
-    def load_range(self, table: str, start_row: int, end_row: int) -> tuple[CSRMatrix, List[str]]:
+    def load_range(
+        self, table: str, start_row: int, end_row: int
+    ) -> tuple[CSRMatrix, List[str]]:
         """Inclusive row-range scan (LoadData semantics,
         CommonUtils.scala:61-85)."""
         csr, ids = self._read_cached(table)
@@ -209,7 +220,9 @@ class VectorStore:
         return np.load(os.path.join(self._table_dir(table), "max_weights.npy"))
 
 
-def split_load_range(start_row: int, end_row: int, max_range_num: int) -> List[tuple[int, int]]:
+def split_load_range(
+    start_row: int, end_row: int, max_range_num: int
+) -> List[tuple[int, int]]:
     """Split an inclusive row range into sub-ranges of stride
     ``len // max_range_num`` — ``CommonUtils.parseLoadDataRequest`` parity
     (CommonUtils.scala:61-85), including its quirk of emitting ONE extra

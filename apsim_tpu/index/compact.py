@@ -13,7 +13,6 @@ bijection  external hashed dim  <->  compact column  with:
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import numpy as np
 

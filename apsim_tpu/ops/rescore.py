@@ -10,8 +10,6 @@ needs to exceed the device accumulation error, so no pair is ever missed.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 try:  # scipy ships in the image; keep a pure-numpy fallback anyway
@@ -43,18 +41,32 @@ def build_compact(indices: np.ndarray, n_cols: int):
     (~0.6 MB at Enron's 72k active dims vs 8 MB raw — raw-space gathers miss
     to DRAM and measure *slower* than the merge path).  Costs O(n_cols +
     nnz); callers cache it per corpus snapshot (Engine keys it like the
-    scipy cache).  Returns ``(cindices int32, n_active)``, validated here
-    once so the native call can skip its own O(nnz) range scan."""
+    scipy cache).  Returns ``(cindices int32, n_active, token)`` where
+    ``token`` fingerprints the source CSR indices (``_csr_token``) so
+    ``pair_dots`` can reject a stale cache even when a rebuilt corpus has
+    identical nnz but different dims; validated here once so the native
+    call can skip its own O(nnz) range scan."""
     indices = np.asarray(indices)
     if indices.size == 0:
-        return np.empty(0, np.int32), 1
+        return np.empty(0, np.int32), 1, _csr_token(indices)
     if int(indices.min()) < 0 or int(indices.max()) >= n_cols:
         raise IndexError("CSR indices out of [0, n_cols)")
     flags = np.zeros(n_cols, dtype=bool)
     flags[indices] = True
     lut = np.cumsum(flags, dtype=np.int64) - 1
     cind = lut[indices].astype(np.int32)
-    return cind, int(flags.sum())
+    return cind, int(flags.sum()), _csr_token(indices)
+
+
+def _csr_token(indices: np.ndarray) -> tuple:
+    """Cheap fingerprint of a CSR indices array: size + a 64-point strided
+    sample sum.  O(1), collision-resistant enough to catch the real hazard
+    (same-nnz rebuild with different dims) without an O(nnz) checksum."""
+    n = indices.size
+    if n == 0:
+        return (0, 0)
+    sample = indices[np.linspace(0, n - 1, num=min(n, 64), dtype=np.int64)]
+    return (n, int(np.asarray(sample, dtype=np.int64).sum()))
 
 
 def default_margin(dtype: str) -> float:
@@ -143,8 +155,16 @@ def pair_dots(
     from ..native import native_group_dots, native_pair_dots
 
     if compact is not None:
-        cind, n_active = compact
-        if cind.size == indices.size:  # stale cache guard: must match CSR
+        # accept legacy (cind, n_active) 2-tuples: fall back to the weaker
+        # size-only guard for those
+        cind, n_active = compact[0], compact[1]
+        token = compact[2] if len(compact) > 2 else None
+        fresh = (
+            token == _csr_token(indices)
+            if token is not None
+            else cind.size == indices.size
+        )
+        if fresh:  # stale cache guard: must match the CSR it was built from
             perm = np.argsort(i, kind="stable")
             scratch = np.zeros(n_active, dtype=np.float64)
             nat = native_group_dots(

@@ -20,7 +20,7 @@ import os
 
 import jax
 
-from .mesh import AXIS, make_mesh
+from .mesh import make_mesh
 
 __all__ = ["init_multihost", "global_mesh", "is_coordinator"]
 

@@ -66,24 +66,27 @@ class OpLogLeader:
         self._token = auth_token
 
     def wait_followers(self) -> None:
-        """Block until every follower has dialed in (seed-node join),
-        verifying the shared secret first when one is configured.  The
-        handshake is bounded (10 s read timeout, 64 KB line cap) so a rogue
-        client that connects and goes silent cannot wedge the serial accept
-        loop — the stall the token exists to prevent."""
+        """Block until every follower has dialed in (seed-node join).
+        EVERY connection must present the JSON hello line — token matching
+        when one is configured, ``""`` otherwise — so a stray TCP connect
+        (port scan, health probe) can never occupy a follower slot and
+        later receive the whole op log.  The handshake is bounded (10 s
+        read timeout, 64 KB line cap) so a client that connects and goes
+        silent cannot wedge the serial accept loop."""
         while len(self._conns) < self._n:
             c, _ = self._srv.accept()
-            if self._token:
-                try:
-                    c.settimeout(10.0)
-                    r = c.makefile("r", encoding="utf-8")
-                    hello = json.loads(r.readline(65536))
-                except (ValueError, OSError):
-                    hello = {}
-                if hello.get("token") != self._token:
-                    c.close()
-                    continue
-                c.settimeout(None)
+            try:
+                c.settimeout(10.0)
+                r = c.makefile("r", encoding="utf-8")
+                hello = json.loads(r.readline(65536))
+                if not isinstance(hello, dict):
+                    hello = None
+            except (ValueError, OSError):
+                hello = None
+            if hello is None or hello.get("token", "") != self._token:
+                c.close()
+                continue
+            c.settimeout(None)
             self._conns.append(c)
             self._files.append(c.makefile("w", encoding="utf-8"))
 
@@ -326,10 +329,11 @@ def follow(engine, leader_host: str, leader_port: int,
             if time.time() >= deadline:
                 raise
             time.sleep(0.5)
-    if auth_token:
-        sock.sendall(
-            (json.dumps({"token": auth_token}) + "\n").encode("utf-8")
-        )
+    # hello is mandatory (token "" when unauthenticated): the leader rejects
+    # any connection that does not identify itself as a follower
+    sock.sendall(
+        (json.dumps({"token": auth_token}) + "\n").encode("utf-8")
+    )
     n_ops = 0
     clean = False
     with sock, sock.makefile("r", encoding="utf-8") as f:

@@ -240,7 +240,9 @@ class RpcServer:
         self._tcp = _TcpServer((host, port), _Handler)
         self._tcp.sim_server = sim_server  # type: ignore[attr-defined]
         cfg = sim_server.cfg
-        self._tcp.auth_token = getattr(cfg, "auth_token", "")  # type: ignore[attr-defined]
+        self._tcp.auth_token = getattr(  # type: ignore[attr-defined]
+            cfg, "auth_token", ""
+        )
         cert, key = getattr(cfg, "tls_cert", ""), getattr(cfg, "tls_key", "")
         if cert and key:
             import ssl

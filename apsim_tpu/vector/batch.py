@@ -50,7 +50,9 @@ class CSRMatrix:
     data: np.ndarray
 
     @staticmethod
-    def from_vectors(vectors: Sequence[SparseVector], n_cols: int | None = None) -> "CSRMatrix":
+    def from_vectors(
+        vectors: Sequence[SparseVector], n_cols: int | None = None
+    ) -> "CSRMatrix":
         if n_cols is None:
             n_cols = vectors[0].size if vectors else 0
         indptr = np.zeros(len(vectors) + 1, dtype=np.int64)

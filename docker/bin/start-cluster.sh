@@ -12,12 +12,18 @@
 #                        fronts the RPC service and replicates its op log,
 #                        the rest replay it in collective lockstep
 #                        (`apsim serve --mesh --replicate`).
+#
+# The store volume (APSIM_STORE, default ./store) is shared with
+# start-preprocess.sh — the client's `start <table>` command bulk-loads the
+# preprocessed table server-side (LoadData semantics, Client.scala:49-59).
 set -euo pipefail
 N="${1:-2}"
 IMAGE="${APSIM_IMAGE:-apsim-tpu}"
 DATA="${APSIM_DATA:-$(pwd)/data/maildir_small}"
+STORE="${APSIM_STORE:-$(pwd)/store}"
+mkdir -p "$STORE"
+docker network create apsim-net 2>/dev/null || true
 if [[ "${APSIM_MULTIHOST:-0}" == "1" ]]; then
-  docker network create apsim-net 2>/dev/null || true
   for i in $(seq 0 $((N - 1))); do
     port=$((2551 + i))
     docker run -d --name "compute-node-$i" --network apsim-net \
@@ -26,17 +32,19 @@ if [[ "${APSIM_MULTIHOST:-0}" == "1" ]]; then
       -e "JAX_PROCESS_ID=$i" \
       -p "$port:2551" \
       -v "$DATA:/root/data:ro" \
+      -v "$STORE:/root/store" \
       "$IMAGE" serve --host 0.0.0.0 --port 2551 --mesh \
-        --replicate compute-node-0:9877
+        --store /root/store --replicate compute-node-0:9877
     echo "compute-node-$i on :$port (cluster member $i/$N)"
   done
 else
   for i in $(seq 0 $((N - 1))); do
     port=$((2551 + i))
-    docker run -d --name "compute-node-$i" \
+    docker run -d --name "compute-node-$i" --network apsim-net \
       -p "$port:2551" \
       -v "$DATA:/root/data:ro" \
-      "$IMAGE" serve --host 0.0.0.0 --port 2551
+      -v "$STORE:/root/store" \
+      "$IMAGE" serve --host 0.0.0.0 --port 2551 --store /root/store
     echo "compute-node-$i on :$port"
   done
 fi

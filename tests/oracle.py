@@ -7,7 +7,7 @@ pair-set-for-pair-set against the engine at every tau.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Set, Tuple
+from typing import List, Sequence, Set, Tuple
 
 import numpy as np
 

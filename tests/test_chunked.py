@@ -394,18 +394,21 @@ def test_chunked_freeze_external_match():
 
 
 def test_chunked_streaming_slab_cache_matches_fallback():
-    # the resident match-slab cache (streaming fast path) must emit the
-    # exact same pair stream as the per-batch rebuild path
+    # all three streaming match paths must emit the exact same pair
+    # stream: (a) resident match-slab cache, (b) host spGEMM match
+    # (over-budget default), (c) per-batch device rebuild (the mesh
+    # subclass's gated path, forced here via _host_stream_match=False)
     from oracle import brute_force_pairs as bf
 
     rng = np.random.default_rng(41)
     corpus = random_sparse_corpus(rng, 140, DIM)
     tau = 0.4
     streams = []
-    for budget in (0, 7168):  # 0 disables the cache
+    for budget, host in ((7168, True), (0, True), (0, False)):
         eng = ChunkedAllPairs(
             small_cfg(match_slab_budget_mb=budget), chunk_dim=64
         )
+        eng._host_stream_match = host
         emitted = set()
         for s in range(0, corpus.n_rows, 33):
             e = min(s + 33, corpus.n_rows)
@@ -420,7 +423,32 @@ def test_chunked_streaming_slab_cache_matches_fallback():
         else:
             assert eng._mslab is None
         streams.append(emitted)
-    assert streams[0] == streams[1] == bf(corpus, tau)
+    assert streams[0] == streams[1] == streams[2] == bf(corpus, tau)
+
+
+def test_chunked_host_match_external_and_dormant():
+    # the host spGEMM path must also serve the frozen external match and
+    # fold archived dormant-dim contributions in without the explicit
+    # _dormant_hits patch (they live in the shadow CSR it walks)
+    rng = np.random.default_rng(43)
+    corpus = random_sparse_corpus(rng, 90, DIM)
+    tau = 0.35
+    results = []
+    for host in (True, False):
+        eng = ChunkedAllPairs(
+            small_cfg(match_slab_budget_mb=0, dormant_dims=True),
+            chunk_dim=64,
+        )
+        eng._host_stream_match = host
+        eng.build(corpus)  # build archives df==1 dims to the dormant tier
+        eng.freeze()
+        queries = [(f"q{j}", corpus.row(j)) for j in range(0, 40, 3)]
+        out = eng.insert(queries, tau=tau)
+        results.append({
+            q: dict(sims) for q, sims in out.output.items()
+        })
+    assert results[0] == results[1]
+    assert any(results[0].values())  # non-vacuous
 
 
 def test_chunked_slab_cache_lifecycle():

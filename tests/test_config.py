@@ -1,4 +1,5 @@
-"""Config system tests (reference: HOCON layering, SimilaritySearchService.scala:20-22)."""
+"""Config system tests (reference: HOCON layering,
+SimilaritySearchService.scala:20-22)."""
 
 import json
 

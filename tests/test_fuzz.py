@@ -50,11 +50,25 @@ def test_fuzz_batch_and_streaming(seed):
     assert emitted == want, (seed, cfg, step)
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("APSIM_EXTENDED_FUZZ"),
-    reason="extended sweep: set APSIM_EXTENDED_FUZZ=1 (takes minutes)",
+# first 5 seeds run UNCONDITIONALLY (exactness is the core product claim —
+# the sweep must exercise every default run, VERDICT r3 item #6); the
+# remaining 15 are the extended sweep behind APSIM_EXTENDED_FUZZ=1
+_FAST_SEEDS = list(range(1000, 1005))
+_EXT_SEEDS = list(range(1005, 1020))
+_EXT = bool(__import__("os").environ.get("APSIM_EXTENDED_FUZZ"))
+
+
+@pytest.mark.parametrize(
+    "seed",
+    _FAST_SEEDS + [
+        pytest.param(s, marks=pytest.mark.skipif(
+            not _EXT,
+            reason="extended sweep: set APSIM_EXTENDED_FUZZ=1 "
+                   "(takes minutes)",
+        ))
+        for s in _EXT_SEEDS
+    ],
 )
-@pytest.mark.parametrize("seed", list(range(1000, 1020)))
 def test_fuzz_extended(seed):
     rng = np.random.default_rng(seed)
     n = int(rng.integers(20, 250))

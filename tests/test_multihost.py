@@ -218,6 +218,51 @@ def test_oplog_auth_token_gate():
     assert done == [(1, True)] and getattr(eng, "froze", False)
 
 
+def test_oplog_stray_connection_rejected_without_token():
+    """Even with NO auth token configured, a bare TCP connect (port scan,
+    health probe) must not occupy a follower slot: every follower has to
+    present the JSON hello line before it is counted."""
+    import socket as socklib
+    import threading
+
+    from apsim_tpu.serve.replica import OpLogLeader, follow
+
+    class DummyEngine:
+        def freeze(self):
+            self.froze = True
+
+    leader = OpLogLeader(DummyEngine(), port=0, n_followers=1)
+    accepted = threading.Event()
+
+    def acceptor():
+        leader.wait_followers()
+        accepted.set()
+
+    t = threading.Thread(target=acceptor, daemon=True)
+    t.start()
+    # a stray connection that sends garbage (and one that sends nothing
+    # would be dropped after the 10 s handshake timeout — not waited on
+    # here to keep the test fast)
+    stray = socklib.create_connection((leader.host, leader.port))
+    stray.sendall(b"GET / HTTP/1.0\r\n\r\n")
+    assert not accepted.wait(0.5)  # not counted as a follower
+
+    eng = DummyEngine()
+    done = []
+
+    def follower():
+        done.append(follow(eng, leader.host, leader.port))
+
+    ft = threading.Thread(target=follower, daemon=True)
+    ft.start()
+    assert accepted.wait(5)
+    leader.freeze()
+    leader.close()
+    ft.join(5)
+    stray.close()
+    assert done == [(1, True)] and getattr(eng, "froze", False)
+
+
 def test_leader_restore_replicates_state(tmp_path):
     """restore ships the checkpoint corpus AND the stored maxima: follower
     replicas converge to the same rows and the same admission state (a
@@ -280,6 +325,7 @@ def test_leader_fails_fast_on_dead_follower():
 
     leader = OpLogLeader(DummyEngine(), port=0, n_followers=1)
     client = socklib.create_connection((leader.host, leader.port))
+    client.sendall(b'{"token": ""}\n')  # mandatory follower hello
     leader.wait_followers()
     client.close()
     leader.freeze()  # may land in the dead socket's buffer
@@ -414,6 +460,10 @@ def test_follow_torn_final_line_is_promotable():
 
     def leader():
         conn, _ = srv.accept()
+        # consume the follower hello like the real leader does: closing
+        # with unread inbound data raises RST, which can destroy the
+        # already-sent op lines in the follower's receive buffer
+        conn.makefile("r", encoding="utf-8").readline()
         conn.sendall((json.dumps({"op": "freeze"}) + "\n").encode())
         conn.sendall(b'{"op": "insert", "vecto')  # torn: died mid-write
         conn.close()

@@ -109,7 +109,7 @@ def test_group_dots_bit_identical_to_merge(native_lib):
     merge = N.native_pair_dots(
         indptr, indices, data, indptr, indices, data, i, j
     )
-    cind, n_active = build_compact(indices, n_cols)
+    cind, n_active, _tok = build_compact(indices, n_cols)
     perm = np.argsort(i, kind="stable")
     scratch = np.zeros(n_active, np.float64)
     grouped = N.native_group_dots(
@@ -138,10 +138,16 @@ def test_group_dots_via_pair_dots(native_lib):
     stale = (compact[0][:-1], compact[1])  # size mismatch -> merge fallback
     fb = pair_dots(indptr, indices, data, i, j, 800, compact=stale)
     np.testing.assert_array_equal(fb, base)
+    # token guard: same-nnz rebuild with DIFFERENT dims must also fall back
+    # (the old size-only guard would have accepted it)
+    indices2 = np.clip(indices + 1, 0, 799)
+    fb2 = pair_dots(indptr, indices2, data, i, j, 800, compact=compact)
+    base2 = pair_dots(indptr, indices2, data, i, j, 800)
+    np.testing.assert_array_equal(fb2, base2)
 
 
 def test_transfer_throttled_copy(tmp_path):
-    from apsim_tpu.etl.transfer import copy_tree, throttled_copy
+    from apsim_tpu.etl.transfer import copy_tree
 
     src = tmp_path / "src"
     (src / "sub").mkdir(parents=True)

@@ -444,3 +444,56 @@ def test_tls_roundtrip(tmp_path, corpus):
         assert c.stats()["n_rows"] == 2
         assert wait_until(lambda: any("a" in e for e in events))
         c.close()
+
+
+def test_bulk_load_auto_installs_static_max_weights(tmp_path, corpus):
+    """load_data with admission="real" must install the store's <table>_MAX
+    statistic on the engine (the loop the reference left open:
+    HBaseUpLoader.scala:113-123 computes it, EntryProxyActor.scala:51-57
+    never loads it) — and subsequent streaming admission stays exactly
+    lossless: every oracle pair is emitted despite active pruning."""
+    store = VectorStore(str(tmp_path))
+    base = corpus.normalized()
+    store.write("T", base)
+    cfg = make_cfg(admission="real")
+    rng = np.random.default_rng(33)
+    extra = random_sparse_corpus(rng, 40, DIM)
+    with SimilarityServer(Engine(cfg), cfg, store=store) as srv:
+        outputs = []
+        srv.add_output_sink(lambda o: outputs.append(o))
+        srv.load_data("T", 0, base.n_rows - 1)
+        assert wait_until(lambda: srv.stats()["n_rows"] == base.n_rows)
+        # the static map is installed and is the store's statistic
+        installed = getattr(srv.engine, "_static_max_weights", None)
+        assert installed is not None
+        np.testing.assert_allclose(installed, store.max_weights("T"))
+        # stream more vectors through admission
+        for i in range(extra.n_rows):
+            srv.insert_new_vectors([(f"s{i}", extra.row(i))])
+        assert wait_until(
+            lambda: srv.stats()["n_rows"]
+            == base.n_rows + extra.n_rows
+            - srv.stats()["vectors_dropped_admission"]
+        )
+        srv.flush()
+    emitted = set()
+    for o in outputs:
+        for q, sims in o.output.items():
+            for c in sims:
+                emitted.add((q, c) if q <= c else (c, q))
+    # oracle over the UNION corpus with the streamed ids
+    from apsim_tpu.vector.batch import CSRMatrix
+
+    union = CSRMatrix.from_vectors(
+        [base.row(i) for i in range(base.n_rows)]
+        + [extra.row(i) for i in range(extra.n_rows)],
+        DIM,
+    )
+    ids = [str(i) for i in range(base.n_rows)] + [
+        f"s{i}" for i in range(extra.n_rows)
+    ]
+    want = set()
+    for a, b in brute_force_pairs(union, 0.5):
+        qa, qb = ids[int(a)], ids[int(b)]
+        want.add((qa, qb) if qa <= qb else (qb, qa))
+    assert want == emitted  # lossless: no oracle pair missing, none extra

@@ -22,3 +22,18 @@ def test_suite_small():
     assert report["topk"]["self_match_rate"] == 1.0
     assert report["mesh"]["matches_single_device"]
     assert report["mesh"]["devices"] == 8
+
+
+def test_lint_clean():
+    """tools/lint.py (the scalastyle analog) must stay clean — run it as
+    part of the suite so a regression can't land silently."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "lint.py")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stdout[-3000:]

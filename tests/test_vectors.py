@@ -68,6 +68,7 @@ def test_from_pairs_duplicate_check():
 
 def test_dense_vector():
     d = Vectors.dense([0.0, 1.0, 0.0, 2.0])
+    assert isinstance(d, DenseVector)
     s = d.to_sparse()
     np.testing.assert_array_equal(s.indices, [1, 3])
     assert Vectors.zeros(3).to_array().sum() == 0.0

@@ -125,6 +125,25 @@ def run_ooc(
             "steady_vectors_per_sec": bs / float(np.median(times)),
         }
         report["hbm_after_stream"] = _hbm_stats()
+
+    # checkpoint roundtrip cost (VERDICT r3 #7: restore must cost <<
+    # build — the gather-only remap + counting bucketing made restore a
+    # cheap re-build from the checkpoint CSR, no device state persisted)
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "ck.npz")
+        t0 = time.time()
+        eng.save(ck)
+        report["save_seconds"] = time.time() - t0
+        e2 = ChunkedAllPairs(
+            AllPairsConfig(), chunk_dim=chunk_dim, panel_rows=panel_rows
+        )
+        t0 = time.time()
+        e2.restore(ck)
+        report["restore_seconds"] = time.time() - t0
+        report["restore_rows"] = e2.n_rows
     return report
 
 

@@ -415,21 +415,25 @@ class ChunkedAllPairs:
             csr, self.cfg.dim_bucket,
             min_df=2 if self.cfg.dormant_dims else 1,
         )
-        ccsr = self._compact.map_csr(self._archive_dormant(csr))
+        kept = self._archive_dormant(csr)
+        # gather-only dim remap: the bucketing below is order-free, so the
+        # row-sorted CSR ``map_csr`` builds (a 22M-entry lexsort + re-gather
+        # at 200k rows) is pure waste on this path
+        ccols = self._compact.map_cols(kept.indices)
         self._q_super()
         n_chunks = self._round_chunks(
             max(1, -(-self._compact.n_active // self.chunk_dim))
         )
         self._n_chunks = n_chunks
         rows_of = np.repeat(
-            np.arange(csr.n_rows, dtype=np.int64), np.diff(ccsr.indptr)
+            np.arange(kept.n_rows, dtype=np.int32), np.diff(kept.indptr)
         )
-        chunk, _ = chunked_ops.split_chunks(ccsr.indices, n_chunks)
-        per = np.bincount(chunk, minlength=n_chunks)
+        chunk, local = chunked_ops.split_chunks(ccols, n_chunks)
+        per = np.bincount(chunk, minlength=n_chunks).astype(np.int64)
         self._chunk_cap = pow2_bucket(max(int(per.max()) if per.size else 1, 1), 1024)
-        rows2d, cols2d, vals2d, counts = chunked_ops.bucket_entries(
-            rows_of, ccsr.indices.astype(np.int64), ccsr.data, n_chunks,
-            self._chunk_cap, self._pad_row(),
+        rows2d, cols2d, vals2d, counts = chunked_ops.bucket_split_entries(
+            rows_of, chunk, local, kept.data,
+            per, self._chunk_cap, self._pad_row(),
         )
         self._ent = self._place_ent(rows2d, cols2d, vals2d)
         self._mslab = None  # new corpus: resident slabs rebuild lazily

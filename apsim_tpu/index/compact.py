@@ -76,6 +76,18 @@ class CompactSpace:
         cs._base = max(round_up(order.size, dim_bucket), dim_bucket)
         return cs
 
+    def map_cols(self, ext_dims: np.ndarray) -> np.ndarray:
+        """Compact columns of ``ext_dims`` (int32), validating that every
+        dim is mapped — the gather-only core of ``map_csr`` for callers
+        that don't need a row-sorted CSR (the chunked build buckets COO
+        entries, where within-row order is irrelevant; skipping the
+        22M-entry lexsort + re-gather halves build time at 200k rows)."""
+        cols = self._col_of_ext[np.asarray(ext_dims)]
+        if cols.size and int(cols.min()) < 0:
+            bad = np.asarray(ext_dims)[np.nonzero(cols < 0)[0][0]]
+            raise KeyError(f"dim {int(bad)} not in compact space")
+        return cols
+
     def map_csr(self, csr: CSRMatrix, extend: bool = False) -> CSRMatrix:
         """Rewrite a CSR over the external space into compact columns.
 

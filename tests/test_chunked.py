@@ -578,3 +578,26 @@ def test_chunked_super_tile_override_divides_row_cap():
     assert eng.row_cap == 24576
     st = eng._q_super()
     assert eng.row_cap % st == 0 and st <= 16384
+
+
+def test_chunked_save_restore_roundtrip(corpus, tmp_path):
+    """Checkpoint roundtrip: the restored engine emits the identical pair
+    set and keeps streaming exactly (restore is a re-build from the
+    checkpoint CSR — gather-only remap, no lexsort; VERDICT r3 #7)."""
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=64)
+    eng.build(corpus, [f"v{i}" for i in range(corpus.n_rows)])
+    want = eng.all_pairs(0.5).pair_set()
+    path = str(tmp_path / "ck.npz")
+    eng.save(path)
+
+    e2 = ChunkedAllPairs(small_cfg(), chunk_dim=64)
+    e2.restore(path)
+    assert e2.n_rows == corpus.n_rows
+    assert e2.ids == eng.ids
+    assert e2.all_pairs(0.5).pair_set() == want
+    # streaming continues exactly across the roundtrip: restored engine's
+    # insert output matches the original engine's
+    out_orig = eng.insert([("probe", corpus.row(0))], tau=0.5)
+    out_rest = e2.insert([("probe", corpus.row(0))], tau=0.5)
+    got = out_rest.output.get("probe", {})
+    assert got and got == out_orig.output.get("probe", {})

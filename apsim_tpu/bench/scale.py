@@ -101,6 +101,9 @@ def run_scale(sizes=(10_000, 25_000, 50_000), tau: float = 0.8) -> Dict:
         res = eng.all_pairs(tau)
         join_s = time.time() - t0
         decided = n * (n - 1) / 2
+        from .mfu import int8_join_ops, mfu_pct
+
+        ops = int8_join_ops(eng.row_cap, eng.dim_cap)
         report[str(n)] = {
             "gen_seconds": gen_s,
             "build_seconds": build_s,
@@ -110,6 +113,11 @@ def run_scale(sizes=(10_000, 25_000, 50_000), tau: float = 0.8) -> Dict:
             "row_cap": eng.row_cap,
             "dim_cap": eng.dim_cap,
             "index_gb": eng.row_cap * eng.dim_cap * 4 / 1e9,
+            # efficiency-per-size curve (VERDICT r3 #2): end-to-end
+            # utilization of the v5e int8 peak, extraction/D2H/rescore
+            # included
+            "int8_ops": ops,
+            "mfu_pct": mfu_pct(ops, join_s),
         }
         del eng
     return report

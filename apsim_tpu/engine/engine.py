@@ -84,6 +84,15 @@ class PendingInsert:
         self._e = (eng, bufs, packed, cap, grp, n0, n_after, first_tile,
                    tau_eff, tile, tau)
         self._out: SimilarityOutput | None = None
+        # start the packed-head D2H NOW: the transfer runs as soon as the
+        # device finishes the fused insert, so by the time result() fires
+        # (next server tick, after batch N+1's host prep + H2D) the bytes
+        # are already host-side — without this, result() pays the full
+        # fetch round trip serially (~28 ms on the tunnel)
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:  # non-jax array (tests, fallbacks)
+            pass
 
     def result(self) -> SimilarityOutput:
         if self._out is not None:

@@ -123,11 +123,77 @@ def probe_size(csr, ids=None, tau: float = 0.8, reps: int = 5) -> dict:
     return out
 
 
+def geom_sweep(csr, tau: float = 0.8, reps: int = 5) -> dict:
+    """Kernel-only A/B over tile geometries (int8 path).  The round-2b
+    "geometry sweeps are pointless" verdict was measured on the bf16 kernel
+    at >=70% of peak; the int8 kernel sits near ~40% end-to-end, so re-test:
+    a symmetric (1024,1024) block cuts blocked operand re-reads 33% vs the
+    default (1024,512).  VMEM check per step (16 MB/core): x tm*tk + q tn*tk
+    int8 double-buffered + acc tm*tn int32 must fit."""
+    import jax.numpy as jnp
+
+    from ..config import AllPairsConfig
+    from ..engine.engine import Engine
+    from ..ops import pallas_score
+    from .mfu import int8_join_ops, mfu_pct
+
+    eng = Engine(AllPairsConfig())
+    eng.build(csr)
+    eng.all_pairs(tau)
+    if not eng._used_int8:
+        return {"note": "int8 path inactive"}
+    _, q8, aux = eng._int8_cache
+    tau_eff = eng._tau_eff(tau)
+    ops = int8_join_ops(eng.row_cap, eng.dim_cap)
+    out = {}
+    for tm, tn, tk in (
+        (1024, 512, 2048),   # current default
+        (1024, 1024, 1024),
+        (1024, 1024, 2048),
+        (512, 512, 2048),
+        (2048, 512, 2048),
+    ):
+        if eng.row_cap % tm or eng.row_cap % tn or eng.dim_cap % tk:
+            continue
+        vmem = (tm * tk + tn * tk) * 2 + tm * tn * 4  # db operands + acc
+        if vmem > 15 * 2**20:
+            continue
+        bi, bj = pallas_score.upper_blocks_rect(eng.row_cap, tm, tn)
+        bi, bj = jnp.asarray(bi), jnp.asarray(bj)
+
+        def kern():
+            _, _, cnt = pallas_score.pallas_score_bits_int8(
+                q8, aux, bi, bj, tau_eff, tm, tn, tk
+            )
+            return int(np.asarray(cnt[0, 0, 0]))
+
+        try:
+            kern()  # compile
+            dt = _med(kern, reps)
+        except Exception as e:  # compiler VMEM rejection etc.
+            out[f"{tm}x{tn}x{tk}"] = {"error": repr(e)[:200]}
+            continue
+        out[f"{tm}x{tn}x{tk}"] = {
+            "kernel_s": round(dt, 4),
+            "mfu_pct_kernel": round(mfu_pct(ops, dt), 1),
+            "n_blocks": int(bi.shape[0]),
+        }
+        print(f"geom {tm}x{tn}x{tk}: {out[f'{tm}x{tn}x{tk}']}", flush=True)
+    del eng
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sizes = [int(a) for a in args] or [8586, 16384, 32768, 65536]
     use_enron = "--enron" in sys.argv
     from .scale import synthetic_corpus
+
+    if "--geom" in sys.argv:
+        n = sizes[0]
+        print(json.dumps({"geom_sweep": geom_sweep(synthetic_corpus(n)),
+                          "n": n}), flush=True)
+        return
 
     report = {}
     for k, n in enumerate(sizes):

@@ -22,6 +22,11 @@ def test_suite_small():
     assert report["topk"]["self_match_rate"] == 1.0
     assert report["mesh"]["matches_single_device"]
     assert report["mesh"]["devices"] == 8
+    # the CC_WEB loadgen leg ran end-to-end (no swallowed error)
+    lg = report["ccweb_loadgen"]
+    assert "error" not in lg, lg
+    assert lg["messages"] > 0 and lg["avg_latency_ms"] > 0
+    assert lg["indexed_after_warmup"] == lg["fixture_vectors"]
 
 
 def test_lint_clean():

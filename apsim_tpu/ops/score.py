@@ -301,37 +301,73 @@ def allpairs_extract(
 
     mode="upper": strict upper triangle (canonical i<j pairs) — the dedup the
     reference approximates with per-query hash maps
-    (IndexingWorkerActor.scala:89-91).
+    (IndexingWorkerActor.scala:89-91).  Tiles are grouped into ≤16 buckets;
+    bucket b scores only the STATIC row prefix its tiles can pair with
+    (rows < bucket_end·tile) instead of the full ``row_cap`` rectangle —
+    for T tiles this cuts MXU work and extraction domains toward ½ (the
+    triangle) while bounding the compiled matmul shapes at the bucket
+    count.  This is the hot join of the dims-sharded mesh path (the
+    Pallas kernel covers single-chip), where the matmul's contracting dim
+    is sharded and XLA inserts the psum — halving M halves both FLOPs and
+    psum bytes per device.
     mode="all": every thresholded (row, col) including self/symmetric.
     """
-    row_cap, _ = x.shape
+    row_cap, dim_cap = x.shape
     if row_cap % tile:
         # a silent floor here would drop the trailing rows as query columns
         # — every pair involving them would vanish from a "lossless" join
         raise ValueError(f"row_cap {row_cap} not a multiple of tile {tile}")
     n_tiles = row_cap // tile
 
-    def body(t, carry):
-        buf_i, buf_j, cursor, max_groups = carry
-        q0 = t * tile
-        s = _score_tile(x, q0, tile, precision)
-        m = s >= tau_eff
-        if mode == "upper":
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            m &= rows < cols
-        buf_i, buf_j, cursor, _, groups = _extract(
-            m, q0, buf_i, buf_j, cursor, cap, group
-        )
-        return buf_i, buf_j, cursor, jnp.maximum(max_groups, groups)
+    def body_for(prefix):
+        # prefix: static row count this bucket's tiles score against
+        # (mode="all": the full row_cap rectangle, one bucket)
+        def body(t, carry):
+            buf_i, buf_j, cursor, max_groups = carry
+            q0 = t * tile
+            q = jax.lax.dynamic_slice(x, (q0, 0), (tile, dim_cap))
+            s = jax.lax.dot_general(
+                jax.lax.slice(x, (0, 0), (prefix, dim_cap)), q,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_precision(precision),
+            )
+            # barrier: keep the 2D index mask OUT of the matmul epilogue
+            # (see module docstring — fusing it in causes a pathological
+            # TPU compile)
+            s = jax.lax.optimization_barrier(s)
+            m = s >= tau_eff
+            if mode == "upper":
+                rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                m &= rows < cols
+            buf_i, buf_j, cursor, _, groups = _extract(
+                m, q0, buf_i, buf_j, cursor, cap, group
+            )
+            return buf_i, buf_j, cursor, jnp.maximum(max_groups, groups)
 
-    init = (
+        return body
+
+    carry = (
         jnp.full((2 * cap,), -1, jnp.int32),
         jnp.full((2 * cap,), -1, jnp.int32),
         jnp.int32(0),
         jnp.int32(0),
     )
-    bi, bj, cursor, max_groups = jax.lax.fori_loop(0, n_tiles, body, init)
+    if mode == "upper":
+        n_buckets = min(n_tiles, 16)
+        # bucket boundaries in tiles (near-even split, last gets remainder)
+        bounds = [n_tiles * b // n_buckets for b in range(n_buckets + 1)]
+        for b in range(n_buckets):
+            tb0, tb1 = bounds[b], bounds[b + 1]
+            if tb0 == tb1:
+                continue
+            carry = jax.lax.fori_loop(
+                tb0, tb1, body_for(tb1 * tile), carry
+            )
+    else:
+        carry = jax.lax.fori_loop(0, n_tiles, body_for(row_cap), carry)
+    bi, bj, cursor, max_groups = carry
     return (bi, bj), _pack_head(bi, bj, cursor, max_groups, HEAD_JOIN)
 
 

@@ -410,6 +410,10 @@ class ChunkedAllPairs:
         self.id_to_row = {v: k for k, v in enumerate(self.ids)}
         self._shadow = GrowableCSR(self.cfg.vector_dim)
         self._shadow.append(csr)
+        # per-external-dim document frequencies for host-match routing
+        self._ext_df = np.bincount(
+            csr.indices, minlength=self.cfg.vector_dim
+        ).astype(np.int64)
         self.n_rows = csr.n_rows
         self._compact = CompactSpace.from_csr(
             csr, self.cfg.dim_bucket,
@@ -552,6 +556,8 @@ class ChunkedAllPairs:
             self._max_norm = max(self._max_norm, float(norms.max()))
         np.maximum.at(self.max_weights, csr.indices, csr.data)
         self._shadow.append(csr)
+        if getattr(self, "_ext_df", None) is not None:
+            np.add.at(self._ext_df, csr.indices, 1)
         self.ids.extend(new_ids)
         for k, vid in enumerate(new_ids):
             self.id_to_row[vid] = n0 + k
@@ -671,7 +677,23 @@ class ChunkedAllPairs:
     # path (``_match_slab_cache_ok = False`` gates this off there).
     _host_stream_match = True
 
-    def _use_host_match(self) -> bool:
+    # Host-vs-device routing cost model (calibrated on this host, round 4).
+    # The scipy SMMP's cost is NOT one corpus pass: it also pays per
+    # intersection flop AND materializes every nonzero (i, q) dot before
+    # the tau filter — on a 500k-row power-law corpus a 256-row batch hits
+    # ~128M intersections (every pair shares a hot dim) and measured
+    # 9.8 s/batch vs the device rebuild's ~1.0 s, while on TF-IDF-like
+    # corpora intersections are sparse and the host walk wins outright.
+    # Estimate flops as sum over batch entries of the corpus document
+    # frequency of their dim (an upper bound on intersections incl.
+    # multiplicity) and route to whichever side the model says is cheaper.
+    _host_ns_per_nnz = 6.0     # corpus-stream term of the SMMP
+    _host_ns_per_flop = 70.0   # per intersection flop + COO materialization
+    _rebuild_ns_per_nnz = 20.0  # device slab re-scatter (element-bound)
+
+    def _use_host_match(self, q_ext_indices: np.ndarray) -> bool:
+        """Route this batch's match to the host spGEMM?  ``q_ext_indices``
+        are the query entries' EXTERNAL dims (shadow space)."""
         if not (self._host_stream_match and self._match_slab_cache_ok):
             return False
         try:
@@ -680,7 +702,17 @@ class ChunkedAllPairs:
             return False
         # resident slabs (within budget) beat the host walk — only route
         # host when the device side would pay the per-batch rebuild
-        return self._match_slabs() is None and self._ent is not None
+        if self._match_slabs() is not None or self._ent is None:
+            return False
+        df = getattr(self, "_ext_df", None)
+        if df is None:  # no stats (pre-round-4 restore): stay on device
+            return False
+        nnz = int(self._shadow.view().indptr[-1])
+        est_flops = int(df[np.asarray(q_ext_indices)].sum())
+        host_cost = nnz * self._host_ns_per_nnz + (
+            est_flops * self._host_ns_per_flop
+        )
+        return host_cost < nnz * self._rebuild_ns_per_nnz
 
     def _host_match_cross(self, q_csr: CSRMatrix, tau: float):
         """Candidates (index_row, query_local) of the full shadow x queries
@@ -723,7 +755,8 @@ class ChunkedAllPairs:
     def _match_rows(self, n0: int, tau: float):
         """Cross-match index rows [n0, n_rows) (already appended) against the
         full index; returns (index_row, query_local) candidate arrays."""
-        if self._use_host_match():
+        sh = self._shadow.view()
+        if self._use_host_match(sh.indices[sh.indptr[n0]:]):
             return self._host_match_rows(n0, tau)
         nq = self.n_rows - n0
         shadow = self._shadow.view()
@@ -811,7 +844,7 @@ class ChunkedAllPairs:
         saved = None
         if qn.size and float(qn.max()) > self._max_norm:
             saved, self._max_norm = self._max_norm, float(qn.max())
-        if self._use_host_match():
+        if self._use_host_match(csr.indices):
             # full-shadow spGEMM: archived dormant contributions are
             # already in the shadow, so no _dormant_hits patch needed
             rows, qlocal = self._host_match_cross(csr, tau)

@@ -409,6 +409,11 @@ def test_chunked_streaming_slab_cache_matches_fallback():
             small_cfg(match_slab_budget_mb=budget), chunk_dim=64
         )
         eng._host_stream_match = host
+        # tiny corpora have high relative df, so the round-4 cost router
+        # would pick the device side — force the host model to win so this
+        # test keeps exercising the spGEMM path it was written for
+        if host:
+            eng._rebuild_ns_per_nnz = float("inf")
         emitted = set()
         for s in range(0, corpus.n_rows, 33):
             e = min(s + 33, corpus.n_rows)
@@ -426,6 +431,29 @@ def test_chunked_streaming_slab_cache_matches_fallback():
     assert streams[0] == streams[1] == streams[2] == bf(corpus, tau)
 
 
+def test_host_match_cost_router():
+    # round-4 regression guard: the host spGEMM pays per intersection flop
+    # (measured 9.8 s/256-batch on a 500k power-law corpus vs the device
+    # rebuild's ~1.0 s), so routing must weigh batch df mass, not assume
+    # host is always cheaper beyond the slab budget
+    rng = np.random.default_rng(47)
+    corpus = random_sparse_corpus(rng, 120, DIM)
+    eng = ChunkedAllPairs(small_cfg(match_slab_budget_mb=0), chunk_dim=64)
+    eng.build(corpus)
+    nnz = int(eng._shadow.view().indptr[-1])
+    # cold batch: dims nobody uses -> est_flops 0 -> host wins
+    cold = np.array([DIM - 1], np.int64)
+    assert eng._ext_df[cold].sum() * eng._host_ns_per_flop < nnz
+    assert eng._use_host_match(cold)
+    # hot batch: replicate the corpus' own dims until the flop estimate
+    # dominates the rebuild cost -> device wins
+    hot = np.tile(corpus.indices, 8)
+    assert not eng._use_host_match(hot)
+    # no df stats (pre-round-4 restore shape): stay on the device path
+    eng._ext_df = None
+    assert not eng._use_host_match(cold)
+
+
 def test_chunked_host_match_external_and_dormant():
     # the host spGEMM path must also serve the frozen external match and
     # fold archived dormant-dim contributions in without the explicit
@@ -440,6 +468,8 @@ def test_chunked_host_match_external_and_dormant():
             chunk_dim=64,
         )
         eng._host_stream_match = host
+        if host:
+            eng._rebuild_ns_per_nnz = float("inf")  # force the host route
         eng.build(corpus)  # build archives df==1 dims to the dormant tier
         eng.freeze()
         queries = [(f"q{j}", corpus.row(j)) for j in range(0, 40, 3)]

@@ -317,6 +317,10 @@ def allpairs_extract(
         # a silent floor here would drop the trailing rows as query columns
         # — every pair involving them would vanish from a "lossless" join
         raise ValueError(f"row_cap {row_cap} not a multiple of tile {tile}")
+    if tile % group:
+        # bucket prefixes are tile multiples; _extract's group reshape
+        # needs them divisible by the group height
+        raise ValueError(f"tile {tile} not a multiple of group {group}")
     n_tiles = row_cap // tile
 
     def body_for(prefix):

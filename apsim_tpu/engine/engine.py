@@ -792,7 +792,18 @@ class Engine:
         cand_c: List[np.ndarray] = []
 
         single_tile = (self.n_rows - 1) // tile == n0 // tile
-        if single_tile and csr.n_rows <= 4096:
+        # boundary-crossing batches (every tile/batch-th insert) used to
+        # fall to the separate scatter + per-tile match path (3 dispatches
+        # ≈ 3 host-link round trips); a 2-tile window keeps them fused —
+        # one extra compiled shape, and the window must not run off the
+        # row capacity (row_cap is tile-aligned, not necessarily 2·tile)
+        two_tile = (
+            not single_tile
+            and (self.n_rows - 1) // tile == n0 // tile + 1
+            and first_tile + 2 * tile <= self.row_cap
+        )
+        if (single_tile or two_tile) and csr.n_rows <= 4096:
+            win = tile if single_tile else 2 * tile
             # fused scatter+match: one device round trip per micro-batch;
             # flat COO (batch entries + activated dormant entries together)
             # keeps H2D at O(nnz) — the padded [batch, max_row_nnz] layout
@@ -823,17 +834,19 @@ class Engine:
             coo[2, vals_b.size :] = 0
             self.x, bufs, packed = score_ops.insert_match_fused(
                 self.x, jnp.asarray(coo),
-                np.int32(first_tile), np.int32(n0), tau_eff, tile, cap,
+                np.int32(first_tile), np.int32(n0), tau_eff, win, cap,
                 self.cfg.matmul_precision, grp,
             )
             if act is not None:
                 self._commit_activation(act)
             self.stats["candidates_scored"] += self.n_rows * min(
-                tile, self.n_rows - first_tile
+                win, self.n_rows - first_tile
             )
+            # the pending carries the WINDOW as its tile so an overflow
+            # retry re-matches the same [first_tile, first_tile+win) span
             pending = PendingInsert(
                 self, bufs, packed, cap, grp, n0, self.n_rows,
-                first_tile, tau_eff, tile, tau,
+                first_tile, tau_eff, win, tau,
             )
             return pending if defer else pending.result()
         if act is not None:

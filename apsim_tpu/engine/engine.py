@@ -853,15 +853,37 @@ class Engine:
             self._scatter_activation(act)
             self._commit_activation(act)
         self._scatter_rows(compact_csr, row_offset=n0)
-        for q0 in range(first_tile, self.n_rows, tile):
-            pairs = self._match_tile_retry(
-                q0, n0, tau_eff, tile, int(self.cfg.extract_cap), grp
-            )
-            self.stats["candidates_scored"] += self.n_rows * min(
-                tile, self.n_rows - q0
-            )
-            cand_c.append(pairs[0])
-            cand_q.append(pairs[1])
+        # windowed dispatch: enqueue up to 8 tile matches before consuming
+        # any — each consume is a blocking head fetch (~28 ms round trip on
+        # the tunnel), so the serialized per-tile fetch dominated large
+        # flush batches; async prefetch overlaps all of a window's fetches
+        # with each other and with the later tiles' device work.  8 tiles
+        # bound the in-flight candidate buffers to 8 × 2 × cap int32s.
+        tiles = list(range(first_tile, self.n_rows, tile))
+        for w0 in range(0, len(tiles), 8):
+            calls = []
+            for q0 in tiles[w0 : w0 + 8]:
+                bufs, packed = score_ops.match_tile_extract(
+                    self.x, np.int32(q0), np.int32(n0), tau_eff, tile, cap,
+                    self.cfg.matmul_precision, grp,
+                )
+                try:
+                    packed.copy_to_host_async()
+                except AttributeError:
+                    pass
+                calls.append((q0, bufs, packed))
+                self.stats["candidates_scored"] += self.n_rows * min(
+                    tile, self.n_rows - q0
+                )
+            for q0, bufs, packed in calls:
+                pairs = self._consume_match(bufs, packed, cap, grp)
+                if pairs is None:  # overflow: retry this tile, grown cap
+                    pairs = self._match_tile_retry(
+                        q0, n0, tau_eff, tile,
+                        _next_cap(cap, self._last_needed), grp,
+                    )
+                cand_c.append(pairs[0])
+                cand_q.append(pairs[1])
         out = self._emit_query_results(
             np.concatenate(cand_q), np.concatenate(cand_c), tau
         )

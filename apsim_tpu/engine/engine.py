@@ -1137,19 +1137,32 @@ class Engine:
             self._drop_unmapped(csr), extend=False
         )
         from ..vector.batch import pow2_bucket
+        import jax.numpy as jnp
 
-        batch = PaddedBatch.from_csr(
-            compact, pad_dim=self.dim_cap, rows=pow2_bucket(compact.n_rows, 32)
+        # one flat-COO H2D + one fused densify+score dispatch (the separate
+        # densify call was a second ~25 ms round trip per frozen flush, and
+        # its padded layout paid for the longest document on every row)
+        q_rows = pow2_bucket(compact.n_rows, 32)
+        rows_b = np.repeat(
+            np.arange(compact.n_rows, dtype=np.int64),
+            np.diff(compact.indptr),
         )
-        q_dense = score_ops.densify(
-            batch.dims, batch.vals, batch.rows, self.dim_cap, self.cfg.dtype
-        )
+        ecap = pow2_bucket(max(rows_b.size, 1), 1024)
+        coo = np.empty((3, ecap), np.int32)
+        coo[0, : rows_b.size] = rows_b
+        coo[0, rows_b.size :] = q_rows
+        coo[1, : rows_b.size] = compact.indices
+        coo[1, rows_b.size :] = 0
+        coo[2, : rows_b.size] = compact.data.astype(np.float32).view(np.int32)
+        coo[2, rows_b.size :] = 0
+        coo_d = jnp.asarray(coo)
         tau_eff = self._tau_eff(tau)
         cap = int(self.cfg.extract_cap)
         grp = int(self.cfg.extract_group)
         while True:
-            bufs, packed = score_ops.dense_queries_extract(
-                self.x, q_dense, tau_eff, cap, self.cfg.matmul_precision, grp
+            bufs, packed = score_ops.queries_match_fused(
+                self.x, coo_d, tau_eff, q_rows, cap,
+                self.cfg.matmul_precision, grp,
             )
             pairs = self._consume_match(bufs, packed, cap, grp)
             if pairs is not None:

@@ -454,6 +454,42 @@ def insert_match_fused(
     return x, (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("q_rows", "cap", "precision", "group")
+)
+def queries_match_fused(
+    x, coo, tau_eff, q_rows: int, cap: int, precision: str = "highest",
+    group: int = 8,
+):
+    """Fused frozen-index match: densify the query batch ON DEVICE from one
+    flat COO transfer and score it — one H2D + one dispatch instead of the
+    densify-then-score pair (each dispatch is a ~25 ms round trip on this
+    host link), and the COO is O(batch nnz) where the padded layout paid
+    for the longest document on every row.  ``coo`` is int32 [3, ecap]:
+    local query rows / compact cols / fp32 value bits (padding rows carry
+    ``q_rows``, dropped by the out-of-bounds scatter rule).  Same
+    (bufs, packed_head) contract as ``dense_queries_extract``."""
+    rows, cols = coo[0], coo[1]
+    vals = jax.lax.bitcast_convert_type(coo[2], jnp.float32)
+    q = jnp.zeros((q_rows, x.shape[1]), x.dtype).at[rows, cols].add(
+        vals.astype(x.dtype), mode="drop", unique_indices=True
+    )
+    s = jax.lax.dot_general(
+        x, q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(precision),
+    )
+    s = jax.lax.optimization_barrier(s)
+    m = s >= tau_eff
+    buf_i = jnp.full((cap,), -1, jnp.int32)  # cursor 0: cap suffices
+    buf_j = jnp.full((cap,), -1, jnp.int32)
+    buf_i, buf_j, _, total, groups = _extract(
+        m, jnp.int32(0), buf_i, buf_j, jnp.int32(0), cap, group
+    )
+    return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups)
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "precision", "group"))
 def dense_queries_extract(
     x, q, tau_eff, cap: int, precision: str = "highest", group: int = 8

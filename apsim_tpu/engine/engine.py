@@ -39,7 +39,7 @@ from ..index.compact import CompactSpace
 from ..utils.jaxsetup import setup_jax
 from ..ops import rescore as rescore_ops
 from ..ops import score as score_ops
-from ..vector.batch import CSRMatrix, PaddedBatch, round_up
+from ..vector.batch import CSRMatrix, PaddedBatch, pack_coo_i32, round_up
 from ..vector.sparse import SparseVector
 from .output import PairResult, SimilarityOutput
 
@@ -821,17 +821,7 @@ class Engine:
                 rows_b = np.concatenate([act[0], rows_b])
                 cols_b = np.concatenate([act[1], cols_b])
                 vals_b = np.concatenate([act[2], vals_b])
-            ecap = pow2_bucket(max(rows_b.size, 1), 1024)
-            # ONE packed [3, ecap] int32 H2D transfer (rows / cols / fp32
-            # value bits) — separate arrays each cost a full ~25 ms tunnel
-            # round trip (see insert_match_fused docstring)
-            coo = np.empty((3, ecap), np.int32)
-            coo[0, : rows_b.size] = rows_b
-            coo[0, rows_b.size :] = self.row_cap
-            coo[1, : cols_b.size] = cols_b
-            coo[1, cols_b.size :] = 0
-            coo[2, : vals_b.size] = vals_b.astype(np.float32).view(np.int32)
-            coo[2, vals_b.size :] = 0
+            coo = pack_coo_i32(rows_b, cols_b, vals_b, self.row_cap)
             self.x, bufs, packed = score_ops.insert_match_fused(
                 self.x, jnp.asarray(coo),
                 np.int32(first_tile), np.int32(n0), tau_eff, win, cap,
@@ -1147,15 +1137,9 @@ class Engine:
             np.arange(compact.n_rows, dtype=np.int64),
             np.diff(compact.indptr),
         )
-        ecap = pow2_bucket(max(rows_b.size, 1), 1024)
-        coo = np.empty((3, ecap), np.int32)
-        coo[0, : rows_b.size] = rows_b
-        coo[0, rows_b.size :] = q_rows
-        coo[1, : rows_b.size] = compact.indices
-        coo[1, rows_b.size :] = 0
-        coo[2, : rows_b.size] = compact.data.astype(np.float32).view(np.int32)
-        coo[2, rows_b.size :] = 0
-        coo_d = jnp.asarray(coo)
+        coo_d = jnp.asarray(
+            pack_coo_i32(rows_b, compact.indices, compact.data, q_rows)
+        )
         tau_eff = self._tau_eff(tau)
         cap = int(self.cfg.extract_cap)
         grp = int(self.cfg.extract_group)
@@ -1376,17 +1360,25 @@ class Engine:
         compact = self.compact.map_csr(self._drop_unmapped(csr), extend=False)
         from ..vector.batch import pow2_bucket
 
-        batch = PaddedBatch.from_csr(
-            compact, pad_dim=self.dim_cap, rows=pow2_bucket(compact.n_rows, 32)
+        import jax.numpy as jnp
+
+        # flat-COO query transfer + fused on-device densify (the separate
+        # densify was one extra dispatch round trip per topk call; the
+        # densify re-runs per margin-growth fetch, but that scatter is
+        # O(batch nnz) — noise next to the [q, row_cap] scoring matmul)
+        q_rows = pow2_bucket(compact.n_rows, 32)
+        rows_b = np.repeat(
+            np.arange(compact.n_rows, dtype=np.int64),
+            np.diff(compact.indptr),
         )
-        q_dense = score_ops.densify(
-            batch.dims, batch.vals, batch.rows, self.dim_cap, self.cfg.dtype
+        coo_d = jnp.asarray(
+            pack_coo_i32(rows_b, compact.indices, compact.data, q_rows)
         )
         nq = len(qids)
 
         def fetch(kf: int):
-            s, r = score_ops.topk_scores(
-                self.x, q_dense, np.int32(self.n_rows), kf, "highest"
+            s, r = score_ops.topk_scores_fused(
+                self.x, coo_d, np.int32(self.n_rows), q_rows, kf, "highest"
             )
             return np.asarray(s)[:nq], np.asarray(r)[:nq]
 

@@ -513,6 +513,22 @@ def dense_queries_extract(
     return (buf_i, buf_j), _pack_head(buf_i, buf_j, total, groups)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("q_rows", "k", "precision")
+)
+def topk_scores_fused(
+    x, coo, n_rows, q_rows: int, k: int, precision: str = "highest"
+):
+    """``topk_scores`` with the query densify fused in (one flat-COO H2D +
+    one dispatch — same contract as ``queries_match_fused``)."""
+    rows, cols = coo[0], coo[1]
+    vals = jax.lax.bitcast_convert_type(coo[2], jnp.float32)
+    q = jnp.zeros((q_rows, x.shape[1]), x.dtype).at[rows, cols].add(
+        vals.astype(x.dtype), mode="drop", unique_indices=True
+    )
+    return topk_scores(x, q, n_rows, k, precision)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "precision"))
 def topk_scores(x, q, n_rows, k: int, precision: str = "highest"):
     """Top-k cosine neighbors per dense query row: (scores [T, k],

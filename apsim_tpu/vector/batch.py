@@ -38,6 +38,26 @@ def pow2_bucket(x: int, lo: int = 64) -> int:
     return n
 
 
+def pack_coo_i32(rows, cols, vals, pad_row: int, lo: int = 1024):
+    """One flat ``[3, ecap]`` int32 COO array: rows / cols / fp32 value
+    bits, pow2-bucketed with padding rows = ``pad_row`` (dropped by XLA's
+    out-of-bounds scatter rule).  ONE array means ONE H2D transfer — on
+    this environment's host link every separate ``jnp.asarray`` costs a
+    serialized ~25 ms round trip (measured: 3 small transfers 75.7 ms vs 1
+    packed 27.0 ms) — and O(nnz) bytes where a padded ``[rows, max_nnz]``
+    layout pays for the longest document on every row.  Shared by the
+    fused streaming insert, the fused frozen match, and the fused topk."""
+    ecap = pow2_bucket(max(rows.size, 1), lo)
+    coo = np.empty((3, ecap), np.int32)
+    coo[0, : rows.size] = rows
+    coo[0, rows.size :] = pad_row
+    coo[1, : cols.size] = cols
+    coo[1, cols.size :] = 0
+    coo[2, : vals.size] = vals.astype(np.float32).view(np.int32)
+    coo[2, vals.size :] = 0
+    return coo
+
+
 @dataclasses.dataclass
 class CSRMatrix:
     """Host-side CSR: ``indptr`` int64 [n_rows+1], ``indices`` int32 [nnz]

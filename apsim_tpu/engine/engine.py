@@ -39,7 +39,7 @@ from ..index.compact import CompactSpace
 from ..utils.jaxsetup import setup_jax
 from ..ops import rescore as rescore_ops
 from ..ops import score as score_ops
-from ..vector.batch import CSRMatrix, PaddedBatch, pack_coo_i32, round_up
+from ..vector.batch import CSRMatrix, pack_coo_i32, round_up
 from ..vector.sparse import SparseVector
 from .output import PairResult, SimilarityOutput
 
@@ -385,37 +385,27 @@ class Engine:
         )
 
     def _scatter_rows(self, compact_csr: CSRMatrix, row_offset: int) -> None:
-        """Chunked padded scatter of compact CSR rows into the device matrix.
+        """Chunked flat-COO scatter of compact CSR rows into the device
+        matrix: one O(nnz) packed H2D + one donated dispatch per ~4M-entry
+        chunk (the padded ``[rows, max_nnz]`` form this replaced paid for
+        the longest document on every row and transferred dims and vals
+        separately).  Entry counts are pow2-bucketed inside the pack so a
+        stream of arbitrary batch shapes compiles O(log) variants."""
+        import jax.numpy as jnp
 
-        Rows and nnz width are padded to power-of-two buckets so a stream of
-        arbitrary batch shapes compiles O(log) ``insert_rows`` variants
-        (padded rows carry ``pad_dim`` entries and scatter nothing)."""
-        chunk = 4096
-        dim_cap = int(self.x.shape[1])
-        from ..vector.batch import pow2_bucket
-
-        for s in range(0, compact_csr.n_rows, chunk):
-            e = min(s + chunk, compact_csr.n_rows)
-            indptr = (compact_csr.indptr[s : e + 1] - compact_csr.indptr[s]).astype(
-                np.int64
+        nnz = int(compact_csr.indptr[-1])
+        rows_all = row_offset + np.repeat(
+            np.arange(compact_csr.n_rows, dtype=np.int64),
+            np.diff(compact_csr.indptr),
+        )
+        chunk = 1 << 22  # ~48 MB of packed COO per dispatch
+        for s in range(0, nnz, chunk):
+            e = min(s + chunk, nnz)
+            coo = pack_coo_i32(
+                rows_all[s:e], compact_csr.indices[s:e],
+                compact_csr.data[s:e], self.row_cap,
             )
-            lo, hi = int(compact_csr.indptr[s]), int(compact_csr.indptr[e])
-            sub = CSRMatrix(
-                e - s,
-                compact_csr.n_cols,
-                indptr,
-                compact_csr.indices[lo:hi],
-                compact_csr.data[lo:hi],
-            )
-            batch = PaddedBatch.from_csr(
-                sub, pad_dim=dim_cap, rows=pow2_bucket(e - s, 32)
-            )
-            self.x = score_ops.insert_rows(
-                self.x,
-                batch.dims,
-                batch.vals,
-                np.int32(row_offset + s),
-            )
+            self.x = score_ops.scatter_coo(self.x, jnp.asarray(coo))
 
     def _append_shadow(self, csr: CSRMatrix) -> None:
         nnz = int(csr.indptr[-1])

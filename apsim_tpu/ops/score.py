@@ -144,6 +144,19 @@ def scatter_entries(x, rows, cols, vals):
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def scatter_coo(x, coo):
+    """``scatter_entries`` from ONE packed ``[3, ecap]`` int32 COO array
+    (rows / cols / fp32 value bits — ``vector.batch.pack_coo_i32``): one
+    H2D transfer instead of three, O(nnz) bytes instead of the padded
+    row layout.  Padding rows carry ``row_cap`` and drop out of bounds."""
+    rows, cols = coo[0], coo[1]
+    vals = jax.lax.bitcast_convert_type(coo[2], jnp.float32)
+    return x.at[rows, cols].add(
+        vals.astype(x.dtype), mode="drop", unique_indices=True
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("row_cap", "dim_cap"))
 def grow(x, row_cap: int, dim_cap: int):
     """Copy into a larger zero matrix (capacity-doubling growth)."""

@@ -1,5 +1,7 @@
-"""Core device ops: densify, index update, tiled MXU scoring with on-device
-pair extraction, top-k.
+"""Core device ops: flat-COO index update, tiled MXU scoring with on-device
+pair extraction, top-k.  All ingest paths move sparse batches as ONE packed
+``[3, ecap]`` int32 COO transfer (``vector.batch.pack_coo_i32``) and densify
+on device inside the consuming call.
 
 This is the TPU replacement for the reference's hot path — the
 ``querySimilarItems`` posting-list walk (IndexingWorkerActor.scala:74-111)
@@ -36,9 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "densify",
     "new_index_matrix",
-    "insert_rows",
     "grow",
     "allpairs_extract",
     "match_tile_extract",
@@ -106,32 +106,8 @@ def _precision(name: str):
     }[name]
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "cols", "dtype"))
-def densify(dims, vals, rows: int, cols: int, dtype: str = "float32"):
-    """Scatter a padded sparse batch ``dims/vals [M, K]`` into a dense
-    ``[rows, cols]`` matrix.  Padding entries carry ``dims == cols`` (one past
-    the last column) and are dropped by XLA's out-of-bounds scatter rule."""
-    out = jnp.zeros((rows, cols), dtype=jnp.dtype(dtype))
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, dims.shape, 0)
-    return out.at[row_ids, dims].add(
-        vals.astype(out.dtype), mode="drop", unique_indices=True
-    )
-
-
 def new_index_matrix(row_cap: int, dim_cap: int, dtype: str = "float32"):
     return jnp.zeros((row_cap, dim_cap), dtype=jnp.dtype(dtype))
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def insert_rows(x, dims, vals, row_offset):
-    """Scatter-append a padded batch into the index matrix starting at
-    ``row_offset`` (donated, in-place on device) — the TPU analog of the
-    WriteWorker's micro-batched flush into the inverted index
-    (WriteWorkerActor.scala:164-183 → IndexingWorkerActor.buildInvertedIndex)."""
-    row_ids = row_offset + jax.lax.broadcasted_iota(jnp.int32, dims.shape, 0)
-    return x.at[row_ids, dims].add(
-        vals.astype(x.dtype), mode="drop", unique_indices=True
-    )
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

@@ -107,3 +107,22 @@ def test_padded_batch():
     assert b.dims[1, 1] == 10  # padding points one past the last column
     np.testing.assert_array_equal(b.lengths, [3, 1])
     assert b.vals.dtype == np.float32
+
+
+def test_pack_coo_i32():
+    from apsim_tpu.vector.batch import pack_coo_i32
+
+    rows = np.array([5, 9], np.int64)
+    cols = np.array([3, 7], np.int64)
+    vals = np.array([1.25, -2.5], np.float64)
+    coo = pack_coo_i32(rows, cols, vals, pad_row=16, lo=4)
+    assert coo.shape == (3, 4) and coo.dtype == np.int32
+    np.testing.assert_array_equal(coo[0], [5, 9, 16, 16])  # pad -> pad_row
+    np.testing.assert_array_equal(coo[1], [3, 7, 0, 0])
+    # fp32 value bits roundtrip exactly
+    np.testing.assert_array_equal(
+        coo[2, :2].view(np.float32), np.float32([1.25, -2.5])
+    )
+    assert coo[2, 2] == 0 and coo[2, 3] == 0
+    empty = pack_coo_i32(rows[:0], cols[:0], vals[:0], pad_row=8, lo=4)
+    assert empty.shape == (3, 4) and (empty[0] == 8).all()

@@ -205,6 +205,11 @@ class Engine:
             "pairs_emitted": 0,
             "insert_batches": 0,
             "dormant_dims": 0,
+            # dispatch-path mix: 1-tile fused / 2-tile fused window /
+            # separate scatter + windowed per-tile match
+            "insert_fused": 0,
+            "insert_fused2": 0,
+            "insert_slowpath": 0,
         }
         from ..utils.logging import Timer
 
@@ -794,6 +799,7 @@ class Engine:
         )
         if (single_tile or two_tile) and csr.n_rows <= 4096:
             win = tile if single_tile else 2 * tile
+            self.stats["insert_fused" if single_tile else "insert_fused2"] += 1
             # fused scatter+match: one device round trip per micro-batch;
             # flat COO (batch entries + activated dormant entries together)
             # keeps H2D at O(nnz) — the padded [batch, max_row_nnz] layout
@@ -829,6 +835,7 @@ class Engine:
                 first_tile, tau_eff, win, tau,
             )
             return pending if defer else pending.result()
+        self.stats["insert_slowpath"] += 1
         if act is not None:
             self._scatter_activation(act)
             self._commit_activation(act)

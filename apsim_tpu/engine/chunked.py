@@ -194,10 +194,10 @@ class ChunkedAllPairs:
     def _place_q(self, q):
         return q
 
-    def _op_append(self, chunk_idx, slot_idx, r, lc, v):
-        self._ent = chunked_ops.append_entries(
-            *self._ent, chunk_idx, slot_idx, r, lc, v
-        )
+    def _op_append(self, coo5):
+        """Append one packed ``[5, ecap]`` int32 device array of entries
+        (chunk / slot / row / local / fp32 bits) into the chunk buffers."""
+        self._ent = chunked_ops.append_entries_packed(*self._ent, coo5)
         # keep the resident match slabs consistent: same (chunk, row, local,
         # value) scatter, same OOB-drop padding contract.  A geometry change
         # (row_cap quantum crossed / chunk width doubled) drops the cache
@@ -211,9 +211,7 @@ class ChunkedAllPairs:
             if (m.shape[1], m.shape[2]) != (self.row_cap, self._chunk_width):
                 self._mslab = None
             else:
-                self._mslab = chunked_ops.append_match_slabs(
-                    m, chunk_idx, r, lc, v
-                )
+                self._mslab = chunked_ops.append_match_slabs_packed(m, coo5)
 
     def _op_grow(self, new_cap: int):
         self._ent = chunked_ops.grow_entry_cap(
@@ -596,21 +594,22 @@ class ChunkedAllPairs:
         slot = (
             np.arange(chunk.size) - starts[ch] + self._counts[ch]
         ).astype(np.int32)
+        # ONE packed [5, cap_e] int32 H2D (chunk / slot / row / local / fp32
+        # bits) — the five-array form paid five serialized ~25 ms transfer
+        # round trips per streaming batch on this host link; padding rows
+        # carry chunk == n_chunks (out of bounds -> dropped)
         cap_e = pow2_bucket(max(chunk.size, 1), 256)
-        pad = cap_e - chunk.size
-        self._op_append(
-            jnp.asarray(np.concatenate(
-                [ch, np.full(pad, self._n_chunks)]).astype(np.int32)),
-            jnp.asarray(np.concatenate(
-                [slot, np.zeros(pad, np.int32)]).astype(np.int32)),
-            jnp.asarray(np.concatenate(
-                [np.asarray(rows_of)[order], np.zeros(pad, np.int64)]
-            ).astype(np.int32)),
-            jnp.asarray(np.concatenate(
-                [local[order], np.zeros(pad, np.int64)]).astype(np.int32)),
-            jnp.asarray(np.concatenate(
-                [np.asarray(vals)[order], np.zeros(pad)]).astype(np.float32)),
+        coo5 = np.empty((5, cap_e), np.int32)
+        coo5[0, : chunk.size] = ch
+        coo5[0, chunk.size :] = self._n_chunks
+        coo5[1, : chunk.size] = slot
+        coo5[2, : chunk.size] = np.asarray(rows_of)[order]
+        coo5[3, : chunk.size] = local[order]
+        coo5[4, : chunk.size] = (
+            np.asarray(vals)[order].astype(np.float32).view(np.int32)
         )
+        coo5[1:, chunk.size :] = 0
+        self._op_append(jnp.asarray(coo5))
         self._counts = self._counts + add
         self._counts_dev = self._place_counts(self._counts)
 

@@ -43,7 +43,7 @@ from .score import HEAD_JOIN, _extract, _pack_head, _precision
 __all__ = [
     "bucket_entries",
     "bucket_split_entries",
-    "append_entries",
+    "append_entries_packed",
     "grow_entry_cap",
     "chunked_stripe_extract",
     "chunked_match_extract",
@@ -51,7 +51,7 @@ __all__ = [
     "cached_match_extract_bits",
     "match_epilogue_bits",
     "build_match_slabs",
-    "append_match_slabs",
+    "append_match_slabs_packed",
     "cached_topk",
     "chunked_topk",
     "join_epilogue_bits",
@@ -116,13 +116,36 @@ def bucket_split_entries(
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def append_entries(rows2d, cols2d, vals2d, chunk_idx, slot_idx, r, lc, v):
-    """Donated scatter-append of new entries at (chunk, slot); padding
-    entries carry ``chunk_idx == n_chunks`` and are dropped."""
+def append_entries_packed(rows2d, cols2d, vals2d, coo5):
+    """Donated scatter-append of new entries at (chunk, slot) from ONE
+    packed ``[5, ecap]`` int32 array — rows: chunk / slot / global row /
+    local col / fp32 value bits.  One H2D transfer instead of five (each
+    separate ``jnp.asarray`` is a serialized ~25 ms round trip on this
+    environment's host link, so the five-array form paid ~125 ms of pure
+    transfer per streaming batch).  Padding entries carry
+    ``chunk == n_chunks`` and are dropped."""
+    chunk_idx, slot_idx, r, lc = coo5[0], coo5[1], coo5[2], coo5[3]
+    v = jax.lax.bitcast_convert_type(coo5[4], jnp.float32)
     rows2d = rows2d.at[chunk_idx, slot_idx].set(r, mode="drop")
     cols2d = cols2d.at[chunk_idx, slot_idx].set(lc, mode="drop")
     vals2d = vals2d.at[chunk_idx, slot_idx].set(v, mode="drop")
     return rows2d, cols2d, vals2d
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def append_match_slabs_packed(mslab, coo5):
+    """Incremental resident-slab update fed by the same packed array as
+    ``append_entries_packed`` (slot row unused here): scatter-set the
+    batch's (chunk, row, local-col, value) entries (donated, in-place).
+    Padding entries carry ``chunk == n_chunks`` and drop via the
+    out-of-bounds rule — the same contract as the entry-buffer append, so
+    the two structures stay bit-consistent (fp32→slab-dtype rounding is
+    identical to ``_densify_chunk``'s)."""
+    chunk_idx, r, lc = coo5[0], coo5[2], coo5[3]
+    v = jax.lax.bitcast_convert_type(coo5[4], jnp.float32)
+    return mslab.at[chunk_idx, r, lc].set(
+        v.astype(mslab.dtype), mode="drop", unique_indices=True
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("new_cap", "pad_row"))
@@ -163,19 +186,6 @@ def build_match_slabs(
     return jax.lax.fori_loop(
         0, n_chunks, body,
         jnp.zeros((n_chunks, row_cap, chunk_dim), dt),
-    )
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def append_match_slabs(mslab, chunk_idx, r, lc, v):
-    """Incremental slab update mirroring ``append_entries``: scatter-set the
-    batch's (chunk, row, local-col, value) entries into the resident slabs
-    (donated, in-place).  Padding entries carry ``chunk_idx == n_chunks`` and
-    drop via the out-of-bounds rule — the same contract as the entry-buffer
-    append, so the two structures stay bit-consistent (fp32→slab-dtype
-    rounding is identical to ``_densify_chunk``'s)."""
-    return mslab.at[chunk_idx, r, lc].set(
-        v.astype(mslab.dtype), mode="drop", unique_indices=True
     )
 
 

@@ -294,7 +294,12 @@ def mesh_append_entries(mesh: Mesh, axis: str):
     """Compiled donated append: each device keeps the batch entries whose
     global chunk lands in its shard (localized index, OOB-dropped scatter)."""
 
-    def local(rows2d, cols2d, vals2d, chunk_idx, slot_idx, r, lc, v):
+    def local(rows2d, cols2d, vals2d, coo5):
+        # ONE replicated packed [5, ecap] int32 array (chunk / slot / row /
+        # local / fp32 value bits) — same H2D-count rationale as
+        # ops/chunked.append_entries_packed
+        chunk_idx, slot_idx, r, lc = coo5[0], coo5[1], coo5[2], coo5[3]
+        v = jax.lax.bitcast_convert_type(coo5[4], jnp.float32)
         n_local = rows2d.shape[0]
         me = jax.lax.axis_index(axis)
         loc = chunk_idx - me * n_local
@@ -309,8 +314,7 @@ def mesh_append_entries(mesh: Mesh, axis: str):
         local,
         mesh=mesh,
         in_specs=(
-            P(axis, None), P(axis, None), P(axis, None),
-            P(), P(), P(), P(), P(),
+            P(axis, None), P(axis, None), P(axis, None), P(),
         ),
         out_specs=(P(axis, None), P(axis, None), P(axis, None)),
         check_vma=False,  # outputs are deliberately device-varying

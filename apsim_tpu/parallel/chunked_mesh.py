@@ -110,9 +110,9 @@ class MeshChunkedAllPairs(ChunkedAllPairs):
         )
 
     # ------------------------------------------------------------------ ops
-    def _op_append(self, chunk_idx, slot_idx, r, lc, v):
+    def _op_append(self, coo5):
         fn = cm_ops.mesh_append_entries(self.mesh, AXIS)
-        self._ent = fn(*self._ent, chunk_idx, slot_idx, r, lc, v)
+        self._ent = fn(*self._ent, coo5)
 
     def _op_grow(self, new_cap: int):
         fn = cm_ops.mesh_grow_entry_cap(

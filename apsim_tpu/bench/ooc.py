@@ -118,11 +118,21 @@ def run_ooc(
             t0 = time.time()
             eng.insert(batch[s : s + bs], tau=tau)
             times.append(time.time() - t0)
+        # which match path served the stream (resident slabs / host spGEMM
+        # / device rebuild) — the round-4 cost router's decision, recorded
+        # so throughput numbers are attributable
+        sample = extra.indices[: extra.indptr[min(bs, extra.n_rows)]]
+        path = (
+            "resident_slabs" if eng._match_slabs() is not None
+            else "host_spgemm" if eng._use_host_match(sample)
+            else "device_rebuild"
+        )
         report["stream"] = {
             "rows": stream_rows,
             "batch": bs,
             "median_batch_seconds": float(np.median(times)),
             "steady_vectors_per_sec": bs / float(np.median(times)),
+            "match_path": path,
         }
         report["hbm_after_stream"] = _hbm_stats()
 

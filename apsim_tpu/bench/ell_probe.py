@@ -38,7 +38,14 @@ import numpy as np
 
 def to_ell(csr, n_rows: int, K: int, compact_dims: int):
     """CSR -> ELL (idx, val, spilled_entries). Pad idx with ``compact_dims``
-    (one past the last real dim — gathers read a zero pad row there)."""
+    (one past the last real dim — gathers read a zero pad row there).
+
+    NOTE (timing probe only): rows with nnz > K keep their first K entries
+    in dim-id order, NOT the K largest by |value|.  An ENGINE integration
+    must keep top-|val| entries per row and route the spill to a COO
+    side-match, otherwise high-weight entries spill arbitrarily and the
+    tau-margin superset guarantee breaks.  For measuring the gather
+    contraction's cost the entry choice is irrelevant."""
     idx = np.full((n_rows, K), compact_dims, np.int32)
     val = np.zeros((n_rows, K), np.float32)
     spilled = 0
@@ -77,7 +84,9 @@ def main() -> None:
     print(
         f"ELL K={K}: {time.time() - t0:.1f}s host build, spilled "
         f"{spilled} entries ({spilled / csr.indices.size:.2%}), "
-        f"device bytes={idx_h.nbytes + val_h.nbytes >> 20} MiB(int32+f32)",
+        f"device bytes="
+        f"{(idx_h.nbytes + val_h.nbytes // 2) >> 20} MiB (idx int32 + "
+        f"val bf16, the dtypes actually device-put below)",
         flush=True,
     )
 

@@ -51,6 +51,7 @@ def main() -> None:
         cursor += k
         return batch
 
+    unpiped_tot_ms = {}  # bs -> unpipelined total median (ms)
     for bs in (1, 32, 256):
         # warm the shape bucket first (compile + first-execution)
         pend = eng.insert(take(bs), tau=tau, defer=True)
@@ -67,6 +68,7 @@ def main() -> None:
             comp.append(t2 - t1)
             tot.append(t2 - t0)
         med = lambda v: sorted(v)[len(v) // 2] * 1e3  # noqa: E731
+        unpiped_tot_ms[bs] = med(tot)
         print(
             f"bs={bs:4d}: enqueue {med(enq):6.1f} ms | complete "
             f"{med(comp):6.1f} ms | total {med(tot):6.1f} ms "
@@ -97,9 +99,11 @@ def main() -> None:
     # attributed").  The fused insert's serialized link legs are the coo
     # H2D and the packed-head D2H — two round trips the axon tunnel prices
     # at ~28 ms each and a locally-attached chip prices at ~0.  Measure
-    # the link floor directly (dispatch+fetch of a one-element ready
-    # array, the same sync discipline as ARCHITECTURE.md's timing rule)
-    # and report the corrected per-batch latency a local chip would see.
+    # each leg separately (ADVICE r4: the D2H floor alone was previously
+    # double-counted as both legs) and apply the correction to the
+    # UNPIPELINED total median — in the one-deep pipeline, batch N's D2H
+    # overlaps batch N+1's host work, so part of the link latency is
+    # already hidden and subtracting it again would inflate the estimate.
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -107,19 +111,30 @@ def main() -> None:
     one = jnp.zeros((1,), jnp.int32)
     fetch = jax.jit(lambda a: a + 1)
     np.asarray(fetch(one))  # compile + first execution
-    floors = []
+    d2h, h2d_rt = [], []
+    host_one = np.zeros((1,), np.int32)
     for _ in range(9):
         t0 = time.time()
-        np.asarray(fetch(one))
-        floors.append(time.time() - t0)
-    floor_ms = sorted(floors)[len(floors) // 2] * 1e3
+        np.asarray(fetch(one))  # device-resident in: D2H round trip only
+        d2h.append(time.time() - t0)
+        t0 = time.time()
+        np.asarray(jax.device_put(host_one))  # H2D put + D2H fetch
+        h2d_rt.append(time.time() - t0)
+    med_s = lambda v: sorted(v)[len(v) // 2]  # noqa: E731
+    floor_d2h = med_s(d2h) * 1e3
+    floor_h2d = max(med_s(h2d_rt) * 1e3 - floor_d2h, 0.0)
+    link_ms = floor_h2d + floor_d2h
     pipe_ms = dt / n_b * 1e3
-    corr_ms = max(pipe_ms - 2 * floor_ms, 0.0)
+    unp_ms = unpiped_tot_ms[bs]
+    corr_ms = max(unp_ms - link_ms, 0.0)
     print(
-        f"link floor (noop dispatch+fetch): {floor_ms:.1f} ms; "
-        f"tunnel-corrected pipelined bs={bs}: {corr_ms:.1f} ms/batch "
-        f"(pipelined - 2 link RTs [coo H2D + head D2H]; "
-        f"{bs / (corr_ms / 1e3):.0f} vec/s local-chip estimate)",
+        f"link floors: D2H {floor_d2h:.1f} ms, H2D {floor_h2d:.1f} ms; "
+        f"tunnel-corrected UNPIPELINED bs={bs}: {corr_ms:.1f} ms/batch "
+        f"(= {unp_ms:.1f} - {link_ms:.1f} link; "
+        f"{bs / (corr_ms / 1e3):.0f} vec/s local-chip estimate); "
+        f"pipelined-corrected {max(pipe_ms - link_ms, 0.0):.1f} ms/batch "
+        f"is a LOWER BOUND on latency only (pipeline already hides part "
+        f"of the link)",
         flush=True,
     )
 

@@ -46,9 +46,10 @@ TAU = 0.8
 BASELINE_ROWS = 1200  # prefix for the CPU reference port (~1 min)
 REPEATS = 9  # the device tunnel here is noisy (3x run-to-run spread);
              # median of 9 keeps the metric stable
-PROBE_ATTEMPTS = 3
+PROBE_ATTEMPTS = 6  # r4 lesson: 3x300s missed an outage that recovered
+                    # within hours; 6 probes + growing backoff spans ~1 h
 PROBE_TIMEOUT_S = 300.0  # covers the ~225 s one-time device init
-PROBE_BACKOFF_S = 60.0
+PROBE_BACKOFF_S = 120.0  # grows linearly per attempt (120/240/360/480/600)
 
 
 def log(msg: str) -> None:

@@ -95,6 +95,43 @@ def main() -> None:
         flush=True,
     )
 
+    # ---- result() stage decomposition (--stages): where does `complete`
+    # go?  Fetch (packed-head D2H wait), parse (consume_packed), emit
+    # (fp64 rescore + output shaping).  Uses PendingInsert internals — a
+    # probe, not API.
+    if "--stages" in sys.argv:
+        import numpy as np
+
+        from ..ops import score as score_ops
+
+        for sbs in (1, 256):
+            eng.insert(take(sbs), tau=tau, defer=True).result()  # warm
+            f_t, p_t, e_t = [], [], []
+            for _ in range(9):
+                pend = eng.insert(take(sbs), tau=tau, defer=True)
+                (e_, bufs, packed, cap, grp, n0, n_after, first_tile,
+                 tau_eff, tile, tau_) = pend._e
+                t0 = time.time()
+                packed_h = np.asarray(packed)
+                t1 = time.time()
+                pairs, _needed = score_ops.consume_packed(
+                    bufs, packed_h, cap, grp
+                )
+                t2 = time.time()
+                assert pairs is not None  # steady caps: no overflow retry
+                eng._emit_query_results(pairs[1], pairs[0], tau_)
+                t3 = time.time()
+                f_t.append(t1 - t0)
+                p_t.append(t2 - t1)
+                e_t.append(t3 - t2)
+            med = lambda v: sorted(v)[len(v) // 2] * 1e3  # noqa: E731
+            print(
+                f"stages bs={sbs:4d}: fetch {med(f_t):6.1f} ms | parse "
+                f"{med(p_t):6.1f} ms | emit {med(e_t):6.1f} ms "
+                f"(head cap={cap}, packed={packed_h.nbytes >> 10} KiB)",
+                flush=True,
+            )
+
     # ---- tunnel attribution (VERDICT r3 #4: "tunnel RTT excluded or
     # attributed").  The fused insert's serialized link legs are the coo
     # H2D and the packed-head D2H — two round trips the axon tunnel prices

@@ -207,7 +207,12 @@ def cmd_serve(args) -> int:
             from .serve.replica import follow
 
             print("follower: replaying op log", flush=True)
-            n, clean = follow(engine, host, int(port), cfg.auth_token)
+            # the follower's store (same --store path: shared volume /
+            # filesystem) lets bulk loads replicate as a table name +
+            # content hash instead of the corpus itself
+            n, clean = follow(
+                engine, host, int(port), cfg.auth_token, store=store,
+            )
             if not clean:
                 # leader died mid-log: this replica holds its full state —
                 # exit nonzero so a supervisor restarts it as the new

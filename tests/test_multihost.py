@@ -516,3 +516,178 @@ def test_restore_from_engine_replicates_frozen_flag():
     assert done and done[0][1]
     assert fresh.n_rows == 1
     assert fresh.frozen, "freeze flag was not replicated on catch-up"
+
+
+def test_oplog_bulk_build_framed_50k():
+    """VERDICT r4 #6: a bulk corpus must replicate WITHOUT materializing as
+    JSON lists.  50k rows / >1M nnz ships as bounded binary frames
+    (build_begin / build_chunk / build_end) and arrives bit-exact."""
+    import threading
+
+    import numpy as np
+
+    from apsim_tpu.bench.scale import synthetic_corpus
+    from apsim_tpu.serve.replica import _JSON_NNZ_LIMIT, OpLogLeader, follow
+
+    csr = synthetic_corpus(50_000, nnz_mean=30, seed=3)
+    assert int(csr.indptr[-1]) > _JSON_NNZ_LIMIT  # really takes the framed path
+
+    class Cfg:
+        vector_dim = csr.n_cols
+
+    class Recorder:
+        cfg = Cfg()
+
+        def build(self, got, ids):
+            self.got, self.got_ids = got, list(ids)
+
+    leader_eng, follower_eng = Recorder(), Recorder()
+    leader = OpLogLeader(leader_eng, port=0, n_followers=1)
+    done = []
+
+    def run_follower():
+        done.append(follow(follower_eng, leader.host, leader.port))
+
+    t = threading.Thread(target=run_follower, daemon=True)
+    t.start()
+    leader.wait_followers()
+    ids = [f"d{i}" for i in range(csr.n_rows)]
+    leader.build(csr, ids)
+    leader.close()
+    t.join(120)
+    assert done and done[0][1], "follower did not finish cleanly"
+    got = follower_eng.got
+    np.testing.assert_array_equal(got.indptr, csr.indptr)
+    np.testing.assert_array_equal(got.indices, csr.indices)
+    np.testing.assert_array_equal(got.data, csr.data)  # bit-exact fp64
+    assert follower_eng.got_ids == ids
+    # and the leader side executed the identical build locally
+    assert leader_eng.got is csr and leader_eng.got_ids == ids
+
+
+def test_oplog_framed_build_engine_parity(monkeypatch):
+    """End-to-end: the framed wire form feeds a REAL engine on both sides
+    and the replicas answer all_pairs identically (the collective-lockstep
+    contract, now through binary frames)."""
+    import threading
+
+    from apsim_tpu import AllPairsConfig, Engine
+    from apsim_tpu.serve import replica
+    from apsim_tpu.serve.replica import OpLogLeader, follow
+    from apsim_tpu.vector.sparse import Vectors
+
+    monkeypatch.setattr(replica, "_JSON_NNZ_LIMIT", 0)  # force framing
+    cfg = AllPairsConfig(
+        vector_dim=200, query_tile=32, row_bucket=32, dim_bucket=64
+    )
+    leader_eng, follower_eng = Engine(cfg), Engine(cfg)
+    leader = OpLogLeader(leader_eng, port=0, n_followers=1)
+    done = []
+
+    def run_follower():
+        done.append(follow(follower_eng, leader.host, leader.port))
+
+    t = threading.Thread(target=run_follower, daemon=True)
+    t.start()
+    leader.wait_followers()
+    leader.build([
+        ("a", Vectors.sparse(200, [1, 2], [0.6, 0.8])),
+        ("b", Vectors.sparse(200, [1, 2], [0.6, 0.8])),
+        ("c", Vectors.sparse(200, [7], [1.0])),
+    ])
+    res = leader.all_pairs(0.5)
+    leader.close()
+    t.join(60)
+    assert done and done[0][1]
+    assert follower_eng.n_rows == 3
+    assert follower_eng.all_pairs(0.5).pair_set() == res.pair_set()
+
+
+def test_oplog_load_table_ships_reference_not_corpus(tmp_path):
+    """Replicated bulk load through a shared VectorStore: the op log
+    carries table name + content hash; leader and follower ingest the
+    IDENTICAL batch sequence from their own store reads."""
+    import threading
+
+    from apsim_tpu.bench.scale import synthetic_corpus
+    from apsim_tpu.etl.store import VectorStore
+    from apsim_tpu.serve.replica import OpLogLeader, follow
+
+    csr = synthetic_corpus(50_000, nnz_mean=8, seed=5)
+    store = VectorStore(str(tmp_path / "store"), run_mode="PRODUCT")
+    store.write("corpus", csr)
+
+    class Cfg:
+        vector_dim = csr.n_cols
+
+    class Recorder:
+        cfg = Cfg()
+
+        def __init__(self):
+            self.batches = []
+
+        def insert(self, batch, tau=None, bulk=False):
+            assert bulk
+            self.batches.append([vid for vid, _ in batch])
+
+    leader_eng, follower_eng = Recorder(), Recorder()
+    leader = OpLogLeader(leader_eng, port=0, n_followers=1)
+    done = []
+
+    def run_follower():
+        done.append(
+            follow(follower_eng, leader.host, leader.port, store=store)
+        )
+
+    t = threading.Thread(target=run_follower, daemon=True)
+    t.start()
+    leader.wait_followers()
+    outs = leader.load_table(store, "corpus", 0, csr.n_rows - 1,
+                             io_range_num=4, max_io_workers=4)
+    leader.close()
+    t.join(120)
+    assert done and done[0][1]
+    assert leader_eng.batches == follower_eng.batches
+    assert sum(len(b) for b in leader_eng.batches) == csr.n_rows
+    assert len(outs) == len(leader_eng.batches)
+
+
+def test_oplog_load_table_hash_mismatch_fails_fast(tmp_path):
+    """Two store copies that drifted must kill the replay loudly — NOT
+    bulk-load different corpora into one lockstep mesh."""
+    import threading
+
+    from apsim_tpu.bench.scale import synthetic_corpus
+    from apsim_tpu.etl.store import VectorStore
+    from apsim_tpu.serve.replica import OpLogLeader, follow
+
+    a = VectorStore(str(tmp_path / "a"), run_mode="PRODUCT")
+    b = VectorStore(str(tmp_path / "b"), run_mode="PRODUCT")
+    a.write("corpus", synthetic_corpus(64, nnz_mean=4, seed=1))
+    b.write("corpus", synthetic_corpus(64, nnz_mean=4, seed=2))  # drifted
+
+    class Cfg:
+        vector_dim = 1 << 20
+
+    class Recorder:
+        cfg = Cfg()
+
+        def insert(self, batch, tau=None, bulk=False):
+            pass
+
+    leader = OpLogLeader(Recorder(), port=0, n_followers=1)
+    err = []
+
+    def run_follower():
+        try:
+            follow(Recorder(), leader.host, leader.port, store=b)
+        except RuntimeError as e:
+            err.append(str(e))
+
+    t = threading.Thread(target=run_follower, daemon=True)
+    t.start()
+    leader.wait_followers()
+    leader.load_table(a, "corpus", 0, 63, io_range_num=1, max_io_workers=1)
+    leader.close()
+    t.join(60)
+    assert err and "hash mismatch" in err[0]

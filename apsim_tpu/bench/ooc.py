@@ -54,13 +54,15 @@ def run_ooc(
     panel_rows: int | None = None,
     stream_batch: int = 256,
     stream_only: bool = False,
+    corpus: str = "powerlaw",
 ) -> Dict:
     from ..config import AllPairsConfig
     from ..engine.chunked import ChunkedAllPairs
-    from .scale import synthetic_corpus
+    from .scale import rcv1_like_corpus, synthetic_corpus
 
+    gen = rcv1_like_corpus if corpus == "rcv1" else synthetic_corpus
     t0 = time.time()
-    csr = synthetic_corpus(n_rows)
+    csr = gen(n_rows)
     gen_s = time.time() - t0
     decided = n_rows * (n_rows - 1) / 2
 
@@ -73,6 +75,7 @@ def run_ooc(
 
     report: Dict = {
         "n_rows": n_rows,
+        "corpus": corpus,
         "nnz": int(csr.indptr[-1]),
         "gen_seconds": gen_s,
         "build_seconds": build_s,
@@ -110,7 +113,7 @@ def run_ooc(
         eng._use_panels = True
 
     if stream_rows > 0:
-        extra = synthetic_corpus(stream_rows, seed=99)
+        extra = gen(stream_rows, seed=99)
         batch = [(f"s{i}", extra.row(i)) for i in range(extra.n_rows)]
         times = []
         bs = int(stream_batch)
@@ -134,6 +137,33 @@ def run_ooc(
             "steady_vectors_per_sec": bs / float(np.median(times)),
             "match_path": path,
         }
+        # router generalization check (VERDICT r4 #7): beyond the slab
+        # budget, A/B the two match paths the router chooses between by
+        # FORCING each for a few batches — the artifact then shows whether
+        # the df-mass cost model picked the measured-faster one on THIS
+        # corpus shape, not just on the shape it was calibrated on
+        if eng._match_slabs() is None:
+            ab = {}
+            extra2 = gen(2 * bs, seed=101)
+            probes = [
+                [(f"p{i}", extra2.row(i)) for i in range(bs)],
+                [(f"p{i}", extra2.row(i)) for i in range(bs, 2 * bs)],
+            ]
+            for force, name in ((True, "host_spgemm"),
+                                (False, "device_rebuild")):
+                eng._use_host_match = lambda q, _f=force: _f  # shadow method
+                t0 = time.time()
+                eng.insert(probes.pop(0), tau=tau)
+                ab[name + "_batch_seconds"] = time.time() - t0
+            del eng._use_host_match  # restore the real router
+            ab["router_choice"] = path
+            ab["router_correct"] = (
+                path == "resident_slabs"
+                or ab[path + "_batch_seconds"]
+                == min(ab["host_spgemm_batch_seconds"],
+                       ab["device_rebuild_batch_seconds"])
+            )
+            report["router_ab"] = ab
         report["hbm_after_stream"] = _hbm_stats()
 
     # checkpoint roundtrip cost (VERDICT r3 #7: restore must cost <<
@@ -162,6 +192,9 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:]]
     stripes = "--stripes" in args
+    corpus = "rcv1" if "--rcv1" in args else "powerlaw"
+    if "--rcv1" in args:
+        args.remove("--rcv1")
     stream_only = "--stream-only" in args
     if stream_only:
         args.remove("--stream-only")
@@ -180,7 +213,7 @@ def main() -> None:
     for n in sizes:
         out[str(n)] = run_ooc(
             n, compare_stripes=stripes, stream_rows=stream,
-            stream_batch=sbatch, stream_only=stream_only,
+            stream_batch=sbatch, stream_only=stream_only, corpus=corpus,
         )
         json.dump(out[str(n)], sys.stderr, indent=1)
         print(file=sys.stderr, flush=True)

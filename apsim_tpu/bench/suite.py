@@ -115,6 +115,37 @@ def _ccweb_loadgen_leg(n_vectors: int = 64, dim: int = 512) -> Dict:
         os.unlink(path)
 
 
+def _rcv1_shape_leg(n_rows: int = 4096, taus=(0.7, 0.8)) -> Dict:
+    """Parity of both engine flavors on the RCV1-shaped corpus (flatter df
+    curve, ln-TF·IDF values — scale.rcv1_like_corpus) vs the fp64 oracle."""
+    from ..engine.chunked import ChunkedAllPairs
+    from .scale import rcv1_like_corpus
+
+    csr = rcv1_like_corpus(n_rows)
+    out: Dict = {"n_rows": n_rows, "nnz": int(csr.indptr[-1])}
+    eng = Engine(AllPairsConfig())
+    eng.build(csr)
+    ch = ChunkedAllPairs(AllPairsConfig())
+    ch.build(csr)
+    for tau in taus:
+        want, _ = _oracle_pairs(csr, tau)
+        t0 = time.time()
+        res = eng.all_pairs(tau)
+        dt = time.time() - t0
+        cres = ch.all_pairs(tau)
+        out[f"tau_{tau}"] = {
+            "pairs": res.n_pairs,
+            "dense_parity": {
+                (int(a), int(b)) for a, b in zip(res.i, res.j)
+            } == want,
+            "chunked_parity": {
+                (int(a), int(b)) for a, b in zip(cres.i, cres.j)
+            } == want,
+            "dense_join_seconds": dt,
+        }
+    return out
+
+
 def run_suite(
     csr: CSRMatrix,
     ids: List[str],
@@ -215,6 +246,15 @@ def run_suite(
         "equals_batch_join": stream_ok,
     }
     eng_s.x = None
+
+    # ---- 7: second corpus shape (VERDICT r4 #7) ------------------------------
+    # RCV1-shaped synthetic through BOTH engine flavors with full fp64
+    # oracle parity — the margin/quantization machinery and the chunked
+    # path verified beyond Enron TF-IDF + the power-law synthetic
+    try:
+        report["rcv1_shape"] = _rcv1_shape_leg()
+    except Exception as e:  # the suite must survive a leg failure
+        report["rcv1_shape"] = {"error": repr(e)[:200]}
 
     # ---- 6: CC_WEB-format loadgen end-to-end --------------------------------
     # component 12 exercised through the full protocol — generate a synthetic

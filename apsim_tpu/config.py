@@ -84,6 +84,19 @@ class AllPairsConfig:
                                        # mesh axis (SURVEY.md §2 parallelism
                                        # table, row 2)
     io_trigger_period_ms: int = 10     # conf/app.conf:9 (micro-batch flush)
+    max_flush_batch: int = 4096        # TPU-aware deviation from the
+                                       # reference (which drains its whole
+                                       # buffer per IOTrigger tick): a flush
+                                       # coalesces AT MOST this many vectors
+                                       # per engine micro-batch.  Unbounded
+                                       # coalescing overshoots the
+                                       # throughput-optimal batch (measured
+                                       # r5: 15k-row batches served 375
+                                       # vec/s where 2k-row batches serve
+                                       # 1,322) and keeps minting pow2 shape
+                                       # buckets, each a fresh multi-second
+                                       # jit compile mid-serve.  0 = follow
+                                       # the reference: drain everything.
     output_io_duration_ms: int = 0     # 0 => immediate emission
     run_mode: str = "DEBUG"            # conf/app.conf:16
     io_range_num: int = 1              # conf/app.conf:13

@@ -399,6 +399,35 @@ class Engine:
         import jax.numpy as jnp
 
         nnz = int(compact_csr.indptr[-1])
+        if row_offset > 0:
+            # streaming append: the rows are CONTIGUOUS, so scatter via a
+            # small dense buffer + DMA slice per ≤2048-row chunk — XLA
+            # lowers a scatter into the full index as an O(index) output
+            # pass (~18 ms at 20k×32k, batch-size independent; measured
+            # r5), which dominated every slow-path streaming batch
+            from ..vector.batch import pow2_bucket
+
+            rows_per = 2048
+            for r0 in range(0, compact_csr.n_rows, rows_per):
+                r1 = min(r0 + rows_per, compact_csr.n_rows)
+                e0 = int(compact_csr.indptr[r0])
+                e1 = int(compact_csr.indptr[r1])
+                bs_cap = min(pow2_bucket(r1 - r0, 256), self.row_cap)
+                s0 = max(0, min(row_offset + r0, self.row_cap - bs_cap))
+                rows_local = (
+                    row_offset + r0 - s0
+                ) + np.repeat(
+                    np.arange(r1 - r0, dtype=np.int64),
+                    np.diff(compact_csr.indptr[r0 : r1 + 1]),
+                )
+                coo = pack_coo_i32(
+                    rows_local, compact_csr.indices[e0:e1],
+                    compact_csr.data[e0:e1], bs_cap,
+                )
+                self.x = score_ops.scatter_rows_sliced(
+                    self.x, jnp.asarray(coo), np.int32(s0), bs_cap
+                )
+            return
         rows_all = row_offset + np.repeat(
             np.arange(compact_csr.n_rows, dtype=np.int64),
             np.diff(compact_csr.indptr),
@@ -800,31 +829,33 @@ class Engine:
         if (single_tile or two_tile) and csr.n_rows <= 4096:
             win = tile if single_tile else 2 * tile
             self.stats["insert_fused" if single_tile else "insert_fused2"] += 1
-            # fused scatter+match: one device round trip per micro-batch;
-            # flat COO (batch entries + activated dormant entries together)
-            # keeps H2D at O(nnz) — the padded [batch, max_row_nnz] layout
-            # this used before paid for the longest document on every row
+            # fused append+match: one device round trip per micro-batch;
+            # flat COO keeps H2D at O(nnz).  The batch's rows are shipped
+            # LOCAL to a slice window so the device append is a small-buffer
+            # scatter + DMA slice, not an O(index) full-output scatter pass
+            # (see insert_match_fused).  Activated dormant entries touch
+            # older non-contiguous rows — they go through their own async
+            # scatter dispatch first (index-before-query order preserved)
             from ..vector.batch import pow2_bucket
             import jax.numpy as jnp
 
-            rows_b = n0 + np.repeat(
+            if act is not None:
+                self._scatter_activation(act)
+                self._commit_activation(act)
+            bs_cap = min(pow2_bucket(csr.n_rows, 256), self.row_cap)
+            s0 = max(0, min(n0, self.row_cap - bs_cap))
+            rows_b = (n0 - s0) + np.repeat(
                 np.arange(csr.n_rows, dtype=np.int64),
                 np.diff(compact_csr.indptr),
             )
             cols_b = compact_csr.indices.astype(np.int64)
             vals_b = compact_csr.data
-            if act is not None:
-                rows_b = np.concatenate([act[0], rows_b])
-                cols_b = np.concatenate([act[1], cols_b])
-                vals_b = np.concatenate([act[2], vals_b])
-            coo = pack_coo_i32(rows_b, cols_b, vals_b, self.row_cap)
+            coo = pack_coo_i32(rows_b, cols_b, vals_b, bs_cap)
             self.x, bufs, packed = score_ops.insert_match_fused(
                 self.x, jnp.asarray(coo),
-                np.int32(first_tile), np.int32(n0), tau_eff, win, cap,
-                self.cfg.matmul_precision, grp,
+                np.int32(s0), np.int32(first_tile), np.int32(n0), tau_eff,
+                win, cap, bs_cap, self.cfg.matmul_precision, grp,
             )
-            if act is not None:
-                self._commit_activation(act)
             self.stats["candidates_scored"] += self.n_rows * min(
                 win, self.n_rows - first_tile
             )
@@ -1454,6 +1485,7 @@ class Engine:
                 ),
                 shape=np.array([shadow.n_rows, shadow.n_cols], np.int64),
                 meta_json=np.array(json.dumps(meta)),
+                **self._extra_npz(),
             )
             f.flush()
             os.fsync(f.fileno())
@@ -1462,6 +1494,13 @@ class Engine:
         with open(meta_tmp, "w", encoding="utf-8") as f:
             json.dump(meta, f)
         os.replace(meta_tmp, os.path.join(path, "meta.json"))
+
+    def _extra_npz(self) -> dict:
+        """Flavor-specific extra checkpoint arrays (the chunked engine
+        stores its device-layout mirror here so restore can skip the
+        rebuild pass).  The base snapshot stays flavor-agnostic: every
+        reader ignores keys it does not know."""
+        return {}
 
     @staticmethod
     def read_checkpoint(path: str):

@@ -133,6 +133,31 @@ def scatter_coo(x, coo):
     )
 
 
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("bs_cap",)
+)
+def scatter_rows_sliced(x, coo, s0, bs_cap: int):
+    """Scatter a CONTIGUOUS row range of entries via a small dense buffer
+    + one sliced read-modify-write, instead of an element scatter into the
+    full index.  XLA lowers a scatter into a [row_cap, dim_cap] buffer as
+    a full-output pass (~18 ms on a 2.7 GB fp32 index at 20k×32k —
+    measured r5, batch-size independent), so per-micro-batch streaming
+    paid an O(index) tax for O(batch) work.  Here the scatter target is
+    only ``[bs_cap, dim_cap]`` and the index update is two DMA slices.
+
+    ``coo`` rows are LOCAL to ``s0`` (padding rows carry ``bs_cap`` —
+    dropped out of bounds); caller guarantees ``s0 + bs_cap <= row_cap``
+    and no duplicate (row, col) entries."""
+    rows, cols = coo[0], coo[1]
+    vals = jax.lax.bitcast_convert_type(coo[2], jnp.float32)
+    dim_cap = x.shape[1]
+    dense = jnp.zeros((bs_cap, dim_cap), x.dtype).at[rows, cols].add(
+        vals.astype(x.dtype), mode="drop", unique_indices=True
+    )
+    old = jax.lax.dynamic_slice(x, (s0, 0), (bs_cap, dim_cap))
+    return jax.lax.dynamic_update_slice(x, old + dense, (s0, 0))
+
+
 @functools.partial(jax.jit, static_argnames=("row_cap", "dim_cap"))
 def grow(x, row_cap: int, dim_cap: int):
     """Copy into a larger zero matrix (capacity-doubling growth)."""
@@ -396,29 +421,33 @@ def match_tile_extract(
 @functools.partial(
     jax.jit,
     donate_argnums=(0,),
-    static_argnames=("tile", "cap", "precision", "group"),
+    static_argnames=("tile", "cap", "bs_cap", "precision", "group"),
 )
 def insert_match_fused(
-    x, coo, q0, lo, tau_eff, tile: int, cap: int,
+    x, coo, s0, q0, lo, tau_eff, tile: int, cap: int, bs_cap: int,
     precision: str = "highest", group: int = 8,
 ):
-    """Fused streaming step: COO scatter-append the batch AND match the
-    covering query tile in ONE device call (halves the per-micro-batch
-    host↔device round trips, which dominate small-batch insert latency on
-    this environment's ~30 ms dispatch link).
+    """Fused streaming step: append the batch AND match the covering query
+    tile in ONE device call (halves the per-micro-batch host↔device round
+    trips, which dominate small-batch insert latency on this environment's
+    ~30 ms dispatch link).
 
     Entries arrive as ONE ``coo`` int32 array of shape ``[3, ecap]``:
-    ``coo[0]`` global row ids, ``coo[1]`` compact cols, ``coo[2]`` fp32
-    values bit-viewed as int32 (bitcast back on device).  A single array
-    means a single H2D transfer — on this tunnel every separate
+    ``coo[0]`` row ids LOCAL to ``s0``, ``coo[1]`` compact cols, ``coo[2]``
+    fp32 values bit-viewed as int32 (bitcast back on device).  A single
+    array means a single H2D transfer — on this tunnel every separate
     ``jnp.asarray`` is a serialized ~25 ms round trip, so the previous
     three-array form (rows, cols, vals) paid ~75 ms of pure transfer per
     micro-batch (measured; 3 small transfers 75.7 ms vs 1 packed 27.0 ms).
-    Flat COO keeps H2D at O(batch nnz) — the padded ``[batch, max_row_nnz]``
-    layout this op used before that paid for the longest document on every
-    row.  Activated dormant entries ride in the same array (their rows point
-    at older index rows).  Padding entries carry ``rows == row_cap``
-    (out-of-bounds ⇒ dropped).
+    Flat COO keeps H2D at O(batch nnz).  The append itself goes through a
+    small ``[bs_cap, dim_cap]`` dense buffer + two DMA slices instead of an
+    element scatter into the full index — XLA lowers the full-index scatter
+    as an O(index) output pass (~18 ms at 20k×32k fp32, batch-size
+    independent; measured r5), which was most of the streaming insert's
+    device time.  Activated dormant entries (older, non-contiguous rows)
+    are scattered by the ENGINE in a separate preceding dispatch — that
+    dispatch is async, so it adds device time only when dormancy actually
+    activates.  Padding entries carry ``rows == bs_cap`` (dropped).
 
     Only valid when the batch lies within one query-tile window
     (``q0 <= row_offset`` and batch end <= ``q0 + tile``); the engine falls
@@ -428,9 +457,12 @@ def insert_match_fused(
     """
     rows, cols = coo[0], coo[1]
     vals = jax.lax.bitcast_convert_type(coo[2], jnp.float32)
-    x = x.at[rows, cols].add(
+    dim_cap = x.shape[1]
+    dense = jnp.zeros((bs_cap, dim_cap), x.dtype).at[rows, cols].add(
         vals.astype(x.dtype), mode="drop", unique_indices=True
     )
+    old = jax.lax.dynamic_slice(x, (s0, 0), (bs_cap, dim_cap))
+    x = jax.lax.dynamic_update_slice(x, old + dense, (s0, 0))
     s = _score_tile(x, q0, tile, precision)
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     cols = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)

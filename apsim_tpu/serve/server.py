@@ -316,25 +316,35 @@ class SimilarityServer:
             with self._pending_lock:
                 prior = list(self._pending)
                 self._pending.clear()
+            cap = int(self.cfg.max_flush_batch)
             for is_bulk, batches in ((True, bulk), (False, stream)):
                 if not batches:
                     continue
                 flat = [v for b in batches for v in b]
-                try:
-                    with self._lock:
-                        pending = self.engine.insert(
-                            flat, bulk=is_bulk, defer=True
+                # bound each engine micro-batch at the throughput-optimal
+                # size (config.max_flush_batch): a backlog drains as several
+                # capped batches instead of one mega-batch that is slower
+                # per vector AND compiles a fresh pow2 shape bucket
+                chunks = (
+                    [flat] if cap <= 0 else
+                    [flat[s : s + cap] for s in range(0, len(flat), cap)]
+                )
+                for chunk in chunks:
+                    try:
+                        with self._lock:
+                            pending = self.engine.insert(
+                                chunk, bulk=is_bulk, defer=True
+                            )
+                    except Exception:
+                        self._errors += 1
+                        get_logger().exception(
+                            "dropped poisoned %s batch of %d vectors",
+                            "bulk" if is_bulk else "stream", len(chunk),
                         )
-                except Exception:
-                    self._errors += 1
-                    get_logger().exception(
-                        "dropped poisoned %s batch of %d vectors",
-                        "bulk" if is_bulk else "stream", len(flat),
-                    )
-                    continue
-                with self._pending_lock:
-                    self._pending.append(pending)
-                self._dirty = True
+                        continue
+                    with self._pending_lock:
+                        self._pending.append(pending)
+                    self._dirty = True
             for pending in prior:
                 try:
                     with self._lock:

@@ -631,3 +631,80 @@ def test_chunked_save_restore_roundtrip(corpus, tmp_path):
     out_rest = e2.insert([("probe", corpus.row(0))], tau=0.5)
     got = out_rest.output.get("probe", {})
     assert got and got == out_orig.output.get("probe", {})
+
+
+def test_chunked_fast_restore_places_saved_layout(corpus, tmp_path):
+    """Chunked checkpoints carry the device-buffer mirror: restore takes
+    the FAST path (no rebuild), reproducing the exact internal layout —
+    including state only streaming can create (grown capacity, minted
+    dims, dormant activations)."""
+    eng = ChunkedAllPairs(small_cfg(dormant_dims=True), chunk_dim=64)
+    n0 = corpus.n_rows - 40
+    head = type(corpus)(
+        n0, corpus.n_cols, corpus.indptr[: n0 + 1],
+        corpus.indices[: corpus.indptr[n0]],
+        corpus.data[: corpus.indptr[n0]],
+    )
+    eng.build(head, [f"v{i}" for i in range(n0)])
+    for s in range(n0, corpus.n_rows, 8):  # stream the tail (append+grow)
+        eng.insert(
+            [(f"v{i}", corpus.row(i))
+             for i in range(s, min(s + 8, corpus.n_rows))],
+            tau=0.5,
+        )
+    want = eng.all_pairs(0.5).pair_set()
+    path = str(tmp_path / "ck")
+    eng.save(path)
+
+    e2 = ChunkedAllPairs(small_cfg(dormant_dims=True), chunk_dim=64)
+    z = np.load(path + "/index.npz")
+    assert e2._fast_restorable(z)  # the fast path is actually taken
+    e2.restore(path)
+    # layout equality, not just behavioral parity
+    assert e2._n_chunks == eng._n_chunks
+    assert e2._chunk_cap == eng._chunk_cap
+    np.testing.assert_array_equal(e2._counts, eng._counts)
+    np.testing.assert_array_equal(
+        e2._compact.ext_of_col, eng._compact.ext_of_col
+    )
+    assert e2._compact._base == eng._compact._base
+    assert e2._max_norm == eng._max_norm
+    np.testing.assert_array_equal(e2._dorm_dims, eng._dorm_dims)
+    for a, b in zip(e2._ent_host, eng._ent_host):
+        np.testing.assert_array_equal(a, b)
+    # behavior: identical pair set, identical continued streaming
+    assert e2.all_pairs(0.5).pair_set() == want
+    out_orig = eng.insert([("probe", corpus.row(1))], tau=0.5)
+    out_rest = e2.insert([("probe", corpus.row(1))], tau=0.5)
+    assert (
+        out_rest.output.get("probe", {}) == out_orig.output.get("probe", {})
+    )
+
+
+def test_chunked_restore_falls_back_on_geometry_mismatch(corpus, tmp_path):
+    """A chunked checkpoint restored under a DIFFERENT chunk_dim (or into
+    the dense flavor) must fall back to the rebuild path and still be
+    exactly correct."""
+    eng = ChunkedAllPairs(small_cfg(), chunk_dim=64)
+    eng.build(corpus, [f"v{i}" for i in range(corpus.n_rows)])
+    want = eng.all_pairs(0.5).pair_set()
+    path = str(tmp_path / "ck")
+    eng.save(path)
+
+    e2 = ChunkedAllPairs(small_cfg(), chunk_dim=32)  # geometry moved
+    z = np.load(path + "/index.npz")
+    assert not e2._fast_restorable(z)
+    e2.restore(path)
+    assert e2.all_pairs(0.5).pair_set() == want
+
+    # dense-flavor checkpoint (no chunk_* extras) into a chunked engine
+    from apsim_tpu.engine.engine import Engine
+
+    dense = Engine(small_cfg())
+    dense.build(corpus, [f"v{i}" for i in range(corpus.n_rows)])
+    dpath = str(tmp_path / "ck_dense")
+    dense.save(dpath)
+    e3 = ChunkedAllPairs(small_cfg(), chunk_dim=64)
+    assert not e3._fast_restorable(np.load(dpath + "/index.npz"))
+    e3.restore(dpath)
+    assert e3.all_pairs(0.5).pair_set() == want

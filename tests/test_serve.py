@@ -497,3 +497,44 @@ def test_bulk_load_auto_installs_static_max_weights(tmp_path, corpus):
         qa, qb = ids[int(a)], ids[int(b)]
         want.add((qa, qb) if qa <= qb else (qb, qa))
     assert want == emitted  # lossless: no oracle pair missing, none extra
+
+
+def test_flush_batch_cap_bounds_coalescing(corpus):
+    """max_flush_batch bounds every engine micro-batch: a queued backlog
+    drains as several capped batches instead of one mega-batch (measured
+    r5: unbounded coalescing at 500k rows served 375 vec/s where capped
+    2k batches serve 1,322 — and each new pow2 bucket is a fresh compile
+    mid-serve)."""
+    cfg = make_cfg(max_flush_batch=8)
+    with SimilarityServer(Engine(cfg), cfg) as srv:
+        sizes = []
+        real_insert = srv.engine.insert
+
+        def spy(batch, **kw):
+            sizes.append(len(batch))
+            return real_insert(batch, **kw)
+
+        srv.engine.insert = spy
+        srv.insert_new_vectors(
+            [(f"c{i}", corpus.row(i)) for i in range(20)]
+        )
+        srv.flush()
+        assert sizes and max(sizes) <= 8, sizes
+        assert sum(sizes) == 20
+        assert srv.engine.n_rows == 20
+        # cap 0 = reference semantics: everything in one batch
+    cfg = make_cfg(max_flush_batch=0)
+    with SimilarityServer(Engine(cfg), cfg) as srv:
+        sizes = []
+        real_insert = srv.engine.insert
+
+        def spy0(batch, **kw):
+            sizes.append(len(batch))
+            return real_insert(batch, **kw)
+
+        srv.engine.insert = spy0
+        srv.insert_new_vectors(
+            [(f"d{i}", corpus.row(i)) for i in range(20)]
+        )
+        srv.flush()
+        assert sizes == [20], sizes

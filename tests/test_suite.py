@@ -42,3 +42,39 @@ def test_lint_clean():
         capture_output=True, text=True, timeout=120,
     )
     assert r.returncode == 0, r.stdout[-3000:]
+
+
+def test_rcv1_shape_leg_parity():
+    """The second-corpus-shape leg (VERDICT r4 #7): RCV1-shaped synthetic
+    through both engine flavors with fp64 oracle parity."""
+    from apsim_tpu.bench.suite import _rcv1_shape_leg
+
+    out = _rcv1_shape_leg(n_rows=512, taus=(0.8,))
+    leg = out["tau_0.8"]
+    assert leg["dense_parity"] and leg["chunked_parity"], out
+    assert leg["pairs"] >= 2  # the 1% dup injection guarantees sim≈1 pairs
+
+
+def test_rcv1_like_corpus_shape():
+    """Generator sanity: vocabulary bound, L2-normalized rows, flatter df
+    mass than the power-law synthetic (the property the router A/B needs)."""
+    import numpy as np
+
+    from apsim_tpu.bench.scale import rcv1_like_corpus, synthetic_corpus
+
+    csr = rcv1_like_corpus(2000, seed=7)
+    assert int(csr.indices.max()) < 47_236
+    sq = np.zeros(csr.n_rows)
+    np.add.at(sq, np.repeat(np.arange(csr.n_rows), np.diff(csr.indptr)),
+              csr.data * csr.data)
+    np.testing.assert_allclose(sq, 1.0, rtol=1e-9)
+    # hot-dim concentration: top-16 dims' share of total nnz mass is lower
+    # than the s=1 power-law synthetic's at equal row count
+    pl = synthetic_corpus(2000, seed=7)
+
+    def top_share(c, k=16):
+        df = np.bincount(c.indices)
+        df.sort()
+        return df[-k:].sum() / c.indices.size
+
+    assert top_share(csr) < top_share(pl)

@@ -25,7 +25,9 @@ kept as the fallback.
 
 from __future__ import annotations
 
+import threading
 import time
+from collections import OrderedDict
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -94,6 +96,15 @@ class ChunkedAllPairs:
         self._dorm_dims = np.empty(0, np.int64)
         self._dorm_vals = np.empty(0, np.float64)
         self._dormant_of_ext: np.ndarray | None = None
+        # stateful row_cap (see the property) + background prewarm of the
+        # NEXT cap's match program — together they keep a sustained stream
+        # from stalling ~70 s on every row_cap-crossing recompile
+        # (docs/round5/serve_probe_capped2.log)
+        self._row_cap_state: int | None = None
+        self._prewarm_lock = threading.Lock()
+        self._prewarm_specs: "OrderedDict" = OrderedDict()  # MRU geometry
+        self._prewarm_done: set = set()
+        self._prewarm_thread: threading.Thread | None = None
 
     # dormant-dim machinery shared verbatim with the dense engine (it only
     # touches the compact space, the archive arrays, and host CSR filtering)
@@ -121,27 +132,46 @@ class ChunkedAllPairs:
     _admit = Engine._admit
 
     # ------------------------------------------------------------------ sizes
-    @property
-    def row_cap(self) -> int:
-        """Slab height for the current row count — a compile-time parameter
-        only (row growth costs no device copies in this mode).  Power-of-two
-        quanta keep small corpora small while bounding streaming recompiles.
-
-        The quantum SCALES with the corpus: every crossing re-specializes
-        the row_cap-keyed jits, and on this environment's remote compiler
-        that is a multi-second serve stall (measured r5: the 500k server
-        probe froze its ingest queue ~70 s per 8192-row crossing —
-        docs/round5/serve_probe_capped2.log).  At 8192 rows per quantum a
-        sustained 1k vec/s stream crosses every ~8 s of arrivals; scaling
-        the quantum to ~n/16 (capped at 32768) makes crossings
-        geometrically rarer at the cost of ≤~6% slab padding."""
-        n = max(self.n_rows, 1)
+    @staticmethod
+    def _row_cap_law(n: int, streaming: bool) -> int:
+        """Slab-height law: quantum-rounded at build, GEOMETRIC while
+        streaming at scale.  Every crossing re-specializes the
+        row_cap-keyed jits, and on this environment's remote compiler that
+        is a ~70 s serve stall (docs/round5/serve_probe_capped2.log), so
+        at serving scale the cap jumps ~25% past the corpus: a sustained
+        1k vec/s stream at 500k rows crosses once per ~125 s of arrivals —
+        enough headroom for :meth:`_maybe_prewarm` to compile the next
+        geometry in the background before it is needed.  The ≤25% row
+        padding costs matmul zeros (~12% mean), strictly cheaper than the
+        stall.  Fresh builds pay no padding (streaming=False → exact
+        quantum)."""
         q = min(8192, pow2_bucket(n, 1024))
         if n > 131_072:
             q = 16_384
         if n > 262_144:
             q = 32_768
-        return round_up(n, q)
+        base = round_up(n, q)
+        if streaming and n > 262_144:
+            return max(base, round_up(int(n * 1.25), 32_768))
+        return base
+
+    @property
+    def row_cap(self) -> int:
+        """Slab height for the current row count — a compile-time parameter
+        only (row growth costs no device copies in this mode); monotone,
+        following :meth:`_row_cap_law`.  ``_row_cap_state`` is reset by
+        build/restore (exact cap, zero padding) and then only ever grows."""
+        n = max(self.n_rows, 1)
+        cur = self._row_cap_state
+        if cur is not None and cur >= n:
+            return cur
+        self._row_cap_state = self._row_cap_law(n, streaming=cur is not None)
+        return self._row_cap_state
+
+    def _peek_next_row_cap(self) -> int:
+        """The row_cap that will apply after the next crossing — the
+        prewarm target."""
+        return self._row_cap_law(self.row_cap + 1, streaming=True)
 
     @property
     def _chunk_width(self) -> int:
@@ -350,11 +380,88 @@ class ChunkedAllPairs:
                 mslab, *q, np.int32(q_base), tau_eff, q_rows_cap,
                 cap, capb, cap0, self.cfg.matmul_precision,
             )
+        self._note_match_geom(q, q_rows_cap, caps)
         return chunked_ops.chunked_match_extract_bits(
             *self._ent, self._counts_dev, *q, np.int32(q_base), tau_eff,
             self.row_cap, self._chunk_width, q_rows_cap, cap, capb, cap0,
             self.cfg.matmul_precision,
         )
+
+    # -------------------------------------------- next-row_cap prewarm
+    # Beyond the resident-slab budget every row_cap crossing re-specializes
+    # chunked_match_extract_bits, and a cold compile on this environment's
+    # remote compiler stalls serving ~70 s (serve_probe_capped2.log: the
+    # 500k probe's ingest queue froze through every crossing).  The law
+    # above makes crossings geometrically rare; this prewarmer makes them
+    # CHEAP: after each insert it AOT-lowers+compiles the next cap's match
+    # program in a daemon thread from shape specs only (no device buffers
+    # touched — no donation races with concurrent appends), populating the
+    # persistent compile cache (utils/jaxsetup.py) so the real call at the
+    # crossing re-traces and hits it in ~1 s.
+    _prewarm_min_rows = 262_144  # below this, compiles are cheap anyway
+    _prewarm_max_geoms = 3       # MRU geometries compiled per target cap
+
+    def _note_match_geom(self, q, q_rows_cap: int, caps) -> None:
+        """Record the aval signature of a rebuild-path match call (MRU)."""
+        import jax
+
+        ent_avals = tuple(
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (*self._ent, self._counts_dev, *q)
+        )
+        key = (q_rows_cap, caps, ent_avals)
+        with self._prewarm_lock:
+            self._prewarm_specs[key] = None
+            self._prewarm_specs.move_to_end(key)
+            while len(self._prewarm_specs) > 8:
+                self._prewarm_specs.popitem(last=False)
+
+    def _maybe_prewarm(self) -> None:
+        """Kick one background compile pass for the next row_cap (no-op
+        when already warmed/compiling, below scale, or on the slab path)."""
+        if self.n_rows < self._prewarm_min_rows or self._ent is None:
+            return
+        if self._prewarm_thread is not None and self._prewarm_thread.is_alive():
+            return
+        nxt = self._peek_next_row_cap()
+        with self._prewarm_lock:
+            keys = [
+                k for k in reversed(self._prewarm_specs)
+                if (nxt, k) not in self._prewarm_done
+            ][: self._prewarm_max_geoms]
+        if not keys:
+            return
+        width, prec = self._chunk_width, self.cfg.matmul_precision
+        t = threading.Thread(
+            target=self._prewarm_worker, args=(nxt, width, prec, keys),
+            daemon=True, name="apsim-prewarm",
+        )
+        self._prewarm_thread = t
+        t.start()
+
+    def _prewarm_worker(self, row_cap: int, width: int, prec: str,
+                        keys) -> None:
+        import jax
+
+        scal_i = jax.ShapeDtypeStruct((), np.int32)
+        scal_f = jax.ShapeDtypeStruct((), np.float32)
+        for q_rows_cap, caps, ent_avals in keys:
+            try:
+                chunked_ops.chunked_match_extract_bits.lower(
+                    *ent_avals, scal_i, scal_f,
+                    row_cap=row_cap, chunk_dim=width,
+                    q_rows_cap=q_rows_cap, cap=caps[0], capb=caps[1],
+                    cap0=caps[2], precision=prec,
+                ).compile()
+                self.stats["prewarm_compiles"] = (
+                    self.stats.get("prewarm_compiles", 0) + 1
+                )
+            except Exception:  # best-effort: a miss just means a cold stall
+                from ..utils.logging import get_logger
+
+                get_logger().exception("row_cap prewarm failed (non-fatal)")
+            with self._prewarm_lock:
+                self._prewarm_done.add((row_cap, (q_rows_cap, caps, ent_avals)))
 
     def _run_match(self, q, q_base: int, q_rows_cap: int, tau_eff):
         """Dispatch one streaming match with overflow retry; returns
@@ -424,6 +531,7 @@ class ChunkedAllPairs:
         t0 = time.time()
         csr, self.ids = _as_csr(vectors, ids, self.cfg.vector_dim)
         self.id_to_row = {v: k for k, v in enumerate(self.ids)}
+        self._row_cap_state = None  # fresh corpus: exact cap, no padding
         self._shadow = GrowableCSR(self.cfg.vector_dim)
         self._shadow.append(csr)
         # per-external-dim document frequencies for host-match routing
@@ -592,6 +700,7 @@ class ChunkedAllPairs:
         self._append_ccoo(rows_of, ccsr.indices, ccsr.data)
 
         out = self._emit(self._match_rows(n0, tau), new_ids, n0, tau)
+        self._maybe_prewarm()
         return _CompletedInsert(out) if defer else out
 
     def _append_ccoo(self, rows_of, ccols, vals) -> None:
@@ -829,8 +938,14 @@ class ChunkedAllPairs:
         regardless of the split point).  Returns (index_row, query_local)."""
         nq = ccsr.n_rows
         limit = self._match_width_limit()
+        # beyond the resident-slab budget the per-batch cost is dominated by
+        # the O(corpus) chunk densify, so padding small batches up to a 256
+        # bucket is ~free — and it collapses the q_rows_cap compile surface
+        # to the handful of geometries the prewarmer keeps warm (a cold
+        # drain-tail bucket would otherwise stall ~70 s after a crossing)
+        floor = 32 if self._match_slabs() is not None else 256
         if nq <= limit:
-            q_rows_cap = pow2_bucket(nq, 32)
+            q_rows_cap = min(pow2_bucket(nq, floor), limit)
             q = self._bucket_queries(ccsr, q_rows_cap)
             return self._run_match(q, q_base, q_rows_cap, tau_eff)
         rows_all: list = []
@@ -843,7 +958,7 @@ class ChunkedAllPairs:
                 ccsr.indices[ccsr.indptr[s]:ccsr.indptr[e]],
                 ccsr.data[ccsr.indptr[s]:ccsr.indptr[e]],
             )
-            q_rows_cap = pow2_bucket(e - s, 32)
+            q_rows_cap = min(pow2_bucket(e - s, floor), limit)
             q = self._bucket_queries(part, q_rows_cap)
             # q_base + s keeps the global self-pair exclusion aligned with
             # this sub-range's true index rows
@@ -1023,6 +1138,7 @@ class ChunkedAllPairs:
         n_chunks, chunk_cap, _, _ = (int(v) for v in z["chunk_geom"])
         self.ids = list(ids)
         self.id_to_row = {v: k for k, v in enumerate(self.ids)}
+        self._row_cap_state = None  # restored corpus: exact cap
         self._shadow = GrowableCSR(self.cfg.vector_dim)
         self._shadow.append(csr)
         self.n_rows = csr.n_rows

@@ -199,7 +199,7 @@ class SimilarityServer:
     def flush(self) -> None:
         """Drain the ingest queue synchronously (one IOTrigger turn),
         completing any pipelined insert as well."""
-        self._drain()
+        self._drain(full=True)
         self._complete_pending()
 
     def reject(self, reason: str) -> None:
@@ -284,11 +284,17 @@ class SimilarityServer:
                 self._errors += 1
                 get_logger().exception("flush tick failed; flusher continues")
 
-    def _drain(self) -> None:
+    def _drain(self, full: bool = False) -> None:
         """Coalesce everything queued into at most two engine micro-batches
         (bulk + streaming), preserving the reference's semantics that a flush
         tick indexes the accumulated buffer at once
-        (WriteWorkerActor.handleIOTrigger).
+        (WriteWorkerActor.handleIOTrigger).  ``full=False`` (the periodic
+        tick) defers a sub-cap streaming TAIL back to the queue whenever a
+        full ``max_flush_batch`` chunk was drained this tick: under backlog
+        the tail merges with the next tick's arrivals, so sustained load
+        runs entirely in the one warmed cap-sized shape bucket instead of
+        minting an arbitrary pow2 bucket (a fresh multi-second compile) per
+        tick.  ``full=True`` (explicit :meth:`flush`) never defers.
 
         Ingest is pipelined one tick deep: each insert is submitted with
         deferred completion and finished at the NEXT drain, so the previous
@@ -325,6 +331,13 @@ class SimilarityServer:
                 # size (config.max_flush_batch): a backlog drains as several
                 # capped batches instead of one mega-batch that is slower
                 # per vector AND compiles a fresh pow2 shape bucket
+                if (
+                    not full and not is_bulk and cap > 0
+                    and len(flat) > cap and len(flat) % cap
+                ):
+                    tail = flat[len(flat) - len(flat) % cap :]
+                    flat = flat[: len(flat) - len(tail)]
+                    self._queue.put((is_bulk, tail))
                 chunks = (
                     [flat] if cap <= 0 else
                     [flat[s : s + cap] for s in range(0, len(flat), cap)]

@@ -708,3 +708,74 @@ def test_chunked_restore_falls_back_on_geometry_mismatch(corpus, tmp_path):
     assert not e3._fast_restorable(np.load(dpath + "/index.npz"))
     e3.restore(dpath)
     assert e3.all_pairs(0.5).pair_set() == want
+
+
+def test_row_cap_law_exact_at_build_geometric_while_streaming():
+    """row_cap is exact (quantum-rounded) after build/restore and grows
+    GEOMETRICALLY (~25% headroom) while streaming at serving scale, so
+    recompile crossings are rare enough for the background prewarmer
+    (measured r5: every crossing is a ~70 s cold compile mid-serve)."""
+    law = ChunkedAllPairs._row_cap_law
+    # build-time: exact quantum rounding, no padding
+    assert law(1000, streaming=False) == 1024
+    assert law(8586, streaming=False) == 16_384  # q=8192 quantum
+    assert law(500_000, streaming=False) == 524_288
+    # streaming at scale: ~25% jump, 32768-aligned
+    assert law(500_000, streaming=True) == 655_360
+    assert law(500_000, streaming=True) >= int(500_000 * 1.25)
+    assert law(500_000, streaming=True) % 32_768 == 0
+    # below serving scale streaming stays exact (cheap compiles)
+    assert law(100_000, streaming=True) == law(100_000, streaming=False)
+    # monotone in n either way
+    caps = [law(n, True) for n in range(260_000, 700_000, 17_001)]
+    assert caps == sorted(caps)
+
+    # the stateful property: build-exact, then jumps only at a crossing
+    eng = ChunkedAllPairs(small_cfg())
+    eng.n_rows = 500_000
+    assert eng.row_cap == 524_288
+    eng.n_rows = 524_288          # at the cap: no change
+    assert eng.row_cap == 524_288
+    eng.n_rows = 524_289          # crossing: geometric jump
+    jumped = eng.row_cap
+    assert jumped >= int(524_289 * 1.25) and jumped % 32_768 == 0
+    assert eng.row_cap == jumped  # sticky
+    # _peek_next_row_cap previews exactly the post-crossing value
+    eng2 = ChunkedAllPairs(small_cfg())
+    eng2.n_rows = 500_000
+    assert eng2.row_cap == 524_288
+    nxt = eng2._peek_next_row_cap()
+    eng2.n_rows = 524_289
+    assert eng2.row_cap == nxt
+
+
+def test_prewarm_compiles_next_rowcap_geometry(corpus):
+    """On the rebuild path (beyond the slab budget) each insert kicks a
+    background AOT compile of the NEXT row_cap's match program; the
+    crossing then hits the persistent compile cache instead of stalling.
+    Exactness across the crossing is asserted either way."""
+    eng = ChunkedAllPairs(
+        small_cfg(match_slab_budget_mb=0),  # force the rebuild path
+        chunk_dim=128,
+    )
+    eng._prewarm_min_rows = 0  # the scale gate, lowered for the test
+    n0 = corpus.n_rows - 30
+    head = type(corpus)(
+        n0, corpus.n_cols, corpus.indptr[: n0 + 1],
+        corpus.indices[: corpus.indptr[n0]],
+        corpus.data[: corpus.indptr[n0]],
+    )
+    eng.build(head, [str(i) for i in range(n0)])
+    assert eng._match_slabs() is None  # really on the rebuild path
+    for s in range(n0, corpus.n_rows, 10):
+        eng.insert(
+            [(str(i), corpus.row(i))
+             for i in range(s, min(s + 10, corpus.n_rows))],
+            tau=0.5,
+        )
+    t = eng._prewarm_thread
+    assert t is not None  # the kick happened
+    t.join(120)
+    assert eng.stats.get("prewarm_compiles", 0) >= 1
+    # parity after the prewarm machinery ran
+    assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)

@@ -538,3 +538,32 @@ def test_flush_batch_cap_bounds_coalescing(corpus):
         )
         srv.flush()
         assert sizes == [20], sizes
+
+
+def test_drain_defers_subcap_tail_under_backlog(corpus):
+    """A periodic drain that flushed a full cap-sized chunk holds back the
+    sub-cap streaming tail for the next tick (it merges with newer
+    arrivals, so sustained load runs in ONE warmed shape bucket); an
+    explicit flush() always drains everything."""
+    cfg = make_cfg(max_flush_batch=8, io_trigger_period_ms=10_000)
+    with SimilarityServer(Engine(cfg), cfg) as srv:
+        sizes = []
+        real_insert = srv.engine.insert
+
+        def spy(batch, **kw):
+            sizes.append(len(batch))
+            return real_insert(batch, **kw)
+
+        srv.engine.insert = spy
+        srv.insert_new_vectors([(f"t{i}", corpus.row(i)) for i in range(21)])
+        srv._drain()  # one periodic tick: 2 full chunks, tail deferred
+        assert sizes == [8, 8], sizes
+        assert srv._queue.qsize() == 1  # the 5-vector tail is re-queued
+        # a later tick with no backlog (no full chunk) takes the tail as-is
+        srv._drain()
+        assert sizes == [8, 8, 5], sizes
+        # explicit flush never defers
+        srv.insert_new_vectors([(f"u{i}", corpus.row(i)) for i in range(9)])
+        srv.flush()
+        assert sizes == [8, 8, 5, 8, 1], sizes
+        assert srv.engine.n_rows == 30

@@ -70,14 +70,23 @@ def main() -> None:
     eng.build(csr)
     print(f"build({n_rows}): {time.time() - t0:.1f}s", flush=True)
 
-    # arrival material: enough rows for every phase, same distribution
+    # arrival material: enough rows for every phase, same distribution.
+    # PRE-MATERIALIZED vector objects: on a 1-core host, building 100k+
+    # CSR-row slices inside the arrival loop steals GIL time from the
+    # flusher thread and reads as server slowness (measured r5: 557 vs
+    # ~1,280 vec/s hand-fed at identical engine state).  A real client is
+    # a different machine; the probe measures the SERVER.
     need = int(sum(rates) * duration * 1.2) + 20_000
     extra = synthetic_corpus(need, seed=11)
+    t0 = time.time()
+    material = [(f"s{i}", extra.row(i)) for i in range(need)]
+    print(f"arrival materialization({need}): {time.time() - t0:.1f}s",
+          flush=True)
     cursor = 0
 
     def take(k: int):
         nonlocal cursor
-        batch = [(f"s{cursor + i}", extra.row(cursor + i)) for i in range(k)]
+        batch = material[cursor : cursor + k]
         cursor += k
         return batch
 

@@ -105,6 +105,9 @@ class ChunkedAllPairs:
         self._prewarm_specs: "OrderedDict" = OrderedDict()  # MRU geometry
         self._prewarm_done: set = set()
         self._prewarm_thread: threading.Thread | None = None
+        # row-sorted flat-COO state behind the paneled streaming match
+        # (built lazily; dropped for lazy consolidation/rebuild)
+        self._sort_state: dict | None = None
 
     # dormant-dim machinery shared verbatim with the dense engine (it only
     # touches the compact space, the archive arrays, and host CSR filtering)
@@ -445,14 +448,28 @@ class ChunkedAllPairs:
 
         scal_i = jax.ShapeDtypeStruct((), np.int32)
         scal_f = jax.ShapeDtypeStruct((), np.float32)
-        for q_rows_cap, caps, ent_avals in keys:
+        for key in keys:
             try:
-                chunked_ops.chunked_match_extract_bits.lower(
-                    *ent_avals, scal_i, scal_f,
-                    row_cap=row_cap, chunk_dim=width,
-                    q_rows_cap=q_rows_cap, cap=caps[0], capb=caps[1],
-                    cap0=caps[2], precision=prec,
-                ).compile()
+                if key[0] == "paneled":
+                    _, ph, d_cap, p_cap, q_ecap, q_rows_cap, caps, avals = key
+                    n_panels = row_cap // ph
+                    pk_aval = jax.ShapeDtypeStruct(
+                        (n_panels + 3 + 3 * q_ecap,), np.int32
+                    )
+                    chunked_ops.paneled_match_extract_bits.lower(
+                        *avals, pk_aval, scal_f,
+                        ph=ph, n_panels=n_panels, d_cap=d_cap, p_cap=p_cap,
+                        q_ecap=q_ecap, q_rows_cap=q_rows_cap, cap=caps[0],
+                        capb=caps[1], cap0=caps[2], precision=prec,
+                    ).compile()
+                else:
+                    q_rows_cap, caps, ent_avals = key
+                    chunked_ops.chunked_match_extract_bits.lower(
+                        *ent_avals, scal_i, scal_f,
+                        row_cap=row_cap, chunk_dim=width,
+                        q_rows_cap=q_rows_cap, cap=caps[0], capb=caps[1],
+                        cap0=caps[2], precision=prec,
+                    ).compile()
                 self.stats["prewarm_compiles"] = (
                     self.stats.get("prewarm_compiles", 0) + 1
                 )
@@ -461,7 +478,215 @@ class ChunkedAllPairs:
 
                 get_logger().exception("row_cap prewarm failed (non-fatal)")
             with self._prewarm_lock:
-                self._prewarm_done.add((row_cap, (q_rows_cap, caps, ent_avals)))
+                self._prewarm_done.add((row_cap, key))
+
+    # ------------------------------------------- paneled streaming match
+    # Beyond the resident-slab budget the per-batch match used to pay a
+    # full O(corpus-nnz) per-chunk re-scatter AND a [row_cap, q] fp32
+    # accumulator that capped the query width at 2048 — ~1,280 vec/s at
+    # 500k rows (measured r5).  The paneled path keeps the corpus as one
+    # row-sorted flat COO, maintained INCREMENTALLY (batch appends extend
+    # the tail in row order; dormant activations land in a small unsorted
+    # overflow region; a periodic device re-sort consolidates), and scores
+    # ph-row panels under a lax.scan with a [ph, q] accumulator — query
+    # width lifts to 8192, the O(corpus) scatter amortizes 4x further, and
+    # empty row_cap-padding panels skip via lax.cond.  Numerics contract
+    # identical to the rebuild path (bf16-at-scatter + fp32 accumulation +
+    # tau_eff margin + fp64 host rescore).  ops/chunked.py section comment
+    # has the op-level design.
+    _paneled_match = True   # class-level opt-out
+    _sort_o_cap = 32768     # overflow region entries (activation spill)
+    _paneled_q_cap = 8192   # query width limit ([ph, q] fp32 ~= 1 GB)
+    _paneled_ph_cap = 32768  # max panel height (tests shrink to force
+                             # multi-panel scans on tiny corpora)
+
+    def _paneled_ph(self, row_cap: int | None = None) -> int:
+        """Panel height: the largest divisor of row_cap that is <=
+        ``_paneled_ph_cap`` and a multiple of 64 (bit-pack granularity).
+        At serving scale the row_cap law keeps row_cap 32768-aligned, so
+        ph == 32768 and crossings change only the panel COUNT (a cheap
+        scan-length recompile, prewarmed like the rebuild path's)."""
+        rc = self.row_cap if row_cap is None else row_cap
+        k = -(-rc // int(self._paneled_ph_cap))
+        while rc % k or (rc // k) % 64:
+            k += 1
+        return rc // k
+
+    def _paneled_ok(self) -> bool:
+        return (
+            self._paneled_match
+            and self._match_slab_cache_ok  # mesh keeps its shard_map path
+            and self._ent is not None
+            and self._match_slabs() is None  # resident path wins under it
+        )
+
+    def _sort_state_get(self):
+        """The sorted flat-COO state for the current corpus, (re)building
+        lazily: one device sort of the entry buffers + a host per-panel
+        count pass over the entry-host mirror."""
+        st = self._sort_state
+        ph = self._paneled_ph()
+        if st is not None and st["ph"] != ph:
+            st = self._sort_state = None  # panel height moved: recount
+        if st is not None:
+            return st
+        live = int(self._counts.sum())
+        cap_s = pow2_bucket(live + max(65536, live // 4), 4096)
+        r_s, gc_s, vb_s = chunked_ops.sort_entries_fp(
+            *self._ent, self._counts_dev, cap_s
+        )
+        import jax.numpy as jnp
+
+        rows2d = self._ent_host[0]
+        pos_ok = (
+            np.arange(rows2d.shape[1])[None, :] < self._counts[:, None]
+        )
+        pcounts = np.bincount(
+            (rows2d[pos_ok] // ph).astype(np.int64),
+            minlength=-(-self.row_cap // ph),
+        ).astype(np.int64)
+        o_cap = int(self._sort_o_cap)
+        st = {
+            "ph": ph, "cap_s": cap_s, "n_ent": live,
+            "r_s": r_s, "gc_s": gc_s, "vb_s": vb_s,
+            "r_o": jnp.full((o_cap,), 1 << 30, jnp.int32),
+            # distinct buffers: both are donated by the overflow append
+            "gc_o": jnp.zeros((o_cap,), jnp.int32),
+            "vb_o": jnp.zeros((o_cap,), jnp.int32),
+            "n_o": 0,
+            "pcounts": pcounts,
+        }
+        self._sort_state = st
+        return st
+
+    def _sort_state_append(self, coo5_dev, rows_of, n_new: int,
+                           tail: bool) -> None:
+        """Keep the sorted state consistent through an entry append, using
+        the SAME packed device array the entry-buffer append shipped (zero
+        extra H2D).  Capacity or overflow exhaustion just drops the state —
+        the next match rebuilds it with headroom (lazy consolidation)."""
+        st = self._sort_state
+        if st is None or n_new == 0:
+            return
+        ecap = int(coo5_dev.shape[1])
+        if tail:
+            if st["n_ent"] + ecap > st["cap_s"]:
+                self._sort_state = None
+                return
+            st["r_s"], st["gc_s"], st["vb_s"] = (
+                chunked_ops.append_sorted_packed(
+                    st["r_s"], st["gc_s"], st["vb_s"], coo5_dev,
+                    np.int32(st["n_ent"]), self._n_chunks, True,
+                )
+            )
+            st["n_ent"] += n_new
+        else:
+            if st["n_o"] + ecap > int(self._sort_o_cap):
+                self._sort_state = None  # consolidate on next match
+                return
+            st["r_o"], st["gc_o"], st["vb_o"] = (
+                chunked_ops.append_sorted_packed(
+                    st["r_o"], st["gc_o"], st["vb_o"], coo5_dev,
+                    np.int32(st["n_o"]), self._n_chunks, False,
+                )
+            )
+            st["n_o"] += n_new
+        pan = np.asarray(rows_of) // st["ph"]
+        add = np.bincount(pan, minlength=st["pcounts"].size)
+        if add.size > st["pcounts"].size:  # batch crossed into new panels
+            st["pcounts"] = np.pad(
+                st["pcounts"], (0, add.size - st["pcounts"].size)
+            )
+        st["pcounts"] = st["pcounts"] + add
+
+    def _run_match_paneled(self, ccsr: CSRMatrix, q_base: int, tau_eff):
+        """One paneled streaming match (+ overflow retry): pack the query
+        COO + panel starts + scalars into ONE int32 H2D, run the scan-of-
+        panels op, decode the pallas head."""
+        from ..ops import pallas_score as ps
+
+        st = self._sort_state_get()
+        ph = st["ph"]
+        n_panels = self.row_cap // ph
+        pc = st["pcounts"]
+        if pc.size < n_panels:
+            pc = np.pad(pc, (0, n_panels - pc.size))
+        # tail entries (activation overflow lives separately; sorted
+        # padding rows carry 2^30 and fall past every panel)
+        starts = np.zeros(n_panels + 1, np.int64)
+        np.cumsum(pc[:n_panels], out=starts[1:])
+        p_cap = min(
+            pow2_bucket(max(int(pc.max()) if pc.size else 1, 1), 4096),
+            st["cap_s"],
+        )
+        nq = ccsr.n_rows
+        q_rows_cap = min(pow2_bucket(nq, 256), self._paneled_q_cap)
+        nnz_q = int(ccsr.indptr[-1])
+        q_ecap = pow2_bucket(max(nnz_q, 1), 1024)
+        hdr = n_panels + 3
+        pk = np.zeros(hdr + 3 * q_ecap, np.int32)
+        pk[: n_panels + 1] = starts
+        pk[n_panels + 1] = q_base
+        pk[n_panels + 2] = self.n_rows
+        qr = np.repeat(
+            np.arange(nq, dtype=np.int32), np.diff(ccsr.indptr)
+        )
+        pk[hdr : hdr + nnz_q] = qr
+        pk[hdr + nnz_q : hdr + q_ecap] = q_rows_cap  # padding -> dropped
+        pk[hdr + q_ecap : hdr + q_ecap + nnz_q] = ccsr.indices
+        pk[hdr + 2 * q_ecap : hdr + 2 * q_ecap + nnz_q] = (
+            ccsr.data.astype(np.float32).view(np.int32)
+        )
+        import jax.numpy as jnp
+
+        pk_dev = jnp.asarray(pk)
+        d_cap = self._n_chunks * self._chunk_width
+        caps = getattr(self, "_pmatch_caps", None)
+        if caps is None:
+            c = pow2_bucket(int(self.cfg.extract_cap), 1024)
+            cb = max(c // ps.GROUP, 1024)
+            caps = (c, cb, cb)
+        while True:
+            bufs, packed = chunked_ops.paneled_match_extract_bits(
+                st["r_s"], st["gc_s"], st["vb_s"],
+                st["r_o"], st["gc_o"], st["vb_o"], pk_dev, tau_eff,
+                ph, n_panels, d_cap, p_cap, q_ecap, q_rows_cap,
+                caps[0], caps[1], caps[2], self.cfg.matmul_precision,
+            )
+            rows_h, cols_h, total, groups, supers = (
+                ps.unpack_pallas_head(np.asarray(packed))
+            )
+            if total > caps[0] or groups > caps[1] or supers > caps[2]:
+                caps = score_ops.grow_caps(caps, (total, groups, supers))
+                continue
+            break
+        self._note_paneled_geom(st, pk_dev, ph, d_cap, p_cap, q_ecap,
+                                q_rows_cap, caps)
+        self._pmatch_caps = score_ops.tighten_caps(
+            (total, groups, supers), caps
+        )
+        if total <= rows_h.size:
+            return rows_h, cols_h
+        return score_ops.decode_pairs(bufs, total)
+
+    def _note_paneled_geom(self, st, pk_dev, ph, d_cap, p_cap, q_ecap,
+                           q_rows_cap, caps) -> None:
+        """Record a paneled-match geometry for the next-row_cap prewarmer
+        (tagged spec; the worker rebuilds the pk aval for the new panel
+        count — everything else is shape-stable across a crossing)."""
+        import jax
+
+        avals = tuple(
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (st["r_s"], st["gc_s"], st["vb_s"],
+                      st["r_o"], st["gc_o"], st["vb_o"])
+        )
+        key = ("paneled", ph, d_cap, p_cap, q_ecap, q_rows_cap, caps, avals)
+        with self._prewarm_lock:
+            self._prewarm_specs[key] = None
+            self._prewarm_specs.move_to_end(key)
+            while len(self._prewarm_specs) > 8:
+                self._prewarm_specs.popitem(last=False)
 
     def _run_match(self, q, q_base: int, q_rows_cap: int, tau_eff):
         """Dispatch one streaming match with overflow retry; returns
@@ -532,6 +757,7 @@ class ChunkedAllPairs:
         csr, self.ids = _as_csr(vectors, ids, self.cfg.vector_dim)
         self.id_to_row = {v: k for k, v in enumerate(self.ids)}
         self._row_cap_state = None  # fresh corpus: exact cap, no padding
+        self._sort_state = None
         self._shadow = GrowableCSR(self.cfg.vector_dim)
         self._shadow.append(csr)
         # per-external-dim document frequencies for host-match routing
@@ -703,10 +929,14 @@ class ChunkedAllPairs:
         self._maybe_prewarm()
         return _CompletedInsert(out) if defer else out
 
-    def _append_ccoo(self, rows_of, ccols, vals) -> None:
+    def _append_ccoo(self, rows_of, ccols, vals, tail: bool = True) -> None:
         """Append COO entries (global rows, COMPACT cols, values) into the
         per-chunk device buffers: chunk-bucket, grow capacity as needed, one
-        padded scatter-append, counts refresh."""
+        padded scatter-append, counts refresh.  ``tail=True`` marks a
+        streaming batch (rows >= every existing row — extends the sorted
+        flat COO in place); ``tail=False`` marks a dormant ACTIVATION
+        (old, non-contiguous rows — routed to the sorted state's overflow
+        region)."""
         import jax.numpy as jnp
 
         chunk, local = chunked_ops.split_chunks(ccols, self._n_chunks)
@@ -746,7 +976,9 @@ class ChunkedAllPairs:
             np.asarray(vals)[order].astype(np.float32).view(np.int32)
         )
         coo5[1:, chunk.size :] = 0
-        self._op_append(jnp.asarray(coo5))
+        coo5_dev = jnp.asarray(coo5)  # ONE H2D shared by both appends
+        self._op_append(coo5_dev)
+        self._sort_state_append(coo5_dev, rows_of, chunk.size, tail)
         if self._ent_host is not None and chunk.size:
             # identical scatter host-side (pad entries carry chunk ==
             # n_chunks and were excluded from ch/slot already)
@@ -778,7 +1010,7 @@ class ChunkedAllPairs:
             return
         dims, idxs, cols = dims[ok], idxs[ok], cols[ok]
         self._append_ccoo(
-            self._dorm_rows[idxs], cols, self._dorm_vals[idxs]
+            self._dorm_rows[idxs], cols, self._dorm_vals[idxs], tail=False
         )
         # clear the marks only after the device append went through (a
         # failure above leaves the entries archived — recoverable; see
@@ -937,17 +1169,27 @@ class ChunkedAllPairs:
         already indexed before any matching, so intra-batch pairs surface
         regardless of the split point).  Returns (index_row, query_local)."""
         nq = ccsr.n_rows
-        limit = self._match_width_limit()
+        paneled = self._paneled_ok()
+        limit = (
+            int(self._paneled_q_cap) if paneled
+            else self._match_width_limit()
+        )
         # beyond the resident-slab budget the per-batch cost is dominated by
         # the O(corpus) chunk densify, so padding small batches up to a 256
         # bucket is ~free — and it collapses the q_rows_cap compile surface
         # to the handful of geometries the prewarmer keeps warm (a cold
         # drain-tail bucket would otherwise stall ~70 s after a crossing)
         floor = 32 if self._match_slabs() is not None else 256
+
+        def run_one(part: CSRMatrix, base: int):
+            if paneled:
+                return self._run_match_paneled(part, base, tau_eff)
+            q_rows_cap = min(pow2_bucket(part.n_rows, floor), limit)
+            q = self._bucket_queries(part, q_rows_cap)
+            return self._run_match(q, base, q_rows_cap, tau_eff)
+
         if nq <= limit:
-            q_rows_cap = min(pow2_bucket(nq, floor), limit)
-            q = self._bucket_queries(ccsr, q_rows_cap)
-            return self._run_match(q, q_base, q_rows_cap, tau_eff)
+            return run_one(ccsr, q_base)
         rows_all: list = []
         loc_all: list = []
         for s in range(0, nq, limit):
@@ -958,11 +1200,9 @@ class ChunkedAllPairs:
                 ccsr.indices[ccsr.indptr[s]:ccsr.indptr[e]],
                 ccsr.data[ccsr.indptr[s]:ccsr.indptr[e]],
             )
-            q_rows_cap = min(pow2_bucket(e - s, floor), limit)
-            q = self._bucket_queries(part, q_rows_cap)
             # q_base + s keeps the global self-pair exclusion aligned with
             # this sub-range's true index rows
-            r, l = self._run_match(q, q_base + s, q_rows_cap, tau_eff)
+            r, l = run_one(part, q_base + s)
             rows_all.append(np.asarray(r, np.int64))
             loc_all.append(np.asarray(l, np.int64) + s)
         return np.concatenate(rows_all), np.concatenate(loc_all)
@@ -1139,6 +1379,7 @@ class ChunkedAllPairs:
         self.ids = list(ids)
         self.id_to_row = {v: k for k, v in enumerate(self.ids)}
         self._row_cap_state = None  # restored corpus: exact cap
+        self._sort_state = None
         self._shadow = GrowableCSR(self.cfg.vector_dim)
         self._shadow.append(csr)
         self.n_rows = csr.n_rows

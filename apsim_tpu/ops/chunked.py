@@ -622,3 +622,186 @@ def chunked_topk(
     col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col_ids < n_rows, s, -jnp.inf)
     return jax.lax.top_k(s, k)
+
+
+# --------------------------------------------- paneled streaming match
+# Beyond the resident-slab budget, every streaming match used to pay (a) a
+# full O(corpus-nnz) per-chunk re-scatter and (b) a [row_cap, q] fp32
+# accumulator whose HBM footprint capped the query width at 2048 — so the
+# O(corpus) cost amortized over at most 2048 queries (~1,280 vec/s at 500k
+# rows, measured r5).  This path keeps the corpus as ONE row-sorted flat
+# COO (maintained incrementally by the engine: batch appends extend the
+# tail in row order; dormant activations go to a small unsorted overflow
+# region consolidated by a periodic re-sort) and scores ph-row PANELS
+# under a lax.scan:
+#
+#     for panel p:  slab_p [ph, d_cap]  <-  sorted slice + overflow
+#                   s_p = slab_p @ qslabT          [ph, q_rows_cap] fp32
+#                   bit-pack mask -> block p
+#     one multi-block _compact_bits over all panels
+#
+# The scatter total stays O(corpus nnz) (sorted slices touch only their
+# panel's entries), the accumulator is [ph, q] (so q lifts to 8192+), and
+# empty trailing panels (row_cap padding) skip entirely via lax.cond —
+# which makes the geometric row_cap headroom ~free on this path.  Same
+# numerics contract as chunked_match_extract_bits: values rounded once to
+# the slab dtype at scatter, fp32 accumulation, tau_eff margin + fp64
+# host rescore decide the final pairs.
+
+
+@functools.partial(jax.jit, static_argnames=("cap_s",))
+def sort_entries_fp(rows2d, cols2d, vals2d, counts, cap_s: int):
+    """Row-sorted flat COO carrying fp32 value BITS (int32) from the
+    per-chunk entry buffers; padding slots carry ``row == 2^30`` and sort
+    to the tail.  Global compact col = ``local * n_chunks + chunk``
+    (split_chunks inverted — equal to the original compact id)."""
+    n_chunks, cap = rows2d.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, cap), 1)
+    valid = pos < counts[:, None]
+    r = jnp.where(valid, rows2d, jnp.int32(1 << 30)).reshape(-1)
+    chunk_of = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, cap), 0)
+    gc = jnp.where(valid, cols2d * n_chunks + chunk_of, 0).reshape(-1)
+    vb = jnp.where(
+        valid, jax.lax.bitcast_convert_type(vals2d, jnp.int32), 0
+    ).reshape(-1)
+    order = jnp.argsort(r)
+    r_s, gc_s, vb_s = r[order], gc[order], vb[order]
+    flat = int(r_s.shape[0])
+    if cap_s > flat:
+        pad = cap_s - flat
+        r_s = jnp.pad(r_s, (0, pad), constant_values=1 << 30)
+        gc_s = jnp.pad(gc_s, (0, pad))
+        vb_s = jnp.pad(vb_s, (0, pad))
+    elif cap_s < flat:
+        # live entries are front-contiguous after the sort; the caller
+        # guarantees cap_s >= live count
+        r_s, gc_s, vb_s = r_s[:cap_s], gc_s[:cap_s], vb_s[:cap_s]
+    return r_s, gc_s, vb_s
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1, 2), static_argnames=("n_chunks", "sort")
+)
+def append_sorted_packed(r_s, gc_s, vb_s, coo5, off, n_chunks: int,
+                         sort: bool = True):
+    """Donated append of one packed ``[5, ecap]`` batch (the SAME array the
+    entry-buffer append ships — zero extra H2D) into the sorted flat COO at
+    ``off``.  ``sort=True`` row-sorts the batch on device first (batch rows
+    are >= every existing row, so the array stays globally row-sorted even
+    when the batch straddles a panel boundary); ``sort=False`` is the
+    overflow append (order-free region).  Padding entries (chunk ==
+    n_chunks) carry row 2^30.  Caller guarantees ``off + ecap <= cap``."""
+    valid = coo5[0] < n_chunks
+    r = jnp.where(valid, coo5[2], jnp.int32(1 << 30))
+    gc = jnp.where(valid, coo5[3] * n_chunks + coo5[0], 0)
+    vb = jnp.where(valid, coo5[4], 0)
+    if sort:
+        order = jnp.argsort(r)
+        r, gc, vb = r[order], gc[order], vb[order]
+    return (
+        jax.lax.dynamic_update_slice(r_s, r, (off,)),
+        jax.lax.dynamic_update_slice(gc_s, gc, (off,)),
+        jax.lax.dynamic_update_slice(vb_s, vb, (off,)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ph", "n_panels", "d_cap", "p_cap", "q_ecap", "q_rows_cap",
+        "cap", "capb", "cap0", "precision",
+    ),
+)
+def paneled_match_extract_bits(
+    r_s, gc_s, vb_s, r_o, gc_o, vb_o, pk, tau_eff,
+    ph: int, n_panels: int, d_cap: int, p_cap: int, q_ecap: int,
+    q_rows_cap: int, cap: int, capb: int, cap0: int,
+    precision: str = "default",
+):
+    """Streaming match of a query batch against the full index via ph-row
+    panels over the row-sorted COO (see the section comment above).
+
+    ``pk`` is ONE packed int32 array: ``[starts (n_panels+1)] [q_base]
+    [n_live_rows] [q rows local (q_ecap)] [q compact cols (q_ecap)]
+    [q fp32 bits (q_ecap)]`` — a single H2D per call.  Query padding
+    entries carry ``row == q_rows_cap`` (scatter-dropped).  Emitted pairs
+    are (global index row, query LOCAL); pallas-head overflow contract
+    (``unpack_pallas_head``)."""
+    from .pallas_score import _compact_bits, _sat_count_sum, bitpack_mask
+
+    sdt = jnp.float32 if precision == "highest" else jnp.bfloat16
+    prec = _precision(precision)
+    hdr = n_panels + 3
+    starts = pk[: n_panels + 1]
+    q_base = pk[n_panels + 1]
+    n_live = pk[n_panels + 2]
+    qr = pk[hdr : hdr + q_ecap]
+    qc = pk[hdr + q_ecap : hdr + 2 * q_ecap]
+    qv = jax.lax.bitcast_convert_type(
+        pk[hdr + 2 * q_ecap : hdr + 3 * q_ecap], jnp.float32
+    )
+    qslab = jnp.zeros((q_rows_cap, d_cap), sdt).at[qr, qc].set(
+        qv.astype(sdt), mode="drop", unique_indices=True
+    )
+
+    def body(carry, xs):
+        start, p = xs
+        row0 = p * ph
+
+        def live(_):
+            r = jax.lax.dynamic_slice(r_s, (start,), (p_cap,))
+            g = jax.lax.dynamic_slice(gc_s, (start,), (p_cap,))
+            vb = jax.lax.dynamic_slice(vb_s, (start,), (p_cap,))
+            # membership by ROW RANGE, not slice position: dynamic_slice
+            # start-clamping near the tail only widens the window with
+            # entries the range test drops
+            ok = (r >= row0) & (r < row0 + ph)
+            rl = jnp.where(ok, r - row0, ph)
+            v = jax.lax.bitcast_convert_type(vb, jnp.float32)
+            slab = jnp.zeros((ph, d_cap), sdt).at[rl, g].set(
+                v.astype(sdt), mode="drop", unique_indices=True
+            )
+            # overflow region: activation entries for OLD rows (new compact
+            # cols only, so never a duplicate of a sorted entry)
+            ok_o = (r_o >= row0) & (r_o < row0 + ph)
+            rlo = jnp.where(ok_o, r_o - row0, ph)
+            vo = jax.lax.bitcast_convert_type(vb_o, jnp.float32)
+            slab = slab.at[rlo, gc_o].set(
+                vo.astype(sdt), mode="drop", unique_indices=True
+            )
+            s = jax.lax.dot_general(
+                slab, qslab,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            s = jax.lax.optimization_barrier(s)
+            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            qg = q_base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            mi = ((s >= tau_eff) & (rows != qg)).astype(jnp.int32)
+            gbi, g_any, g64i = bitpack_mask(mi)
+            cnt3 = (
+                jnp.zeros((8, 128), jnp.int32)
+                .at[0, 0].set(_sat_count_sum(mi))
+                .at[0, 1].set(jnp.sum(g_any, dtype=jnp.int32))
+                .at[0, 2].set(jnp.sum(g64i, dtype=jnp.int32))
+            )
+            return gbi.astype(jnp.uint8), g64i.astype(jnp.uint8), cnt3
+
+        def empty(_):
+            # row_cap padding panels: no live rows, no entries — skipping
+            # them makes the geometric row_cap headroom ~free here
+            return (
+                jnp.zeros((ph // 8, q_rows_cap), jnp.uint8),
+                jnp.zeros((ph // 64, q_rows_cap), jnp.uint8),
+                jnp.zeros((8, 128), jnp.int32),
+            )
+
+        return carry, jax.lax.cond(row0 < n_live, live, empty, 0)
+
+    ps = jnp.arange(n_panels, dtype=jnp.int32)
+    _, (gb, g64, cnt) = jax.lax.scan(body, 0, (starts[:-1], ps))
+    bi = jnp.arange(n_panels, dtype=jnp.int32)
+    bj = jnp.zeros((n_panels,), jnp.int32)
+    return _compact_bits(gb, g64, cnt, bi, bj, cap, capb, cap0, ph,
+                         q_rows_cap)

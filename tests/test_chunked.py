@@ -779,3 +779,93 @@ def test_prewarm_compiles_next_rowcap_geometry(corpus):
     assert eng.stats.get("prewarm_compiles", 0) >= 1
     # parity after the prewarm machinery ran
     assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)
+
+
+def _paneled_forced(cfg=None, **ekw):
+    """A chunked engine forced onto the PANELED streaming-match path
+    (match_slab_budget_mb=0 disables the resident-slab fast path)."""
+    e = ChunkedAllPairs(
+        cfg or small_cfg(match_slab_budget_mb=0, dormant_dims=True),
+        **ekw,
+    )
+    return e
+
+
+def test_paneled_match_multi_panel_parity(corpus):
+    """Streaming matches through the paneled sorted-COO path with SEVERAL
+    panels (ph forced below row_cap): exact oracle parity, every oracle
+    pair surfaced in the streaming emissions, dormant activations flowing
+    through the overflow region."""
+    eng = _paneled_forced(chunk_dim=64)
+    eng._paneled_ph_cap = 128  # 1024-row cap -> 8 panels
+    n0 = 150
+    head = type(corpus)(
+        n0, corpus.n_cols, corpus.indptr[: n0 + 1],
+        corpus.indices[: corpus.indptr[n0]],
+        corpus.data[: corpus.indptr[n0]],
+    )
+    eng.build(head, [str(i) for i in range(n0)])
+    assert eng._paneled_ok()
+    outs = {}
+    for s in range(n0, corpus.n_rows, 7):
+        out = eng.insert(
+            [(str(i), corpus.row(i))
+             for i in range(s, min(s + 7, corpus.n_rows))],
+            tau=0.5,
+        )
+        outs.update(out.output)
+    st = eng._sort_state
+    assert st is not None and st["ph"] == 128
+    assert st["n_o"] > 0  # activations actually exercised the overflow
+    assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)
+    for a, b in brute_force_pairs(corpus, 0.5):
+        hi, lo = max(int(a), int(b)), min(int(a), int(b))
+        if hi >= n0:
+            assert str(lo) in outs.get(str(hi), {}), (lo, hi)
+
+
+def test_paneled_match_overflow_consolidation(corpus):
+    """When activation spill exceeds the overflow capacity the state drops
+    and the next match rebuilds it (device re-sort) — matches stay exact
+    across the consolidation."""
+    eng = _paneled_forced(chunk_dim=64)
+    eng._sort_o_cap = 64  # force consolidations (activation batches are
+    #                       bucketed to >= 256-entry packed arrays)
+    n0 = 150
+    head = type(corpus)(
+        n0, corpus.n_cols, corpus.indptr[: n0 + 1],
+        corpus.indices[: corpus.indptr[n0]],
+        corpus.data[: corpus.indptr[n0]],
+    )
+    eng.build(head, [str(i) for i in range(n0)])
+    rebuilds = 0
+    for s in range(n0, corpus.n_rows, 7):
+        eng.insert(
+            [(str(i), corpus.row(i))
+             for i in range(s, min(s + 7, corpus.n_rows))],
+            tau=0.5,
+        )
+        if eng._sort_state is None:
+            rebuilds += 1
+    assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)
+
+
+def test_paneled_match_frozen_and_topk(corpus):
+    """Frozen-index external matches route through the paneled path too;
+    topk is unaffected (separate op)."""
+    from oracle import brute_force_sims
+
+    eng = _paneled_forced(chunk_dim=64)
+    eng.build(corpus, [str(i) for i in range(corpus.n_rows)])
+    eng.freeze()
+    assert eng._paneled_ok()
+    out = eng.insert([("q", corpus.row(3))], tau=0.5)
+    # oracle: matches of row 3 at tau 0.5 (self included - external query)
+    sims = brute_force_sims(corpus)
+    want = {str(j) for j in np.flatnonzero(sims[3] >= 0.5)} | {"3"}
+    assert set(out.output.get("q", {})) == want
+    res = eng.topk([("t", corpus.row(1))], 3)
+    got = np.array([s for _, s in res["t"]])
+    np.testing.assert_allclose(
+        got, np.sort(sims[1])[::-1][:3], atol=1e-9
+    )

@@ -128,6 +128,7 @@ def run_ooc(
         path = (
             "resident_slabs" if eng._match_slabs() is not None
             else "host_spgemm" if eng._use_host_match(sample)
+            else "device_paneled" if eng._paneled_ok()
             else "device_rebuild"
         )
         report["stream"] = {

@@ -25,8 +25,10 @@ kept as the fallback.
 
 from __future__ import annotations
 
+import atexit
 import threading
 import time
+import weakref
 from collections import OrderedDict
 from typing import Dict, List, Sequence, Tuple
 
@@ -44,6 +46,21 @@ from .engine import Engine, _as_csr, _next_cap
 from .output import PairResult, SimilarityOutput
 
 __all__ = ["ChunkedAllPairs"]
+
+
+def _prewarm_atexit(ref) -> None:
+    """Interpreter-exit hook (weakref — must not pin the engine): stop the
+    background prewarmer BETWEEN compiles and wait for an in-flight one.
+    A daemon thread killed inside an XLA compile aborts the process
+    ("terminate called after throwing an instance of ''" at the end of the
+    round-5 serve-probe logs); one bounded join beats an abort."""
+    eng = ref()
+    if eng is None:
+        return
+    eng._prewarm_stop.set()
+    t = eng._prewarm_thread
+    if t is not None and t.is_alive():
+        t.join(90)
 
 
 class ChunkedAllPairs:
@@ -105,6 +122,11 @@ class ChunkedAllPairs:
         self._prewarm_specs: "OrderedDict" = OrderedDict()  # MRU geometry
         self._prewarm_done: set = set()
         self._prewarm_thread: threading.Thread | None = None
+        # checked between compiles; set at interpreter exit so the daemon
+        # thread never dies INSIDE an XLA compile (that aborts the process
+        # with "terminate called after throwing" — seen at serve-probe exit)
+        self._prewarm_stop = threading.Event()
+        atexit.register(_prewarm_atexit, weakref.ref(self))
         # row-sorted flat-COO state behind the paneled streaming match
         # (built lazily; dropped for lazy consolidation/rebuild)
         self._sort_state: dict | None = None
@@ -402,7 +424,7 @@ class ChunkedAllPairs:
     # persistent compile cache (utils/jaxsetup.py) so the real call at the
     # crossing re-traces and hits it in ~1 s.
     _prewarm_min_rows = 262_144  # below this, compiles are cheap anyway
-    _prewarm_max_geoms = 3       # MRU geometries compiled per target cap
+    _prewarm_max_geoms = 4       # MRU geometries compiled per pass
 
     def _note_match_geom(self, q, q_rows_cap: int, caps) -> None:
         """Record the aval signature of a rebuild-path match call (MRU)."""
@@ -430,7 +452,10 @@ class ChunkedAllPairs:
         with self._prewarm_lock:
             keys = [
                 k for k in reversed(self._prewarm_specs)
-                if (nxt, k) not in self._prewarm_done
+                # paneled/sortfp specs are self-contained (own geometry);
+                # rebuild-path specs compile against the next row_cap
+                if (0 if k[0] in ("paneled", "sortfp") else nxt, k)
+                not in self._prewarm_done
             ][: self._prewarm_max_geoms]
         if not keys:
             return
@@ -449,10 +474,12 @@ class ChunkedAllPairs:
         scal_i = jax.ShapeDtypeStruct((), np.int32)
         scal_f = jax.ShapeDtypeStruct((), np.float32)
         for key in keys:
+            if self._prewarm_stop.is_set():
+                return
             try:
                 if key[0] == "paneled":
-                    _, ph, d_cap, p_cap, q_ecap, q_rows_cap, caps, avals = key
-                    n_panels = row_cap // ph
+                    (_, n_panels, ph, d_cap, p_cap, q_ecap, q_rows_cap,
+                     caps, avals) = key
                     pk_aval = jax.ShapeDtypeStruct(
                         (n_panels + 3 + 3 * q_ecap,), np.int32
                     )
@@ -461,6 +488,11 @@ class ChunkedAllPairs:
                         ph=ph, n_panels=n_panels, d_cap=d_cap, p_cap=p_cap,
                         q_ecap=q_ecap, q_rows_cap=q_rows_cap, cap=caps[0],
                         capb=caps[1], cap0=caps[2], precision=prec,
+                    ).compile()
+                elif key[0] == "sortfp":
+                    _, ent_avals, counts_aval, cap_s = key
+                    chunked_ops.sort_entries_fp.lower(
+                        *ent_avals, counts_aval, cap_s
                     ).compile()
                 else:
                     q_rows_cap, caps, ent_avals = key
@@ -478,7 +510,9 @@ class ChunkedAllPairs:
 
                 get_logger().exception("row_cap prewarm failed (non-fatal)")
             with self._prewarm_lock:
-                self._prewarm_done.add((row_cap, key))
+                self._prewarm_done.add(
+                    (0 if key[0] in ("paneled", "sortfp") else row_cap, key)
+                )
 
     # ------------------------------------------- paneled streaming match
     # Beyond the resident-slab budget the per-batch match used to pay a
@@ -671,21 +705,47 @@ class ChunkedAllPairs:
 
     def _note_paneled_geom(self, st, pk_dev, ph, d_cap, p_cap, q_ecap,
                            q_rows_cap, caps) -> None:
-        """Record a paneled-match geometry for the next-row_cap prewarmer
-        (tagged spec; the worker rebuilds the pk aval for the new panel
-        count — everything else is shape-stable across a crossing)."""
+        """Record this paneled-match geometry's IMMINENT CROSSING variants
+        for the background prewarmer.  Unlike the rebuild path (whose only
+        compile cliff is row_cap), the paneled path has three: the sorted
+        capacity cap_s (consolidation doubles the sorted avals AND
+        recompiles the device sort — the 55 s ingest freeze in
+        serve_probe_paneled.log phase 1500), the per-panel slice cap, and
+        the panel count at a row_cap crossing.  Specs are fully
+        self-contained; the worker compiles them verbatim."""
         import jax
 
-        avals = tuple(
-            jax.ShapeDtypeStruct(a.shape, a.dtype)
-            for a in (st["r_s"], st["gc_s"], st["vb_s"],
-                      st["r_o"], st["gc_o"], st["vb_o"])
-        )
-        key = ("paneled", ph, d_cap, p_cap, q_ecap, q_rows_cap, caps, avals)
+        def aval(a):
+            return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+        o_avals = tuple(aval(a) for a in (st["r_o"], st["gc_o"], st["vb_o"]))
+        vdt = st["r_s"].dtype
+        cap_s = int(st["cap_s"])
+        n_panels = self.row_cap // ph
+
+        def spec(npan, cs, pc):
+            sa = tuple(jax.ShapeDtypeStruct((cs,), vdt) for _ in range(3))
+            return ("paneled", npan, ph, d_cap, min(pc, cs), q_ecap,
+                    q_rows_cap, caps, sa + o_avals)
+
+        variants = [
+            spec(n_panels, 2 * cap_s, p_cap),   # sorted-capacity crossing
+            spec(n_panels, cap_s, 2 * p_cap),   # per-panel slice crossing
+        ]
+        nxt_rc = self._peek_next_row_cap()
+        if self._paneled_ph(nxt_rc) == ph:
+            variants.append(spec(nxt_rc // ph, cap_s, p_cap))
+        if self._ent is not None:
+            # the consolidation itself re-sorts on device at the new cap
+            ent_avals = tuple(aval(a) for a in self._ent)
+            variants.append(
+                ("sortfp", ent_avals, aval(self._counts_dev), 2 * cap_s)
+            )
         with self._prewarm_lock:
-            self._prewarm_specs[key] = None
-            self._prewarm_specs.move_to_end(key)
-            while len(self._prewarm_specs) > 8:
+            for key in variants:
+                self._prewarm_specs[key] = None
+                self._prewarm_specs.move_to_end(key)
+            while len(self._prewarm_specs) > 12:
                 self._prewarm_specs.popitem(last=False)
 
     def _run_match(self, q, q_base: int, q_rows_cap: int, tau_eff):

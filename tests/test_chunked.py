@@ -869,3 +869,40 @@ def test_paneled_match_frozen_and_topk(corpus):
     np.testing.assert_allclose(
         got, np.sort(sims[1])[::-1][:3], atol=1e-9
     )
+
+
+def test_paneled_prewarm_covers_crossing_variants(corpus):
+    """The background prewarmer compiles the paneled path's three compile
+    cliffs ahead of time: doubled sorted capacity (consolidation), doubled
+    per-panel slice cap, and the next row_cap's panel count — plus the
+    device re-sort at the new capacity (the 55 s mid-serve ingest freeze
+    in serve_probe_paneled.log phase 1500 was an unwarmed cap_s crossing)."""
+    eng = _paneled_forced(chunk_dim=64)
+    eng._prewarm_min_rows = 0
+    n0 = corpus.n_rows - 20
+    head = type(corpus)(
+        n0, corpus.n_cols, corpus.indptr[: n0 + 1],
+        corpus.indices[: corpus.indptr[n0]],
+        corpus.data[: corpus.indptr[n0]],
+    )
+    eng.build(head, [str(i) for i in range(n0)])
+    eng.insert(
+        [(str(i), corpus.row(i)) for i in range(n0, corpus.n_rows)],
+        tau=0.5,
+    )
+    assert eng._sort_state is not None  # paneled path really ran
+    cap_s = eng._sort_state["cap_s"]
+    t = eng._prewarm_thread
+    assert t is not None
+    t.join(180)
+    with eng._prewarm_lock:
+        done = {k for _, k in eng._prewarm_done}
+    kinds = {k[0] for k in done if isinstance(k[0], str)}
+    assert "paneled" in kinds and "sortfp" in kinds
+    # the sorted-capacity-doubled variant is among the compiled specs
+    assert any(
+        k[0] == "paneled" and k[8][0].shape == (2 * cap_s,) for k in done
+    )
+    assert any(k[0] == "sortfp" and k[3] == 2 * cap_s for k in done)
+    assert eng.stats.get("prewarm_compiles", 0) >= 2
+    assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)

@@ -25,6 +25,7 @@ join warm-up).
 from __future__ import annotations
 
 import json
+import sys
 import time
 from typing import Dict
 
@@ -143,15 +144,22 @@ def run_ooc(
         # FORCING each for a few batches — the artifact then shows whether
         # the df-mass cost model picked the measured-faster one on THIS
         # corpus shape, not just on the shape it was calibrated on
-        if eng._match_slabs() is None:
+        # the host leg's cost grows with batch df mass — at 500k/bs=4096 it
+        # measured 1030 s (ooc_500k_paneled.log), so big-batch runs skip it
+        # unless explicitly asked
+        if eng._match_slabs() is None and (
+            bs <= 512 or "--router-ab" in sys.argv
+        ):
             ab = {}
+            dev_name = (
+                "device_paneled" if eng._paneled_ok() else "device_rebuild"
+            )
             extra2 = gen(2 * bs, seed=101)
             probes = [
                 [(f"p{i}", extra2.row(i)) for i in range(bs)],
                 [(f"p{i}", extra2.row(i)) for i in range(bs, 2 * bs)],
             ]
-            for force, name in ((True, "host_spgemm"),
-                                (False, "device_rebuild")):
+            for force, name in ((True, "host_spgemm"), (False, dev_name)):
                 eng._use_host_match = lambda q, _f=force: _f  # shadow method
                 t0 = time.time()
                 eng.insert(probes.pop(0), tau=tau)
@@ -162,7 +170,7 @@ def run_ooc(
                 path == "resident_slabs"
                 or ab[path + "_batch_seconds"]
                 == min(ab["host_spgemm_batch_seconds"],
-                       ab["device_rebuild_batch_seconds"])
+                       ab[dev_name + "_batch_seconds"])
             )
             report["router_ab"] = ab
         report["hbm_after_stream"] = _hbm_stats()
@@ -189,7 +197,7 @@ def run_ooc(
 
 
 def main() -> None:
-    import sys
+    # sys imported at module scope
 
     args = [a for a in sys.argv[1:]]
     stripes = "--stripes" in args

@@ -93,6 +93,26 @@ def main() -> None:
     srv = SimilarityServer(eng, eng.cfg)
     srv.start()
 
+    # per-batch flush timeline: every engine.insert the flusher issues is
+    # recorded as (t_rel_s, n_rows, dur_s) so a mid-phase stall (fresh
+    # remote compile, crossing, consolidation) is attributable to its
+    # exact batch instead of reading as generic queue collapse.  The
+    # chunked engine completes deferred inserts synchronously, so the
+    # wrapper's duration IS the full batch cost.
+    timeline: list = []
+    t_base = time.time()
+    real_insert = eng.insert
+
+    def timed_insert(batch, **kw):
+        t0 = time.time()
+        out = real_insert(batch, **kw)
+        timeline.append(
+            (round(t0 - t_base, 2), len(batch), round(time.time() - t0, 3))
+        )
+        return out
+
+    eng.insert = timed_insert
+
     # phase 2: warm the pow2 shape buckets the coalescing flusher will hit
     # (a fresh mid-run compile would stall service and read as collapse).
     # With a flush cap the largest bucket is the cap itself.
@@ -104,6 +124,7 @@ def main() -> None:
         srv.flush()
         bs *= 2
     print(f"bucket warm-up to {top}: {time.time() - t0:.1f}s", flush=True)
+    print(json.dumps({"warmup_timeline": list(timeline)}), flush=True)
     report_cap = eng.cfg.max_flush_batch
 
     report = {
@@ -119,6 +140,7 @@ def main() -> None:
         n_total = int(rate * duration)
         arrivals = np.sort(rng.uniform(0.0, duration, size=n_total))
         stats0 = dict(eng.stats)
+        tl0 = len(timeline)
         q_depth = []
         done = threading.Event()
 
@@ -160,6 +182,7 @@ def main() -> None:
             "mean_flush_batch": round(indexed / max(batches, 1), 1),
             "queue_depth_samples": q_depth,
             "kept_up": bool(t_end - t_sent < 0.15 * duration),
+            "flush_timeline": timeline[tl0:],
         }
         report["phases"].append(phase)
         print(json.dumps(phase), flush=True)

@@ -449,30 +449,44 @@ class ChunkedAllPairs:
         if self._prewarm_thread is not None and self._prewarm_thread.is_alive():
             return
         nxt = self._peek_next_row_cap()
+        if not self._prewarm_select(nxt):
+            return
+        width, prec = self._chunk_width, self.cfg.matmul_precision
+        t = threading.Thread(
+            target=self._prewarm_worker, args=(nxt, width, prec),
+            daemon=True, name="apsim-prewarm",
+        )
+        self._prewarm_thread = t
+        t.start()
+
+    def _prewarm_select(self, nxt: int):
+        """Up to ``_prewarm_max_geoms`` not-yet-compiled specs, MRU first."""
         with self._prewarm_lock:
-            keys = [
+            return [
                 k for k in reversed(self._prewarm_specs)
                 # paneled/sortfp specs are self-contained (own geometry);
                 # rebuild-path specs compile against the next row_cap
                 if (0 if k[0] in ("paneled", "sortfp") else nxt, k)
                 not in self._prewarm_done
             ][: self._prewarm_max_geoms]
-        if not keys:
-            return
-        width, prec = self._chunk_width, self.cfg.matmul_precision
-        t = threading.Thread(
-            target=self._prewarm_worker, args=(nxt, width, prec, keys),
-            daemon=True, name="apsim-prewarm",
-        )
-        self._prewarm_thread = t
-        t.start()
 
-    def _prewarm_worker(self, row_cap: int, width: int, prec: str,
-                        keys) -> None:
+    def _prewarm_worker(self, row_cap: int, width: int, prec: str) -> None:
+        """Drains the spec queue: compiles MRU batches until every queued
+        spec is done (serving threads keep enqueueing new variants while
+        this runs) or the interpreter is exiting."""
         import jax
 
         scal_i = jax.ShapeDtypeStruct((), np.int32)
         scal_f = jax.ShapeDtypeStruct((), np.float32)
+        while keys := self._prewarm_select(row_cap):
+            self._prewarm_batch(keys, row_cap, width, prec, scal_i, scal_f)
+            if self._prewarm_stop.is_set():
+                return
+
+    def _prewarm_batch(self, keys, row_cap: int, width: int, prec: str,
+                       scal_i, scal_f) -> None:
+        import jax
+
         for key in keys:
             if self._prewarm_stop.is_set():
                 return
@@ -696,37 +710,73 @@ class ChunkedAllPairs:
             break
         self._note_paneled_geom(st, pk_dev, ph, d_cap, p_cap, q_ecap,
                                 q_rows_cap, caps)
-        self._pmatch_caps = score_ops.tighten_caps(
-            (total, groups, supers), caps
-        )
+        # DEFERRED cap tightening: a cap change is new static args — a
+        # fresh ~30-60 s remote compile if it lands on the serving thread
+        # (the mid-phase queue plateaus in serve_probe_cap8k.log).  Adopt
+        # the tightened caps only once the background prewarmer has
+        # compiled that variant into the persistent cache; until then the
+        # current (looser, correct) caps keep serving.
+        tight = score_ops.tighten_caps((total, groups, supers), caps)
+        if tight == caps:
+            self._pmatch_caps = caps
+        else:
+            key = self._paneled_spec(st, ph, d_cap, p_cap, q_ecap,
+                                     q_rows_cap, tight)
+            with self._prewarm_lock:
+                ready = (0, key) in self._prewarm_done
+                self._prewarm_specs[key] = None
+                self._prewarm_specs.move_to_end(key)
+            self._pmatch_caps = tight if ready else caps
         if total <= rows_h.size:
             return rows_h, cols_h
         return score_ops.decode_pairs(bufs, total)
+
+    def _paneled_spec(self, st, ph, d_cap, p_cap, q_ecap, q_rows_cap,
+                      caps, n_panels=None, cap_s=None):
+        """Self-contained prewarm spec for one paneled-match geometry —
+        exactly the static args + avals ``paneled_match_extract_bits``
+        will be jitted against, so a background ``.lower().compile()``
+        lands the executable in the persistent cache before the serving
+        thread needs it."""
+        import jax
+
+        cs = int(st["cap_s"]) if cap_s is None else int(cap_s)
+        npan = (self.row_cap // ph) if n_panels is None else int(n_panels)
+        vdt = st["r_s"].dtype
+        sa = tuple(jax.ShapeDtypeStruct((cs,), vdt) for _ in range(3))
+        o_avals = tuple(
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (st["r_o"], st["gc_o"], st["vb_o"])
+        )
+        return ("paneled", npan, ph, d_cap, min(int(p_cap), cs), q_ecap,
+                q_rows_cap, caps, sa + o_avals)
 
     def _note_paneled_geom(self, st, pk_dev, ph, d_cap, p_cap, q_ecap,
                            q_rows_cap, caps) -> None:
         """Record this paneled-match geometry's IMMINENT CROSSING variants
         for the background prewarmer.  Unlike the rebuild path (whose only
-        compile cliff is row_cap), the paneled path has three: the sorted
+        compile cliff is row_cap), the paneled path has four: the sorted
         capacity cap_s (consolidation doubles the sorted avals AND
         recompiles the device sort — the 55 s ingest freeze in
-        serve_probe_paneled.log phase 1500), the per-panel slice cap, and
-        the panel count at a row_cap crossing.  Specs are fully
-        self-contained; the worker compiles them verbatim."""
+        serve_probe_paneled.log phase 1500), the per-panel slice cap, the
+        panel count at a row_cap crossing, and EXTRACTION-CAP GROWTH (an
+        overflow retry mints new static args mid-serve — the 30-50 s queue
+        plateaus in serve_probe_cap8k.log; prewarmed here so the retry
+        re-traces into the persistent cache in ~1 s instead).  Specs are
+        fully self-contained; the worker compiles them verbatim.  Order
+        matters: the worker drains MRU-first, so the most-likely-imminent
+        variants (cap growth) are enqueued LAST."""
         import jax
 
         def aval(a):
             return jax.ShapeDtypeStruct(a.shape, a.dtype)
 
-        o_avals = tuple(aval(a) for a in (st["r_o"], st["gc_o"], st["vb_o"]))
-        vdt = st["r_s"].dtype
         cap_s = int(st["cap_s"])
         n_panels = self.row_cap // ph
 
-        def spec(npan, cs, pc):
-            sa = tuple(jax.ShapeDtypeStruct((cs,), vdt) for _ in range(3))
-            return ("paneled", npan, ph, d_cap, min(pc, cs), q_ecap,
-                    q_rows_cap, caps, sa + o_avals)
+        def spec(npan, cs, pc, cp=caps):
+            return self._paneled_spec(st, ph, d_cap, pc, q_ecap,
+                                      q_rows_cap, cp, npan, cs)
 
         variants = [
             spec(n_panels, 2 * cap_s, p_cap),   # sorted-capacity crossing
@@ -741,6 +791,14 @@ class ChunkedAllPairs:
             variants.append(
                 ("sortfp", ent_avals, aval(self._counts_dev), 2 * cap_s)
             )
+        # cap-growth variants LAST (drained first): candidate counts rise
+        # with the live row count, so the pairs level (and eventually all
+        # three) WILL overflow at steady ingest — the single-level and
+        # all-level doublings cover grow_caps' two realistic next states
+        c0, c1, c2 = caps
+        variants.append(spec(n_panels, cap_s, p_cap,
+                             (2 * c0, 2 * c1, 2 * c2)))
+        variants.append(spec(n_panels, cap_s, p_cap, (2 * c0, c1, c2)))
         with self._prewarm_lock:
             for key in variants:
                 self._prewarm_specs[key] = None

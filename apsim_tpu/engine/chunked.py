@@ -121,6 +121,7 @@ class ChunkedAllPairs:
         self._prewarm_lock = threading.Lock()
         self._prewarm_specs: "OrderedDict" = OrderedDict()  # MRU geometry
         self._prewarm_done: set = set()
+        self._prewarm_fail: Dict[tuple, int] = {}
         self._prewarm_thread: threading.Thread | None = None
         # checked between compiles; set at interpreter exit so the daemon
         # thread never dies INSIDE an XLA compile (that aborts the process
@@ -522,6 +523,24 @@ class ChunkedAllPairs:
             except Exception:  # best-effort: a miss just means a cold stall
                 from ..utils.logging import get_logger
 
+                with self._prewarm_lock:
+                    n = self._prewarm_fail[key] = (
+                        self._prewarm_fail.get(key, 0) + 1
+                    )
+                if n < 3:
+                    # Transient: jax 0.9.0's mlir lowering cache races when
+                    # a serving thread traces concurrently with this one
+                    # (KeyError: Var / cached_primitive_lowerings — observed
+                    # in docs/round5/serve_probe_defer4k.log, where the miss
+                    # became a 33 s cold stall mid-serve).  Leave the spec
+                    # queued and back off; the retry lands once the
+                    # foreground trace finishes.
+                    get_logger().warning(
+                        "row_cap prewarm attempt %d failed; will retry",
+                        n, exc_info=True,
+                    )
+                    time.sleep(float(n))
+                    continue
                 get_logger().exception("row_cap prewarm failed (non-fatal)")
             with self._prewarm_lock:
                 self._prewarm_done.add(

@@ -111,6 +111,8 @@ class PendingInsert:
             )
             keep = (rows < n_after) & (cols < n_after)
             pairs = (rows[keep], cols[keep])
+        else:
+            eng._note_insert_cap(pairs[0].size, cap)
         self._out = eng._emit_query_results(pairs[1], pairs[0], tau)
         return self._out
 
@@ -811,7 +813,7 @@ class Engine:
         tile = self._tile()
         first_tile = (n0 // tile) * tile
         grp = int(self.cfg.extract_group)
-        cap = int(self.cfg.extract_cap)
+        cap = self._insert_cap or int(self.cfg.extract_cap)
         cand_q: List[np.ndarray] = []
         cand_c: List[np.ndarray] = []
 
@@ -900,6 +902,8 @@ class Engine:
                         q0, n0, tau_eff, tile,
                         _next_cap(cap, self._last_needed), grp,
                     )
+                else:
+                    self._note_insert_cap(pairs[0].size, cap)
                 cand_c.append(pairs[0])
                 cand_q.append(pairs[1])
         out = self._emit_query_results(
@@ -977,8 +981,31 @@ class Engine:
             )
             pairs = self._consume_match(bufs, packed, cap, grp)
             if pairs is not None:
+                self._note_insert_cap(pairs[0].size, cap)
                 return pairs
             cap = _next_cap(cap, self._last_needed)
+
+    # adaptive streaming-insert extraction cap (r3 #4): None = config default
+    _insert_cap: int | None = None
+
+    def _note_insert_cap(self, total: int, cap_used: int) -> None:
+        """Adapt the streaming-insert extraction cap to observed candidate
+        counts.  The fused insert used the generous config default (2^18)
+        on EVERY micro-batch, paying cap-scaled compaction + buffer cost
+        for counts that are typically a few hundred — the same oversize tax
+        the join's ``_pallas_caps`` tightening removed (~7 ms/call on Enron
+        at 2^18 vs the needed 2^15).  Same 8x-hysteresis shrink rule; an
+        overflow-retry's grown cap persists so later batches skip the
+        retry.  Each adopted cap is one new compiled shape (pow2 ladder,
+        persistent cache)."""
+        from ..vector.batch import pow2_bucket
+
+        cur = self._insert_cap or int(self.cfg.extract_cap)
+        tight = pow2_bucket(max(int(total) + (int(total) >> 2), 1024), 1024)
+        if cap_used > cur:
+            self._insert_cap = cap_used
+        elif tight * 8 <= cur:
+            self._insert_cap = tight
 
     def _consume_match(self, bufs, packed, cap: int, grp: int):
         """Parse a match result; returns (rows, cols) or None on capacity

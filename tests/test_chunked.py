@@ -906,3 +906,54 @@ def test_paneled_prewarm_covers_crossing_variants(corpus):
     assert any(k[0] == "sortfp" and k[3] == 2 * cap_s for k in done)
     assert eng.stats.get("prewarm_compiles", 0) >= 2
     assert eng.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)
+
+
+def test_prewarm_retries_transient_lowering_failure(monkeypatch):
+    """r5: a transient trace/lowering failure in the background prewarmer
+    (jax 0.9.0 races the background ``.lower()`` against a foreground
+    trace — KeyError: Var, docs/round5/serve_probe_defer4k.log) leaves the
+    spec QUEUED and retries instead of marking it done; a persistent
+    failure gives up after 3 attempts.  A silent miss otherwise becomes a
+    33 s cold compile stall mid-serve."""
+    from apsim_tpu.engine import chunked as chunked_mod
+    from apsim_tpu.ops import chunked as chunked_ops
+
+    eng = ChunkedAllPairs(small_cfg(match_slab_budget_mb=0), chunk_dim=128)
+    monkeypatch.setattr(chunked_mod.time, "sleep", lambda s: None)
+    calls = {"n": 0}
+
+    class _Compiled:
+        def compile(self):
+            return None
+
+    class Flaky:
+        def lower(self, *a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise KeyError("Var(id=1):int32[]")  # the observed race
+            return _Compiled()
+
+    monkeypatch.setattr(chunked_ops, "chunked_match_extract_bits", Flaky())
+    key = (256, (1024, 128, 128), ())  # rebuild-path spec shape
+    with eng._prewarm_lock:
+        eng._prewarm_specs[key] = None
+    eng._prewarm_worker(512, 128, "default")
+    assert calls["n"] == 2  # failed once, retried, succeeded
+    assert eng._prewarm_fail[key] == 1
+    assert eng.stats.get("prewarm_compiles") == 1
+    with eng._prewarm_lock:
+        assert (512, key) in eng._prewarm_done
+
+    # persistent failure: gives up after 3 attempts, marks done (no loop)
+    class Dead:
+        def lower(self, *a, **k):
+            raise KeyError("Var(id=2):int32[]")
+
+    monkeypatch.setattr(chunked_ops, "chunked_match_extract_bits", Dead())
+    key2 = (512, (1024, 128, 128), ())
+    with eng._prewarm_lock:
+        eng._prewarm_specs[key2] = None
+    eng._prewarm_worker(512, 128, "default")
+    assert eng._prewarm_fail[key2] == 3
+    with eng._prewarm_lock:
+        assert (512, key2) in eng._prewarm_done

@@ -635,3 +635,37 @@ def test_rollback_commits_promoted_dormant_marks(monkeypatch):
     assert eng.all_pairs(0.4).pair_set() == brute_force_pairs(
         eng.shadow_csr(), 0.4, eng.ids
     )
+
+
+def test_insert_cap_adapts(corpus):
+    """r5: the streaming-insert extraction cap adapts to observed candidate
+    counts (the join's 8x-hysteresis rule) instead of paying the generous
+    config default's compaction/buffer tax on every micro-batch; an
+    overflow-retry's grown cap persists."""
+    eng = Engine(AllPairsConfig())
+    assert eng._insert_cap is None
+    default = int(eng.cfg.extract_cap)
+    eng._note_insert_cap(100, default)          # gross oversize: tighten
+    assert eng._insert_cap == 1024
+    eng._note_insert_cap(100, 4096)             # retry grew it: persist
+    assert eng._insert_cap == 4096
+    eng._note_insert_cap(3000, 4096)            # within 8x: unchanged
+    assert eng._insert_cap == 4096
+    # end to end: streaming a real corpus tightens below the default and
+    # stays exact (the streaming==batch contract at tightened caps)
+    eng2 = Engine(AllPairsConfig())
+    n0 = corpus.n_rows // 2
+    head = type(corpus)(
+        n0, corpus.n_cols, corpus.indptr[: n0 + 1],
+        corpus.indices[: corpus.indptr[n0]],
+        corpus.data[: corpus.indptr[n0]],
+    )
+    eng2.build(head, [str(i) for i in range(n0)])
+    for s in range(n0, corpus.n_rows, 32):
+        eng2.insert(
+            [(str(i), corpus.row(i))
+             for i in range(s, min(s + 32, corpus.n_rows))],
+            tau=0.5,
+        )
+    assert eng2._insert_cap is not None and eng2._insert_cap < default
+    assert eng2.all_pairs(0.5).pair_set() == brute_force_pairs(corpus, 0.5)

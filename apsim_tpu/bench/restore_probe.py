@@ -1,0 +1,86 @@
+"""Stage-timed chunked checkpoint restore at out-of-core scale.
+
+VERDICT r4 item #5 done-criterion: measured ``restore`` ≪ ``build`` at
+>= 500k rows.  The chunked engine checkpoints a host mirror of its
+per-chunk device buffers (``chunk_*`` extras — ``ChunkedAllPairs
+._extra_npz``), so :meth:`restore` places the saved layout directly
+(O(read + H2D)) instead of re-running the unique/df-sort/remap/bucketing
+build passes.  This probe times every stage on the real chip and asserts
+(a) the fast path actually ran (no silent rebuild fallback) and (b) the
+restored engine answers a spot query identically to the built one.
+
+Reference behavior contrast: the reference loses its index entirely on
+actor relocation (SURVEY §5 A3 — no checkpoint subsystem at all); this
+exceeds parity.
+
+Usage: python -m apsim_tpu.bench.restore_probe [n_rows] [--cpu]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from ..config import AllPairsConfig
+    from ..engine.chunked import ChunkedAllPairs
+    from .scale import synthetic_corpus
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_rows = int(args[0]) if args else 500_000
+    stages = {}
+
+    def stage(name, fn):
+        t0 = time.time()
+        out = fn()
+        stages[name] = round(time.time() - t0, 2)
+        print(f"{name:18s} {stages[name]:8.2f} s", flush=True)
+        return out
+
+    csr = stage("gen", lambda: synthetic_corpus(n_rows))
+    eng = ChunkedAllPairs(AllPairsConfig())
+    stage("build", lambda: eng.build(csr))
+    # spot query answered by both engines (value-fetch sync — timing rule)
+    q = [("q0", csr.row(0)), ("q1", csr.row(n_rows // 2))]
+    want = eng.topk(q, 5)
+    td = tempfile.mkdtemp()
+    ck = os.path.join(td, "ck")
+    stage("save", lambda: eng.save(ck))
+    del eng
+    e2 = ChunkedAllPairs(AllPairsConfig())
+
+    def _no_rebuild(*a, **k):  # restore must take the placement fast path
+        raise AssertionError("restore fell back to a full rebuild")
+
+    e2.build = _no_rebuild
+    stage("restore", lambda: e2.restore(ck))
+    assert e2._ent_host is not None and e2.n_rows == n_rows
+    got = stage("spot_topk", lambda: e2.topk(q, 5))
+    parity = {
+        k: [i for i, _ in want[k]] == [i for i, _ in got[k]] for k in want
+    }
+    report = {
+        "n_rows": n_rows,
+        "stages_s": stages,
+        "restore_over_build": round(stages["restore"] / stages["build"], 3),
+        "fast_path": True,  # asserted via _ent_host placement above
+        "spot_parity": all(parity.values()),
+    }
+    print(json.dumps(report), flush=True)
+    assert report["spot_parity"], parity
+    # the done-criterion: restore well under build
+    assert stages["restore"] < stages["build"], stages
+
+
+if __name__ == "__main__":
+    main()

@@ -30,8 +30,6 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    import numpy as np
-
     from ..config import AllPairsConfig
     from ..engine.chunked import ChunkedAllPairs
     from .scale import synthetic_corpus

@@ -131,6 +131,14 @@ class ChunkedAllPairs:
         # row-sorted flat-COO state behind the paneled streaming match
         # (built lazily; dropped for lazy consolidation/rebuild)
         self._sort_state: dict | None = None
+        # q_rows_cap bucket -> max q_ecap served (monotone floor): the
+        # query-nnz cap used to flap between adjacent pow2 buckets across
+        # same-bucket flushes (8192-row batches straddling nnz 2^20),
+        # minting a fresh static-arg variant — a ~25 s cold remote compile
+        # mid-serve (docs/round5/serve_probe_retryfix2.log stalls at
+        # t=146/193/240).  Padding the query COO up to the bucket's floor
+        # costs at most 2x H2D bytes and keeps ONE executable per bucket.
+        self._paneled_qgeom: Dict[int, int] = {}
 
     # dormant-dim machinery shared verbatim with the dense engine (it only
     # touches the compact space, the archive arrays, and host CSR filtering)
@@ -689,7 +697,11 @@ class ChunkedAllPairs:
         nq = ccsr.n_rows
         q_rows_cap = min(pow2_bucket(nq, 256), self._paneled_q_cap)
         nnz_q = int(ccsr.indptr[-1])
-        q_ecap = pow2_bucket(max(nnz_q, 1), 1024)
+        q_ecap = max(
+            pow2_bucket(max(nnz_q, 1), 1024),
+            self._paneled_qgeom.get(q_rows_cap, 0),
+        )
+        self._paneled_qgeom[q_rows_cap] = q_ecap
         hdr = n_panels + 3
         pk = np.zeros(hdr + 3 * q_ecap, np.int32)
         pk[: n_panels + 1] = starts
@@ -793,17 +805,35 @@ class ChunkedAllPairs:
         cap_s = int(st["cap_s"])
         n_panels = self.row_cap // ph
 
-        def spec(npan, cs, pc, cp=caps):
-            return self._paneled_spec(st, ph, d_cap, pc, q_ecap,
-                                      q_rows_cap, cp, npan, cs)
+        def spec(npan, cs, pc, cp=caps, qe=q_ecap, qr=q_rows_cap):
+            return self._paneled_spec(st, ph, d_cap, pc, qe, qr,
+                                      cp, npan, cs)
 
         variants = [
             spec(n_panels, 2 * cap_s, p_cap),   # sorted-capacity crossing
             spec(n_panels, cap_s, 2 * p_cap),   # per-panel slice crossing
         ]
         nxt_rc = self._peek_next_row_cap()
-        if self._paneled_ph(nxt_rc) == ph:
-            variants.append(spec(nxt_rc // ph, cap_s, p_cap))
+        nxt_np = (nxt_rc // ph) if self._paneled_ph(nxt_rc) == ph else None
+        if nxt_np is not None:
+            variants.append(spec(nxt_np, cap_s, p_cap))
+        # Every OTHER query bucket served so far, at the current geometry
+        # AND the next panel count: a row_cap crossing re-specializes the
+        # op for every bucket at once, but only the bucket that happened
+        # to flush next used to get prewarmed — the rest (first flushes
+        # of a phase, drain-tail remainders) each hit a ~25 s cold compile
+        # (serve_probe_retryfix2.log).  Bounded: buckets are pow2 in
+        # [256, _paneled_q_cap], so at most 6 entries.
+        for qr, qe in list(self._paneled_qgeom.items()):
+            if qr == q_rows_cap:
+                continue
+            variants.append(spec(n_panels, cap_s, p_cap, qe=qe, qr=qr))
+            if nxt_np is not None:
+                variants.append(spec(nxt_np, cap_s, p_cap, qe=qe, qr=qr))
+        # next q_ecap doubling for the current bucket (nnz drift upward
+        # crosses the pow2 boundary eventually; monotone floor makes the
+        # flap one-way, this makes the crossing warm)
+        variants.append(spec(n_panels, cap_s, p_cap, qe=2 * q_ecap))
         if self._ent is not None:
             # the consolidation itself re-sorts on device at the new cap
             ent_avals = tuple(aval(a) for a in self._ent)
@@ -822,7 +852,10 @@ class ChunkedAllPairs:
             for key in variants:
                 self._prewarm_specs[key] = None
                 self._prewarm_specs.move_to_end(key)
-            while len(self._prewarm_specs) > 12:
+            # bound must hold the full cross-bucket fan-out (6 buckets x
+            # 2 panel counts + 5 geometry/cap variants), or enqueueing one
+            # round would evict the previous round before the worker runs
+            while len(self._prewarm_specs) > 32:
                 self._prewarm_specs.popitem(last=False)
 
     def _run_match(self, q, q_base: int, q_rows_cap: int, tau_eff):
